@@ -1,0 +1,170 @@
+"""Typed, layered configuration.
+
+Replaces the reference's untyped ``opt`` argparse namespace that is threaded
+through every constructor (reference: app.py:550-707, ernerf/main.py:18-124).
+Here each subsystem owns a frozen dataclass; the top-level ``Config`` nests
+them and supports dict/CLI overrides with dotted keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Global audio clocking. Reference: basereal.py:36, webrtc.py:10-15."""
+
+    sample_rate: int = 16_000
+    fps: int = 25                     # video frames per second
+
+    @property
+    def chunk(self) -> int:
+        """Samples per 20 ms audio frame (two per video frame at 25 fps)."""
+        return self.sample_rate // (self.fps * 2)
+
+    @property
+    def chunks_per_video_frame(self) -> int:
+        return 2
+
+
+@dataclass(frozen=True)
+class StrideConfig:
+    """Sliding-window featurization strides, in 20 ms audio frames.
+
+    Reference: baseasr.py:23-26, app.py:667-670 (defaults l=10, m=8/50, r=10).
+    """
+
+    left: int = 10
+    mid: int = 8
+    right: int = 10
+
+
+@dataclass(frozen=True)
+class AvatarConfig:
+    """Which avatar engine to run and its batching."""
+
+    kind: str = "wav2lip"             # wav2lip | musetalk | ernerf
+    avatar_id: str = "avator_1"
+    avatar_dir: str = "./data/avatars"
+    batch_size: int = 16              # frames per device dispatch
+    img_size: int = 96                # face crop size (wav2lip 96, musetalk 256)
+    dtype: str = "bfloat16"           # compute dtype on device
+
+
+@dataclass(frozen=True)
+class TTSConfig:
+    backend: str = "edge"             # edge | sovits | cosyvoice | xtts | pyttsx3
+    voice: str = "zh-CN-YunxiaNeural"
+    server_url: str = "http://127.0.0.1:9880"
+    ref_audio: str = ""
+    ref_text: str = ""
+
+
+@dataclass(frozen=True)
+class ASRConfig:
+    backend: str = "jax-whisper"      # jax-whisper | faster-whisper | openai-api
+    model_size: str = "tiny"
+    language: str = "en"
+    min_chunk_seconds: float = 1.0
+    buffer_trim_seconds: float = 15.0
+    vad: bool = False
+
+
+@dataclass(frozen=True)
+class TransportConfig:
+    mode: str = "webrtc"              # webrtc | rtmp | loopback
+    push_url: str = "http://localhost:1985/rtc/v1/publish/"
+    pull_url: str = "http://localhost:1985/rtc/v1/play/"
+
+
+@dataclass(frozen=True)
+class ServerConfig:
+    listen_host: str = "0.0.0.0"
+    listen_port: int = 8010
+    max_sessions: int = 10
+
+
+@dataclass(frozen=True)
+class NeRFConfig:
+    """ER-NeRF model + render settings (reference: ernerf/main.py:18-124)."""
+
+    bound: float = 1.0
+    scale: float = 4.0
+    offset: tuple = (0.0, 0.0, 0.0)
+    grid_size: int = 128
+    density_thresh: float = 10.0
+    num_levels: int = 12
+    base_resolution: int = 64
+    desired_resolution: int = 512
+    log2_hashmap_size: int = 14
+    level_dim: int = 2                # features per hash level
+    audio_in_dim: int = 44            # esperanto CTC logits (29 for deepspeech)
+    audio_dim: int = 32
+    eye_dim: int = 1                  # AU45 blink scalar
+    max_steps: int = 16               # marching steps per ray at inference
+    num_rays: int = 65536
+    smooth_path_window: int = 7
+    torso: bool = False
+    exp_eye: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-3
+    lr_net: float = 1e-3
+    iters: int = 200_000
+    ckpt: str = "latest"
+    workspace: str = "workspace"
+    ema_decay: float = 0.95
+    seed: int = 0
+    # mesh axes for multi-chip training; product must equal device count
+    mesh_dp: int = 1
+    mesh_tp: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    stride: StrideConfig = field(default_factory=StrideConfig)
+    avatar: AvatarConfig = field(default_factory=AvatarConfig)
+    tts: TTSConfig = field(default_factory=TTSConfig)
+    asr: ASRConfig = field(default_factory=ASRConfig)
+    transport: TransportConfig = field(default_factory=TransportConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
+    nerf: NeRFConfig = field(default_factory=NeRFConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def override(self, **dotted: Any) -> "Config":
+        """Return a new Config with dotted-key overrides.
+
+        ``cfg.override(**{"avatar.batch_size": 8, "tts.backend": "xtts"})``
+        """
+        updates: dict[str, dict[str, Any]] = {}
+        for key, value in dotted.items():
+            group, _, name = key.partition(".")
+            if not name:
+                raise KeyError(f"override key must be 'group.field', got {key!r}")
+            updates.setdefault(group, {})[name] = value
+        changed = {}
+        for group, kv in updates.items():
+            sub = getattr(self, group)
+            valid = {f.name for f in fields(sub)}
+            unknown = set(kv) - valid
+            if unknown:
+                raise KeyError(f"unknown fields {unknown} in config group {group!r}")
+            changed[group] = dataclasses.replace(sub, **kv)
+        return dataclasses.replace(self, **changed)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        flat = {
+            f"{group}.{name}": value
+            for group, kv in d.items()
+            for name, value in kv.items()
+        }
+        return cls().override(**flat)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
