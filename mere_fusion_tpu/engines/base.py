@@ -1,0 +1,190 @@
+"""Shared engine state and services.
+
+Behavioral twin of the reference's BaseReal (basereal.py:32-154): 16 kHz /
+20 ms audio clocking, TTS construction, custom idle audio/video cycles keyed
+by audiotype, ping-pong ``mirror_index`` looping, and session recording.
+Recording muxes with PyAV when available, else falls back to cv2 video +
+wave audio with an optional ffmpeg merge.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import subprocess
+import wave
+from queue import Queue
+from threading import Thread
+
+import cv2
+import numpy as np
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
+from mere_fusion_tpu.tts import make_tts
+
+
+def read_imgs(img_list):
+    return [cv2.imread(p) for p in img_list]
+
+
+def _sorted_imgs(dirpath: str) -> list[str]:
+    paths = glob.glob(os.path.join(dirpath, "*.[jpJP][pnPN]*[gG]"))
+    return sorted(paths, key=lambda x: int(os.path.splitext(os.path.basename(x))[0]))
+
+
+def _read_wav_f32(path: str) -> np.ndarray:
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32767
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483647
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data[:, 0]
+    if sr != 16000:
+        from mere_fusion_tpu.tts import resample_pcm
+
+        data = resample_pcm(data, sr, 16000)
+    return data
+
+
+class BaseReal:
+    def __init__(self, cfg: Config, custom_opts: list[dict] | None = None):
+        self.cfg = cfg
+        self.fps = cfg.audio.fps
+        self.sample_rate = cfg.audio.sample_rate
+        self.chunk = cfg.audio.chunk
+        self.tts = make_tts(cfg, self)
+
+        self.recording = False
+        self.recordq_video: Queue = Queue()
+        self.recordq_audio: Queue = Queue()
+        self._record_path: str | None = None
+
+        self.curr_state = 0  # 0 speech/silence-idle, >=2 custom track id
+        self.custom_img_cycle: dict[int, list] = {}
+        self.custom_audio_cycle: dict[int, np.ndarray] = {}
+        self.custom_audio_index: dict[int, int] = {}
+        self.custom_index: dict[int, int] = {}
+        self.custom_opt: dict[int, dict] = {}
+        self._load_custom(custom_opts or [])
+
+    # ---- engine public API (reference parity) ------------------------------
+    def put_msg_txt(self, msg: str) -> None:
+        self.tts.put_msg_txt(msg)
+
+    def put_audio_frame(self, audio_chunk: np.ndarray) -> None:
+        self.asr.put_audio_frame(audio_chunk)
+
+    def pause_talk(self) -> None:
+        self.tts.pause_talk()
+        self.asr.pause_talk()
+
+    def set_curr_state(self, audiotype: int, reinit: bool) -> None:
+        self.curr_state = audiotype
+        if reinit and audiotype in self.custom_audio_index:
+            self.custom_audio_index[audiotype] = 0
+            self.custom_index[audiotype] = 0
+
+    # ---- custom idle tracks -------------------------------------------------
+    def _load_custom(self, custom_opts: list[dict]) -> None:
+        for item in custom_opts:
+            atype = item["audiotype"]
+            self.custom_img_cycle[atype] = read_imgs(_sorted_imgs(item["imgpath"]))
+            self.custom_audio_cycle[atype] = _read_wav_f32(item["audiopath"])
+            self.custom_audio_index[atype] = 0
+            self.custom_index[atype] = 0
+            self.custom_opt[atype] = item
+
+    def init_customindex(self) -> None:
+        self.curr_state = 0
+        for key in self.custom_audio_index:
+            self.custom_audio_index[key] = 0
+        for key in self.custom_index:
+            self.custom_index[key] = 0
+
+    def get_audio_stream(self, audiotype: int) -> np.ndarray:
+        idx = self.custom_audio_index[audiotype]
+        stream = self.custom_audio_cycle[audiotype][idx : idx + self.chunk]
+        self.custom_audio_index[audiotype] += self.chunk
+        if self.custom_audio_index[audiotype] >= self.custom_audio_cycle[audiotype].shape[0]:
+            self.curr_state = 1  # custom track exhausted → back to silence
+        if stream.shape[0] < self.chunk:
+            stream = np.pad(stream, (0, self.chunk - stream.shape[0]))
+        return stream
+
+    def mirror_index(self, size: int, index: int) -> int:
+        """Ping-pong looping over a frame cycle (basereal.py:133-139)."""
+        turn, res = divmod(index, size)
+        return res if turn % 2 == 0 else size - res - 1
+
+    # ---- recording ----------------------------------------------------------
+    def start_recording(self, path: str) -> None:
+        if self.recording:
+            return
+        self.recording = True
+        self.recordq_video.queue.clear()
+        self.recordq_audio.queue.clear()
+        self._record_path = path
+        Thread(target=self._record_loop, daemon=True).start()
+
+    def stop_recording(self) -> None:
+        self.recording = False
+
+    def _record_loop(self) -> None:
+        path = self._record_path
+        vid_path, aud_path = path + ".video.mp4", path + ".audio.wav"
+        writer = None
+        wav = wave.open(aud_path, "wb")
+        wav.setnchannels(1)
+        wav.setsampwidth(2)
+        wav.setframerate(self.sample_rate)
+        try:
+            while self.recording:
+                try:
+                    frame: VideoImage = self.recordq_video.get(block=True, timeout=1)
+                except queue.Empty:
+                    continue
+                if writer is None:
+                    h, w = frame.image.shape[:2]
+                    writer = cv2.VideoWriter(
+                        vid_path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+                    )
+                writer.write(frame.image)
+                for _ in range(2):  # two 20 ms audio chunks per video frame
+                    try:
+                        chunk: AudioChunk = self.recordq_audio.get(block=True, timeout=1)
+                        wav.writeframes(chunk.samples.tobytes())
+                    except queue.Empty:
+                        break
+        finally:
+            if writer is not None:
+                writer.release()
+            wav.close()
+            self._mux(vid_path, aud_path, path)
+
+    @staticmethod
+    def _mux(vid_path: str, aud_path: str, out_path: str) -> None:
+        """Merge with ffmpeg when present; else keep the split files."""
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-i", vid_path, "-i", aud_path,
+                 "-c:v", "copy", "-c:a", "aac", out_path],
+                check=True, timeout=120,
+            )
+            os.remove(vid_path)
+            os.remove(aud_path)
+        except (FileNotFoundError, subprocess.SubprocessError):
+            pass
+
+    def record_video_frame(self, frame: VideoImage) -> None:
+        if self.recording:
+            self.recordq_video.put(frame)
+
+    def record_audio_chunk(self, chunk: AudioChunk) -> None:
+        if self.recording:
+            self.recordq_audio.put(chunk)

@@ -1,0 +1,267 @@
+"""Wav2Lip real-time engine.
+
+Pipeline twin of the reference's lipreal.py/lipasr.py with the GPU subprocess
+replaced by an in-process jitted device step:
+
+    TTS thread ─▶ BaseASR queue ─▶ render loop: LipASR.run_step (device mel)
+    ─▶ feat_queue ─▶ inference thread: batch-16 jit Wav2Lip step (TPU)
+    ─▶ res_frame_queue ─▶ assembly thread: bbox paste ─▶ output tracks
+
+Silence frames bypass the device entirely (reference: lipreal.py:102-105).
+"""
+from __future__ import annotations
+
+import asyncio
+import copy
+import queue
+import time
+from queue import Queue
+from threading import Event, Thread
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.engines.avatar import LipAvatar, load_lip_avatar
+from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base_asr import BaseASR
+from mere_fusion_tpu.models.wav2lip import Wav2Lip
+from mere_fusion_tpu.ops import WAV2LIP_MEL, melspectrogram
+from mere_fusion_tpu.ops.mel import num_mel_frames
+from mere_fusion_tpu.runtime.metrics import metrics
+from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
+
+
+def mel_window_starts(
+    n_chunks: int, chunk: int, batch: int, fps: int, stride_left: int
+) -> list[int]:
+    """Static mel-window start columns for one featurization step.
+
+    Reproduces the reference's slicing (lipasr.py:23-36): windows of 16 mel
+    columns at 80 Hz, stepped at 2 audio chunks (one video frame) apiece,
+    clamped to the spectrogram tail.
+    """
+    total = num_mel_frames(n_chunks * chunk, WAV2LIP_MEL)
+    left = max(0, int(stride_left * 80 / 50))
+    mult = 80.0 * 2 / fps
+    starts = []
+    for i in range(batch):
+        s = int(left + i * mult)
+        starts.append(min(s, total - 16))
+    return starts
+
+
+def make_lip_feature_fn(cfg: Config):
+    """jit: concat audio [n_samples] → stacked mel windows [batch, 80, 16]."""
+    n_chunks = cfg.stride.left + cfg.stride.right + 2 * cfg.avatar.batch_size
+    starts = np.asarray(
+        mel_window_starts(
+            n_chunks, cfg.audio.chunk, cfg.avatar.batch_size, cfg.audio.fps,
+            cfg.stride.left,
+        ),
+        dtype=np.int32,
+    )
+    idx = starts[:, None] + np.arange(16)[None, :]  # [B, 16] static
+
+    @jax.jit
+    def features(audio: jnp.ndarray) -> jnp.ndarray:
+        mel = melspectrogram(audio, WAV2LIP_MEL)        # [80, T]
+        return jnp.transpose(mel[:, idx], (1, 0, 2))     # [B, 80, 16]
+
+    return features, n_chunks
+
+
+def make_lip_device_step(variables, img_size: int = 96, dtype=jnp.bfloat16):
+    """jit: (mel windows [B,80,16], face crops u8 [B,S,S,3]) → u8 [B,S,S,3].
+
+    Masking, normalization, UNet and quantization fuse into one dispatch
+    (reference does mask/concat on host numpy: lipreal.py:115-119).
+    """
+    model = Wav2Lip(dtype=dtype)
+
+    @jax.jit
+    def step(mel: jnp.ndarray, faces_u8: jnp.ndarray) -> jnp.ndarray:
+        faces = faces_u8.astype(jnp.float32) / 255.0
+        masked = faces.at[:, img_size // 2 :].set(0.0)
+        x = jnp.concatenate([masked, faces], axis=-1)
+        pred = model.apply(variables, mel, x)
+        return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
+
+    return step
+
+
+class LipASR(BaseASR):
+    """Accumulates 2×batch 20 ms chunks and emits per-frame mel windows
+    (reference: lipasr.py:14-37), with the mel computed on device."""
+
+    def __init__(self, cfg: Config, parent=None):
+        super().__init__(cfg, parent)
+        self._features, self._n_chunks = make_lip_feature_fn(cfg)
+
+    def run_step(self) -> None:
+        for _ in range(self.batch_size * 2):
+            frame, ftype = self.get_audio_frame()
+            self.frames.append(frame)
+            self.output_queue.put((frame, ftype))
+        if len(self.frames) <= self.stride_left_size + self.stride_right_size:
+            return
+        t0 = time.perf_counter()
+        audio = np.concatenate(self.frames).astype(np.float32)
+        feats = np.asarray(self._features(jnp.asarray(audio)))
+        metrics.latency("lip.featurize").observe(time.perf_counter() - t0)
+        self.feat_queue.put(feats)
+        self.frames = self.frames[-(self.stride_left_size + self.stride_right_size):]
+
+
+class LipReal(BaseReal):
+    def __init__(
+        self,
+        cfg: Config,
+        variables=None,
+        avatar: LipAvatar | None = None,
+        custom_opts: list[dict] | None = None,
+    ):
+        super().__init__(cfg, custom_opts)
+        self.batch_size = cfg.avatar.batch_size
+        self.img_size = cfg.avatar.img_size
+        self.idx = 0
+        self.res_frame_queue: Queue = Queue(self.batch_size * 2)
+
+        if avatar is None:
+            import os
+
+            avatar = load_lip_avatar(
+                os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id),
+                self.img_size,
+            )
+        self.avatar = avatar
+
+        if variables is None:  # weightless mode: random params, silence path still exact
+            model = Wav2Lip()
+            variables = model.init(
+                jax.random.key(0),
+                jnp.zeros((1, 80, 16)),
+                jnp.zeros((1, self.img_size, self.img_size, 6)),
+            )
+        dtype = jnp.bfloat16 if cfg.avatar.dtype == "bfloat16" else jnp.float32
+        self._device_step = make_lip_device_step(variables, self.img_size, dtype)
+
+        self.asr = LipASR(cfg, self)
+        self.asr.warm_up()
+        self.render_event = Event()
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, ckpt_path: str, **kw) -> "LipReal":
+        from mere_fusion_tpu.utils.torch_convert import (
+            convert_wav2lip,
+            load_torch_checkpoint,
+        )
+
+        variables = convert_wav2lip(load_torch_checkpoint(ckpt_path))
+        return cls(cfg, variables=variables, **kw)
+
+    # ---- device inference stage --------------------------------------------
+    def _inference_loop(self, quit_event) -> None:
+        length = len(self.avatar)
+        index = 0
+        while not quit_event.is_set():
+            if not self.render_event.is_set():
+                time.sleep(0.1)
+                continue
+            try:
+                mel_batch = self.asr.get_next_feat(timeout=1)
+            except queue.Empty:
+                continue
+            audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
+            is_all_silence = all(ftype != 0 for _, ftype in audio_frames)
+
+            if is_all_silence:
+                for i in range(self.batch_size):
+                    self.res_frame_queue.put(
+                        (None, self.mirror_index(length, index),
+                         audio_frames[i * 2 : i * 2 + 2])
+                    )
+                    index += 1
+            else:
+                t0 = time.perf_counter()
+                faces = np.stack(
+                    [
+                        self.avatar.face_cycle[self.mirror_index(length, index + i)]
+                        for i in range(self.batch_size)
+                    ]
+                )
+                pred = np.asarray(
+                    self._device_step(jnp.asarray(mel_batch), jnp.asarray(faces))
+                )
+                metrics.latency("lip.infer_batch").observe(time.perf_counter() - t0)
+                metrics.rate("lip.infer_fps").tick(self.batch_size)
+                for i in range(self.batch_size):
+                    self.res_frame_queue.put(
+                        (pred[i], self.mirror_index(length, index),
+                         audio_frames[i * 2 : i * 2 + 2])
+                    )
+                    index += 1
+
+    # ---- frame assembly stage ----------------------------------------------
+    def process_frames(self, quit_event, loop=None, audio_track=None, video_track=None):
+        while not quit_event.is_set():
+            try:
+                res_frame, idx, audio_frames = self.res_frame_queue.get(
+                    block=True, timeout=1
+                )
+            except queue.Empty:
+                continue
+            if audio_frames[0][1] != 0 and audio_frames[1][1] != 0:
+                # silence: emit the idle/custom full frame untouched
+                audiotype = audio_frames[0][1]
+                if self.custom_index.get(audiotype) is not None:
+                    mirindex = self.mirror_index(
+                        len(self.custom_img_cycle[audiotype]),
+                        self.custom_index[audiotype],
+                    )
+                    combine_frame = self.custom_img_cycle[audiotype][mirindex]
+                    self.custom_index[audiotype] += 1
+                else:
+                    combine_frame = self.avatar.frame_cycle[idx]
+            else:
+                y1, y2, x1, x2 = self.avatar.coords[idx]
+                combine_frame = copy.deepcopy(self.avatar.frame_cycle[idx])
+                try:
+                    res_frame = cv2.resize(
+                        res_frame.astype(np.uint8), (x2 - x1, y2 - y1)
+                    )
+                except Exception:
+                    continue
+                combine_frame[y1:y2, x1:x2] = res_frame
+
+            video_frame = VideoImage(image=combine_frame)
+            if loop is not None and video_track is not None:
+                asyncio.run_coroutine_threadsafe(
+                    video_track._queue.put(video_frame), loop
+                )
+            self.record_video_frame(video_frame)
+
+            for frame, _ftype in audio_frames:
+                chunk = AudioChunk.from_float(frame, self.sample_rate)
+                if loop is not None and audio_track is not None:
+                    asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+                self.record_audio_chunk(chunk)
+
+    # ---- render loop ---------------------------------------------------------
+    def render(self, quit_event, loop=None, audio_track=None, video_track=None):
+        self.tts.render(quit_event)
+        self.init_customindex()
+        Thread(
+            target=self.process_frames,
+            args=(quit_event, loop, audio_track, video_track),
+            daemon=True,
+        ).start()
+        Thread(target=self._inference_loop, args=(quit_event,), daemon=True).start()
+        self.render_event.set()
+        while not quit_event.is_set():
+            self.asr.run_step()
+            if video_track is not None and video_track._queue.qsize() >= 5:
+                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+        self.render_event.clear()

@@ -1,0 +1,117 @@
+"""Torch-checkpoint → flax param-tree converters.
+
+The reference ships torch checkpoints (wav2lip.pth, whisper tiny, sd-vae,
+musetalk UNet, ngp_kf.pth — reference: lipreal.py:76,
+musetalk/utils/utils.py:18-24). These converters map their state dicts onto
+our flax module trees. Conversion happens offline/startup on host; numerics
+parity is covered by tests that run the reference torch model side by side.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from mere_fusion_tpu.models.wav2lip import (
+    AUDIO_ENCODER,
+    DISC_ENCODER,
+    FACE_DECODER,
+    FACE_ENCODER,
+)
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def strip_prefix(state_dict: Mapping[str, Any], prefix: str = "module.") -> dict:
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def _convert_conv_bn(sd: Mapping, torch_base: str, is_transpose: bool):
+    """One reference Conv2d/Conv2dTranspose block (conv + BN) → flax leaves."""
+    w = _np(sd[f"{torch_base}.conv_block.0.weight"])
+    b = _np(sd[f"{torch_base}.conv_block.0.bias"])
+    if is_transpose:
+        conv_params = {"kernel": w, "bias": b}  # torch (cin,cout,kh,kw) kept
+    else:
+        conv_params = {"conv": {"kernel": w.transpose(2, 3, 1, 0), "bias": b}}
+    params = {
+        **conv_params,
+        "bn": {
+            "scale": _np(sd[f"{torch_base}.conv_block.1.weight"]),
+            "bias": _np(sd[f"{torch_base}.conv_block.1.bias"]),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": _np(sd[f"{torch_base}.conv_block.1.running_mean"]),
+            "var": _np(sd[f"{torch_base}.conv_block.1.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def convert_wav2lip(state_dict: Mapping[str, Any]) -> dict:
+    """Map a reference wav2lip.pth state dict onto the flax Wav2Lip tree.
+
+    Returns flax variables: {"params": ..., "batch_stats": ...}.
+    """
+    sd = strip_prefix(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    def put(name: str, torch_base: str, is_transpose: bool):
+        p, s = _convert_conv_bn(sd, torch_base, is_transpose)
+        params[name] = p
+        stats[name] = s
+
+    for j, _ in enumerate(AUDIO_ENCODER):
+        put(f"ae_{j}", f"audio_encoder.{j}", False)
+    for i, block in enumerate(FACE_ENCODER):
+        for j, _ in enumerate(block):
+            put(f"fe_{i}_{j}", f"face_encoder_blocks.{i}.{j}", False)
+    for i, block in enumerate(FACE_DECODER):
+        for j, spec in enumerate(block):
+            put(f"fd_{i}_{j}", f"face_decoder_blocks.{i}.{j}", spec[0] == "t")
+    put("out_0", "output_block.0", False)
+    params["out_1"] = {
+        "kernel": _np(sd["output_block.1.weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd["output_block.1.bias"]),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_wav2lip_disc(state_dict: Mapping[str, Any]) -> dict:
+    """Map the reference Wav2Lip_disc_qual state dict onto Wav2LipDisc."""
+    sd = strip_prefix(state_dict)
+    params: dict = {}
+    for i, block in enumerate(DISC_ENCODER):
+        for j, _ in enumerate(block):
+            base = f"face_encoder_blocks.{i}.{j}"
+            params[f"de_{i}_{j}"] = {
+                "conv": {
+                    "kernel": _np(sd[f"{base}.conv_block.0.weight"]).transpose(2, 3, 1, 0),
+                    "bias": _np(sd[f"{base}.conv_block.0.bias"]),
+                }
+            }
+    params["pred"] = {
+        "kernel": _np(sd["binary_pred.0.weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd["binary_pred.0.bias"]),
+    }
+    return {"params": params}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pth file on host (CPU) and return its state dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return ckpt
