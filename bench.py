@@ -1,0 +1,62 @@
+"""Headline benchmark: Wav2Lip avatar-generation throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md); its hard design
+target is sustained 25 fps real-time generation (reference webrtc.py:12).
+vs_baseline is therefore frames/sec ÷ 25.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mere_fusion_tpu.models.wav2lip import Wav2Lip
+
+    batch = 16
+    model = Wav2Lip(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, 80, 16)).astype(np.float32))
+    faces = jnp.asarray(rng.uniform(0, 1, (batch, 96, 96, 6)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), mel[:1], faces[:1])
+
+    @jax.jit
+    def step(mel, faces):
+        pred = model.apply(variables, mel, faces)
+        return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
+
+    step(mel, faces).block_until_ready()  # compile
+    # steady-state: sequential dispatches (the engine's real pattern)
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(mel, faces)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "wav2lip_generation_fps_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 25.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Whisper in flax (encoder + decoder), TPU-first.
+
+Architecture twin of the vendored OpenAI-Whisper fork the reference uses for
+both transcription and MuseTalk audio features
+(reference: musetalk/whisper/whisper/model.py:56-231). Two properties carried
+over exactly:
+
+- the encoder can return per-layer embeddings (pre-block input + each block
+  output, stacked) — MuseTalk conditions on these
+  (model.py:143-172, audio2feature.py:16-97);
+- attention scales q and k by (d/h)^-0.25 each and softmaxes in fp32.
+
+Greedy decoding runs fully on device as a lax.while_loop over a static
+token buffer (no KV cache yet — the tiny model is dispatch-bound, not
+FLOP-bound, at streaming chunk sizes).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+
+TINY = WhisperDims()
+TINY_EN = WhisperDims(n_vocab=51864)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
+    """Sinusoidal position embedding (model.py:47-53)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dense = functools.partial(nn.Dense, self.n_state, dtype=self.dtype)
+        self.query = dense(name="query")
+        self.key = dense(use_bias=False, name="key")
+        self.value = dense(name="value")
+        self.out = dense(name="out")
+
+    def __call__(self, x, xa=None, mask=None):
+        q = self.query(x)
+        k = self.key(x if xa is None else xa)
+        v = self.value(x if xa is None else xa)
+        return self.out(self._attend(q, k, v, mask))
+
+    def _attend(self, q, k, v, mask):
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        h = self.n_head
+        scale = (self.n_state // h) ** -0.25
+        q = (q * scale).reshape(b, lq, h, -1).transpose(0, 2, 1, 3)
+        k = (k * scale).reshape(b, lk, h, -1).transpose(0, 2, 3, 1)
+        v = v.reshape(b, lk, h, -1).transpose(0, 2, 1, 3)
+        qk = jnp.einsum("bhqd,bhdk->bhqk", q, k, preferred_element_type=jnp.float32)
+        if mask is not None:
+            qk = qk + mask[:lq, :lk]
+        w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(v.dtype)
+        wv = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        return wv.transpose(0, 2, 1, 3).reshape(b, lq, self.n_state)
+
+
+class ResidualAttentionBlock(nn.Module):
+    n_state: int
+    n_head: int
+    cross_attention: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.attn = MultiHeadAttention(self.n_state, self.n_head, self.dtype, name="attn")
+        self.attn_ln = nn.LayerNorm(epsilon=1e-5, name="attn_ln")
+        if self.cross_attention:
+            self.cross_attn = MultiHeadAttention(
+                self.n_state, self.n_head, self.dtype, name="cross_attn"
+            )
+            self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, name="cross_attn_ln")
+        self.mlp_fc1 = nn.Dense(self.n_state * 4, dtype=self.dtype, name="mlp_fc1")
+        self.mlp_fc2 = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")
+        self.mlp_ln = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")
+
+    def __call__(self, x, xa=None, mask=None):
+        x = x + self.attn(self.attn_ln(x), mask=mask)
+        if self.cross_attention:
+            x = x + self.cross_attn(self.cross_attn_ln(x), xa=xa)
+        x = x + self.mlp_fc2(nn.gelu(self.mlp_fc1(self.mlp_ln(x)), approximate=False))
+        return x
+
+
+class AudioEncoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.dims
+        self.conv1 = nn.Conv(
+            d.n_audio_state, (3,), padding=((1, 1),), dtype=self.dtype, name="conv1"
+        )
+        self.conv2 = nn.Conv(
+            d.n_audio_state, (3,), strides=(2,), padding=((1, 1),),
+            dtype=self.dtype, name="conv2",
+        )
+        self.blocks = [
+            ResidualAttentionBlock(
+                d.n_audio_state, d.n_audio_head, dtype=self.dtype, name=f"blocks_{i}"
+            )
+            for i in range(d.n_audio_layer)
+        ]
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, name="ln_post")
+
+    def __call__(self, mel, include_embeddings: bool = False):
+        """mel: [B, n_mels, T] (reference orientation). T must be
+        2*n_audio_ctx (3000 for 30 s)."""
+        x = mel.transpose(0, 2, 1)  # NWC for conv
+        x = nn.gelu(self.conv1(x), approximate=False)
+        x = nn.gelu(self.conv2(x), approximate=False)
+        pos = jnp.asarray(sinusoids(self.dims.n_audio_ctx, self.dims.n_audio_state))
+        x = x + pos
+
+        embeddings = [x]
+        for block in self.blocks:
+            x = block(x)
+            embeddings.append(x)
+        out = self.ln_post(x)
+        if include_embeddings:
+            return out, jnp.stack(embeddings, axis=1)  # [B, L+1, T', D]
+        return out
+
+
+class TextDecoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.dims
+        self.token_embedding = nn.Embed(d.n_vocab, d.n_text_state, name="token_embedding")
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (d.n_text_ctx, d.n_text_state),
+            jnp.float32,
+        )
+        self.blocks = [
+            ResidualAttentionBlock(
+                d.n_text_state, d.n_text_head, cross_attention=True,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )
+            for i in range(d.n_text_layer)
+        ]
+        self.ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+
+    def __call__(self, tokens, xa):
+        """tokens: [B, L] int32; xa: encoded audio [B, T', D]. Returns
+        logits [B, L, n_vocab]."""
+        L = tokens.shape[-1]
+        x = self.token_embedding(tokens) + self.positional_embedding[:L]
+        mask = jnp.triu(jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1)
+        for block in self.blocks:
+            x = block(x, xa=xa, mask=mask)
+        x = self.ln(x)
+        return jnp.dot(
+            x, self.token_embedding.embedding.T.astype(x.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.float32)
+
+
+class Whisper(nn.Module):
+    dims: WhisperDims = TINY
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.dims, self.dtype, name="encoder")
+        self.decoder = TextDecoder(self.dims, self.dtype, name="decoder")
+
+    def __call__(self, mel, tokens):
+        return self.decoder(tokens, self.encoder(mel))
+
+    def encode(self, mel, include_embeddings: bool = False):
+        return self.encoder(mel, include_embeddings)
+
+    def logits(self, tokens, xa):
+        return self.decoder(tokens, xa)
+
+
+# ---- special tokens (multilingual vocab; tokenizer-independent) -------------
+SOT = 50258           # <|startoftranscript|>
+EOT = 50257           # <|endoftext|>
+TRANSCRIBE = 50359
+TRANSLATE = 50358
+NO_TIMESTAMPS = 50363
+NO_SPEECH = 50362
+LANG_BASE = 50259     # <|en|> = 50259; language id = LANG_BASE + lang_index
+
+
+def sot_sequence(language_index: int = 0, task: int = TRANSCRIBE) -> list[int]:
+    return [SOT, LANG_BASE + language_index, task, NO_TIMESTAMPS]
+
+
+def make_greedy_decoder(
+    model: Whisper,
+    variables,
+    max_new_tokens: int = 128,
+    suppress_tokens: Optional[tuple] = None,
+):
+    """Returns jitted decode(xa, prompt, prompt_len) → (tokens, length).
+
+    Runs entirely on device: while_loop over a static [B, P+max_new] buffer,
+    re-scoring the full (causal) sequence each step. prompt is a padded
+    [B, P] int32 buffer; positions >= prompt_len must be EOT-padded.
+    """
+
+    def decode(xa, prompt, prompt_len):
+        b, p = prompt.shape
+        total = p + max_new_tokens
+        tokens = jnp.concatenate(
+            [prompt, jnp.full((b, max_new_tokens), EOT, jnp.int32)], axis=1
+        )
+
+        def cond(state):
+            i, _, done = state
+            return jnp.logical_and(i < total, jnp.logical_not(jnp.all(done)))
+
+        def body(state):
+            i, tokens, done = state
+            logits = model.apply(variables, tokens, xa, method=Whisper.logits)
+            prev = jax.lax.dynamic_slice_in_dim(logits, i - 1, 1, axis=1)[:, 0]
+            if suppress_tokens:
+                prev = prev.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
+            nxt = jnp.argmax(prev, axis=-1).astype(jnp.int32)
+            newly_done = jnp.logical_or(done, nxt == EOT)
+            nxt = jnp.where(done, EOT, nxt)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[:, None], (0, i.astype(jnp.int32))
+            )
+            return i + 1, tokens, newly_done
+
+        i0 = jnp.asarray(prompt_len, jnp.int32)
+        _, tokens, _ = jax.lax.while_loop(
+            cond, body, (i0, tokens, jnp.zeros((b,), bool))
+        )
+        return tokens
+
+    return jax.jit(decode)

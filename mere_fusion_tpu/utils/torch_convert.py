@@ -107,6 +107,70 @@ def convert_wav2lip_disc(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params}
 
 
+def _linear(sd: Mapping, base: str, bias: bool = True) -> dict:
+    out = {"kernel": _np(sd[f"{base}.weight"]).T}
+    if bias:
+        out["bias"] = _np(sd[f"{base}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping, base: str) -> dict:
+    return {"scale": _np(sd[f"{base}.weight"]), "bias": _np(sd[f"{base}.bias"])}
+
+
+def _whisper_block(sd: Mapping, base: str, cross: bool) -> dict:
+    block = {
+        "attn": {
+            "query": _linear(sd, f"{base}.attn.query"),
+            "key": _linear(sd, f"{base}.attn.key", bias=False),
+            "value": _linear(sd, f"{base}.attn.value"),
+            "out": _linear(sd, f"{base}.attn.out"),
+        },
+        "attn_ln": _layernorm(sd, f"{base}.attn_ln"),
+        "mlp_fc1": _linear(sd, f"{base}.mlp.0"),
+        "mlp_fc2": _linear(sd, f"{base}.mlp.2"),
+        "mlp_ln": _layernorm(sd, f"{base}.mlp_ln"),
+    }
+    if cross:
+        block["cross_attn"] = {
+            "query": _linear(sd, f"{base}.cross_attn.query"),
+            "key": _linear(sd, f"{base}.cross_attn.key", bias=False),
+            "value": _linear(sd, f"{base}.cross_attn.value"),
+            "out": _linear(sd, f"{base}.cross_attn.out"),
+        }
+        block["cross_attn_ln"] = _layernorm(sd, f"{base}.cross_attn_ln")
+    return block
+
+
+def convert_whisper(state_dict: Mapping[str, Any], dims) -> dict:
+    """Map an OpenAI-format Whisper state dict (reference tiny.pt layout,
+    musetalk/whisper/whisper/__init__.py:71-116) onto our flax Whisper."""
+    sd = strip_prefix(state_dict)
+    enc: dict = {
+        "conv1": {
+            "kernel": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv1.bias"]),
+        },
+        "conv2": {
+            "kernel": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv2.bias"]),
+        },
+        "ln_post": _layernorm(sd, "encoder.ln_post"),
+    }
+    for i in range(dims.n_audio_layer):
+        enc[f"blocks_{i}"] = _whisper_block(sd, f"encoder.blocks.{i}", cross=False)
+
+    dec: dict = {
+        "token_embedding": {"embedding": _np(sd["decoder.token_embedding.weight"])},
+        "positional_embedding": _np(sd["decoder.positional_embedding"]),
+        "ln": _layernorm(sd, "decoder.ln"),
+    }
+    for i in range(dims.n_text_layer):
+        dec[f"blocks_{i}"] = _whisper_block(sd, f"decoder.blocks.{i}", cross=True)
+
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file on host (CPU) and return its state dict."""
     import torch
