@@ -1,0 +1,339 @@
+"""MuseTalk real-time engine.
+
+Pipeline twin of the reference's musereal.py/museasr.py with the fp16 GPU
+subprocess replaced by one fused jitted device step (UNet at timestep 0 +
+VAE decode):
+
+    TTS ─▶ BaseASR queue ─▶ MuseASR.run_step: whisper embeddings (device)
+    ─▶ feat_queue ─▶ inference thread: batch-16 UNet+VAE step (TPU)
+    ─▶ res_frame_queue ─▶ assembly: feathered-mask blend ─▶ tracks
+"""
+from __future__ import annotations
+
+import asyncio
+import copy
+import os
+import pickle
+import queue
+import time
+from dataclasses import dataclass
+from queue import Queue
+from threading import Event, Thread
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mere_fusion_tpu.audio.features import WhisperFeatureExtractor
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base_asr import BaseASR
+from mere_fusion_tpu.models.musetalk import (
+    AutoencoderKL,
+    UNet2DCondition,
+    UNetConfig,
+    VAEConfig,
+    positional_encoding,
+)
+from mere_fusion_tpu.runtime.metrics import metrics
+from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
+
+
+def blend_face(image: np.ndarray, face: np.ndarray, face_box, mask: np.ndarray,
+               crop_box) -> np.ndarray:
+    """Feathered paste-back (reference: musetalk/utils/blending.py:103-125).
+
+    face_box (x, y, x1, y1) is where the generated face goes; crop_box is the
+    larger region the mask covers; mask is a BGR image whose gray level is
+    the blend weight for the generated content.
+    """
+    x, y, x1, y1 = face_box
+    x_s, y_s, x_e, y_e = crop_box
+    face_large = copy.deepcopy(image[y_s:y_e, x_s:x_e])
+    face_large[y - y_s : y1 - y_s, x - x_s : x1 - x_s] = face
+    w = (cv2.cvtColor(mask, cv2.COLOR_BGR2GRAY) / 255.0).astype(np.float32)
+    image[y_s:y_e, x_s:x_e] = cv2.blendLinear(
+        face_large, image[y_s:y_e, x_s:x_e], w, 1 - w
+    )
+    return image
+
+
+@dataclass
+class MuseAvatar:
+    frame_cycle: list[np.ndarray]            # full frames BGR u8
+    coords: list[tuple]                      # (x1, y1, x2, y2) face boxes
+    latent_cycle: np.ndarray                 # [N, h, w, 8] masked+ref latents
+    mask_cycle: list[np.ndarray]             # blend masks (BGR u8)
+    mask_coords: list[tuple]                 # (x_s, y_s, x_e, y_e) crop boxes
+
+    def __len__(self) -> int:
+        return len(self.frame_cycle)
+
+
+def load_muse_avatar(avatar_path: str) -> MuseAvatar:
+    """Load a reference-format musetalk avatar bundle
+    (musereal.py:138-150: coords.pkl, latents.pt, mask/, mask_coords.pkl)."""
+    from mere_fusion_tpu.engines.avatar import _sorted_imgs
+
+    with open(os.path.join(avatar_path, "coords.pkl"), "rb") as f:
+        coords = pickle.load(f)
+    with open(os.path.join(avatar_path, "mask_coords.pkl"), "rb") as f:
+        mask_coords = pickle.load(f)
+    frames = [cv2.imread(p) for p in _sorted_imgs(os.path.join(avatar_path, "full_imgs"))]
+    masks = [cv2.imread(p) for p in _sorted_imgs(os.path.join(avatar_path, "mask"))]
+    lat_path = os.path.join(avatar_path, "latents.pt")
+    if os.path.exists(lat_path):
+        import torch
+
+        lat = torch.load(lat_path, map_location="cpu", weights_only=False)
+        # list of [1, 8, h, w] → [N, h, w, 8]
+        latents = np.stack([np.asarray(t)[0].transpose(1, 2, 0) for t in lat])
+    else:
+        latents = np.load(os.path.join(avatar_path, "latents.npy"))
+    return MuseAvatar(frames, coords, latents.astype(np.float32), masks, mask_coords)
+
+
+def preprocess_face(img_bgr: np.ndarray, size: int, half_mask: bool) -> np.ndarray:
+    """BGR u8 → normalized RGB float in [-1, 1], lower half −1 when masked
+    (reference: musetalk/models/vae.py:40-82)."""
+    img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LANCZOS4)
+    x = img.astype(np.float32) / 255.0
+    if half_mask:
+        x[size // 2 :] = 0.0
+    return (x - 0.5) / 0.5
+
+
+class MuseModels:
+    """VAE + UNet pair with their variables and fused jitted steps."""
+
+    def __init__(self, vae_cfg: VAEConfig | None = None,
+                 unet_cfg: UNetConfig | None = None,
+                 vae_vars=None, unet_vars=None, face_size: int = 256,
+                 dtype=jnp.float32):
+        self.vae_cfg = vae_cfg or VAEConfig()
+        self.unet_cfg = unet_cfg or UNetConfig()
+        self.face_size = face_size
+        self.vae = AutoencoderKL(self.vae_cfg, dtype)
+        self.unet = UNet2DCondition(self.unet_cfg, dtype)
+        down = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+        self.latent_size = face_size // down
+
+        if vae_vars is None:
+            vae_vars = self.vae.init(
+                jax.random.key(0), jnp.zeros((1, face_size, face_size, 3))
+            )
+        if unet_vars is None:
+            unet_vars = self.unet.init(
+                jax.random.key(1),
+                jnp.zeros((1, self.latent_size, self.latent_size,
+                           self.unet_cfg.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 50, self.unet_cfg.cross_attention_dim)),
+            )
+        self.vae_vars = vae_vars
+        self.unet_vars = unet_vars
+        sf = self.vae_cfg.scaling_factor
+        vae, unet = self.vae, self.unet
+
+        @jax.jit
+        def generate(latents, feats):
+            """[B,h,w,8] latents + [B,50,384] whisper feats → BGR u8 faces."""
+            ctx = positional_encoding(feats)
+            pred = unet.apply(
+                unet_vars, latents, jnp.zeros((latents.shape[0],)), ctx
+            )
+            img = vae.apply(vae_vars, pred / sf, method=AutoencoderKL.decode)
+            img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+            img = jnp.round(img * 255.0).astype(jnp.uint8)
+            return img[..., ::-1]  # RGB → BGR
+
+        @jax.jit
+        def encode_pair(face_rgb):
+            """[B,H,W,3] in [-1,1] (unmasked) → [B,h,w,8] scaled latents."""
+            masked = face_rgb.at[:, face_rgb.shape[1] // 2 :].set(-1.0)
+            zm = vae.apply(vae_vars, masked, method=AutoencoderKL.encode) * sf
+            zr = vae.apply(vae_vars, face_rgb, method=AutoencoderKL.encode) * sf
+            return jnp.concatenate([zm, zr], axis=-1)
+
+        self.generate = generate
+        self.encode_pair = encode_pair
+
+
+def synthesize_muse_avatar(models: MuseModels, n_frames: int = 6,
+                           frame_hw=(240, 320)) -> MuseAvatar:
+    """Procedural avatar for tests/demos: computes real latents with the
+    given VAE and feathered box blend masks."""
+    h, w = frame_hw
+    s = models.face_size
+    y1, x1 = h // 4, w // 4
+    y2, x2 = y1 + h // 2, x1 + w // 2
+    frames, coords, faces, masks, mask_coords = [], [], [], [], []
+    for i in range(n_frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frame = np.stack(
+            [((xx * 255) // w).astype(np.uint8),
+             ((yy * 255) // h).astype(np.uint8),
+             np.full((h, w), (i * 37) % 255, np.uint8)],
+            axis=-1,
+        )
+        frames.append(frame)
+        coords.append((x1, y1, x2, y2))
+        faces.append(preprocess_face(frame[y1:y2, x1:x2], s, half_mask=False))
+        # feathered mask over a slightly larger crop box
+        pad = 8
+        xs, ys = max(0, x1 - pad), max(0, y1 - pad)
+        xe, ye = min(w, x2 + pad), min(h, y2 + pad)
+        mask = np.zeros((ye - ys, xe - xs), np.uint8)
+        mask[y1 - ys : y2 - ys, x1 - xs : x2 - xs] = 255
+        mask = cv2.GaussianBlur(mask, (15, 15), 0)
+        masks.append(cv2.cvtColor(mask, cv2.COLOR_GRAY2BGR))
+        mask_coords.append((xs, ys, xe, ye))
+    latents = np.asarray(models.encode_pair(jnp.asarray(np.stack(faces))))
+    return MuseAvatar(frames, coords, latents, masks, mask_coords)
+
+
+class MuseASR(BaseASR):
+    """Whisper-embedding feeder (reference: museasr.py:15-29)."""
+
+    def __init__(self, cfg: Config, parent, feature_extractor: WhisperFeatureExtractor):
+        super().__init__(cfg, parent)
+        self.features = feature_extractor
+
+    def run_step(self) -> None:
+        for _ in range(self.batch_size * 2):
+            frame, ftype = self.get_audio_frame()
+            self.frames.append(frame)
+            self.output_queue.put((frame, ftype))
+        if len(self.frames) <= self.stride_left_size + self.stride_right_size:
+            return
+        t0 = time.perf_counter()
+        audio = np.concatenate(self.frames)
+        feats = self.features.audio2feat(audio)
+        chunks = self.features.feature2chunks(
+            feature_array=feats,
+            fps=self.fps / 2,
+            batch_size=self.batch_size,
+            start=self.stride_left_size / 2,
+        )
+        metrics.latency("muse.featurize").observe(time.perf_counter() - t0)
+        self.feat_queue.put(chunks)
+        self.frames = self.frames[-(self.stride_left_size + self.stride_right_size):]
+
+
+class MuseReal(BaseReal):
+    def __init__(self, cfg: Config, models: MuseModels | None = None,
+                 avatar: MuseAvatar | None = None,
+                 feature_extractor: WhisperFeatureExtractor | None = None,
+                 custom_opts: list[dict] | None = None):
+        super().__init__(cfg, custom_opts)
+        self.batch_size = cfg.avatar.batch_size
+        self.models = models or MuseModels()
+        if avatar is None:
+            avatar = load_muse_avatar(
+                os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id)
+            )
+        self.avatar = avatar
+        self.res_frame_queue: Queue = Queue(self.batch_size * 2)
+        self.asr = MuseASR(cfg, self, feature_extractor or WhisperFeatureExtractor())
+        self.asr.warm_up()
+        self.render_event = Event()
+
+    # ---- device inference stage ---------------------------------------------
+    def _inference_loop(self, quit_event) -> None:
+        length = len(self.avatar)
+        index = 0
+        while not quit_event.is_set():
+            if not self.render_event.is_set():
+                time.sleep(0.1)
+                continue
+            try:
+                chunks = self.asr.get_next_feat(timeout=1)
+            except queue.Empty:
+                continue
+            audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
+            is_all_silence = all(ftype != 0 for _, ftype in audio_frames)
+            if is_all_silence:
+                for i in range(self.batch_size):
+                    self.res_frame_queue.put(
+                        (None, self.mirror_index(length, index),
+                         audio_frames[i * 2 : i * 2 + 2])
+                    )
+                    index += 1
+            else:
+                t0 = time.perf_counter()
+                feats = np.stack(chunks).astype(np.float32)
+                latents = np.stack(
+                    [
+                        self.avatar.latent_cycle[self.mirror_index(length, index + i)]
+                        for i in range(self.batch_size)
+                    ]
+                )
+                frames = np.asarray(
+                    self.models.generate(jnp.asarray(latents), jnp.asarray(feats))
+                )
+                metrics.latency("muse.infer_batch").observe(time.perf_counter() - t0)
+                metrics.rate("muse.infer_fps").tick(self.batch_size)
+                for i in range(self.batch_size):
+                    self.res_frame_queue.put(
+                        (frames[i], self.mirror_index(length, index),
+                         audio_frames[i * 2 : i * 2 + 2])
+                    )
+                    index += 1
+
+    # ---- frame assembly -------------------------------------------------------
+    def process_frames(self, quit_event, loop=None, audio_track=None, video_track=None):
+        while not quit_event.is_set():
+            try:
+                res_frame, idx, audio_frames = self.res_frame_queue.get(
+                    block=True, timeout=1
+                )
+            except queue.Empty:
+                continue
+            if audio_frames[0][1] != 0 and audio_frames[1][1] != 0:
+                audiotype = audio_frames[0][1]
+                if self.custom_index.get(audiotype) is not None:
+                    mirindex = self.mirror_index(
+                        len(self.custom_img_cycle[audiotype]),
+                        self.custom_index[audiotype],
+                    )
+                    combine_frame = self.custom_img_cycle[audiotype][mirindex]
+                    self.custom_index[audiotype] += 1
+                else:
+                    combine_frame = self.avatar.frame_cycle[idx]
+            else:
+                x1, y1, x2, y2 = self.avatar.coords[idx]
+                ori = copy.deepcopy(self.avatar.frame_cycle[idx])
+                try:
+                    face = cv2.resize(res_frame.astype(np.uint8), (x2 - x1, y2 - y1))
+                except Exception:
+                    continue
+                combine_frame = blend_face(
+                    ori, face, (x1, y1, x2, y2),
+                    self.avatar.mask_cycle[idx], self.avatar.mask_coords[idx],
+                )
+            video_frame = VideoImage(image=combine_frame)
+            if loop is not None and video_track is not None:
+                asyncio.run_coroutine_threadsafe(video_track._queue.put(video_frame), loop)
+            self.record_video_frame(video_frame)
+            for frame, _t in audio_frames:
+                chunk = AudioChunk.from_float(frame, self.sample_rate)
+                if loop is not None and audio_track is not None:
+                    asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+                self.record_audio_chunk(chunk)
+
+    # ---- render loop -----------------------------------------------------------
+    def render(self, quit_event, loop=None, audio_track=None, video_track=None):
+        self.tts.render(quit_event)
+        self.init_customindex()
+        Thread(target=self.process_frames,
+               args=(quit_event, loop, audio_track, video_track), daemon=True).start()
+        Thread(target=self._inference_loop, args=(quit_event,), daemon=True).start()
+        self.render_event.set()
+        while not quit_event.is_set():
+            self.asr.run_step()
+            if (video_track is not None
+                    and video_track._queue.qsize() >= 1.5 * self.batch_size):
+                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+        self.render_event.clear()

@@ -1,0 +1,163 @@
+"""AutoencoderKL (stable-diffusion VAE) in flax, NHWC.
+
+Same architecture family as the sd-vae-ft-mse checkpoint the reference loads
+through diffusers (reference: musetalk/models/vae.py:25-122). Encoder:
+4 down blocks [128,256,512,512] × 2 resnets + mid(resnet, attn, resnet) →
+8-channel moments; decoder mirrors it with 3-resnet up blocks. The MuseTalk
+wrapper semantics (half-mask preprocessing, ×0.18215 scaling,
+[−1,1] normalization) live in mere_fusion_tpu/engines/muse.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full self-attention over spatial positions (VAE mid)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(self.groups, epsilon=self.eps, name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+            / jnp.sqrt(c).astype(jnp.float32),
+            axis=-1,
+        ).astype(v.dtype)
+        y = jnp.einsum("bqk,bkc->bqc", attn, v)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        return x + y.reshape(b, h, w, c)
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(ch, self.dtype, name=f"down_{i}_res_{j}")(h)
+            if i < len(cfg.block_out_channels) - 1:
+                # diffusers uses asymmetric (0,1) padding on stride-2 downsample
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        ch = cfg.block_out_channels[-1]
+        h = ResnetBlock(ch, self.dtype, name="mid_res_0")(h)
+        h = AttnBlock(ch, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(ch, self.dtype, name="mid_res_1")(h)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        ch = cfg.block_out_channels[-1]
+        h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(z)
+        h = ResnetBlock(ch, self.dtype, name="mid_res_0")(h)
+        h = AttnBlock(ch, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(ch, self.dtype, name="mid_res_1")(h)
+        up_channels = list(reversed(cfg.block_out_channels))
+        for i, ch in enumerate(up_channels):
+            for j in range(cfg.layers_per_block + 1):
+                h = ResnetBlock(ch, self.dtype, name=f"up_{i}_res_{j}")(h)
+            if i < len(up_channels) - 1:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"up_{i}_upsample")(h)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    cfg: VAEConfig = field(default_factory=VAEConfig)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, self.dtype, name="encoder")
+        self.decoder = Decoder(self.cfg, self.dtype, name="decoder")
+        self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
+                                  dtype=self.dtype, name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
+                                       dtype=self.dtype, name="post_quant_conv")
+
+    def moments(self, x):
+        """x [B,H,W,3] in [-1,1] → (mean, logvar) each [B,H/8,W/8,4]."""
+        m = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(m, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, x, rng=None):
+        """Latent sample (rng given) or mode (deterministic)."""
+        mean, logvar = self.moments(x)
+        if rng is None:
+            return mean
+        std = jnp.exp(0.5 * logvar)
+        return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x):
+        return self.decode(self.encode(x))
