@@ -1,0 +1,269 @@
+"""Triplane audio-conditioned NeRF network in flax.
+
+Architecture twin of the reference NeRFNetwork
+(reference: ernerf/nerf_triplane/network.py:9-148): three 2-D hash-grid
+encoders over the xy/yz/xz planes (12 levels × 1 feature, base 64, hashmap
+2^14), AudioNet (conv1d pyramid over 16 CTC frames → 32-d), AudioAttNet
+(temporal attention over 8 windows), channel-attention MLPs for audio and
+eye conditioning, an exp-activated sigma MLP, an SH-direction color MLP, and
+an uncertainty head. The torso is a frequency-encoded 2-D deformation field
++ tiled-grid color net (network.py:152-214).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mere_fusion_tpu.ops.encoders import freq_encode, freq_encode_dim, sh_encode
+from mere_fusion_tpu.ops.hashgrid import GridSpec, grid_encode, grid_init
+
+
+@dataclass(frozen=True)
+class NeRFNetConfig:
+    bound: float = 1.0
+    audio_in_dim: int = 44           # esperanto CTC logits (29 deepspeech, 1024 hubert)
+    audio_dim: int = 32
+    att_window: int = 8              # temporal attention window count
+    exp_eye: bool = True
+    individual_dim: int = 4
+    num_train_frames: int = 1        # size of the individual-code table
+    num_levels: int = 12
+    level_dim: int = 1
+    base_resolution: int = 64
+    log2_hashmap_size: int = 14
+    desired_resolution: int = 512    # × bound at runtime
+    torso: bool = False
+    individual_dim_torso: int = 8
+    torso_shrink: float = 0.8
+
+    @property
+    def plane_spec(self) -> GridSpec:
+        return GridSpec(
+            input_dim=2,
+            num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_resolution,
+            log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=int(self.desired_resolution * self.bound),
+        )
+
+    @property
+    def in_dim(self) -> int:
+        return 3 * self.num_levels * self.level_dim  # triplane concat
+
+
+class MLP(nn.Module):
+    """Bias-free ReLU MLP (reference network.py:70-91)."""
+
+    dim_out: int
+    dim_hidden: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for l in range(self.num_layers):
+            out = self.dim_out if l == self.num_layers - 1 else self.dim_hidden
+            x = nn.Dense(out, use_bias=False, dtype=self.dtype, name=f"net_{l}")(x)
+            if l != self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class AudioNet(nn.Module):
+    """16-frame CTC window → audio_dim code (reference network.py:40-66)."""
+
+    dim_in: int = 44
+    dim_aud: int = 32
+    win_size: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, dim_in, 16] (reference layout) → NWC
+        half = self.win_size // 2
+        h = x[:, :, 8 - half : 8 + half].transpose(0, 2, 1)
+        for i, ch in enumerate((32, 32, 64, 64)):
+            h = nn.Conv(ch, (3,), strides=(2,), padding=((1, 1),),
+                        dtype=self.dtype, name=f"conv_{i}")(h)
+            h = nn.leaky_relu(h, 0.02)
+        h = h[:, 0, :]  # [B, 64]
+        h = nn.leaky_relu(nn.Dense(64, dtype=self.dtype, name="fc_0")(h), 0.02)
+        return nn.Dense(self.dim_aud, dtype=self.dtype, name="fc_1")(h)
+
+
+class AudioAttNet(nn.Module):
+    """Temporal attention over a window of audio codes (network.py:9-36)."""
+
+    dim_aud: int = 32
+    seq_len: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [1, seq_len, dim_aud]
+        h = x
+        for i, ch in enumerate((16, 8, 4, 2, 1)):
+            h = nn.Conv(ch, (3,), padding=((1, 1),), dtype=self.dtype,
+                        name=f"conv_{i}")(h)
+            h = nn.leaky_relu(h, 0.02)
+        w = nn.Dense(self.seq_len, dtype=self.dtype, name="att")(
+            h.reshape(1, self.seq_len)
+        )
+        w = jax.nn.softmax(w, axis=1).reshape(1, self.seq_len, 1)
+        return jnp.sum(w * x, axis=1)  # [1, dim_aud]
+
+
+class NeRFNetwork(nn.Module):
+    cfg: NeRFNetConfig = field(default_factory=NeRFNetConfig)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        spec = cfg.plane_spec
+        self.plane_xy = self.param("plane_xy", lambda k: grid_init(spec, k))
+        self.plane_yz = self.param("plane_yz", lambda k: grid_init(spec, k))
+        self.plane_xz = self.param("plane_xz", lambda k: grid_init(spec, k))
+        self.audio_net = AudioNet(cfg.audio_in_dim, cfg.audio_dim, name="audio_net")
+        self.audio_att_net = AudioAttNet(cfg.audio_dim, cfg.att_window,
+                                         name="audio_att_net")
+        eye_dim = 1 if cfg.exp_eye else 0
+        self.eye_att_net = MLP(1, 16, 2, name="eye_att_net")
+        self.sigma_net = MLP(1 + 64, 64, 3, name="sigma_net")
+        self.color_net = MLP(3, 64, 2, name="color_net")
+        self.unc_net = MLP(1, 32, 2, name="unc_net")
+        self.aud_ch_att_net = MLP(cfg.audio_dim, 64, 2, name="aud_ch_att_net")
+        if cfg.individual_dim > 0:
+            self.individual_codes = self.param(
+                "individual_codes",
+                nn.initializers.normal(0.1),
+                (cfg.num_train_frames, cfg.individual_dim),
+            )
+        if cfg.torso:
+            self.anchor_points = self.param(
+                "anchor_points",
+                lambda k: jnp.asarray(
+                    [[0.01, 0.01, 0.1, 1.0], [-0.1, -0.1, 0.1, 1.0],
+                     [0.1, -0.1, 0.1, 1.0]], jnp.float32
+                ),
+            )
+            torso_spec = GridSpec(
+                input_dim=2, num_levels=16, level_dim=2, base_resolution=16,
+                log2_hashmap_size=16, desired_resolution=2048, gridtype="tiled",
+            )
+            self._torso_spec = torso_spec
+            self.torso_grid = self.param("torso_grid", lambda k: grid_init(torso_spec, k))
+            self.torso_deform_net = MLP(2, 32, 3, name="torso_deform_net")
+            self.torso_net = MLP(4, 32, 3, name="torso_net")
+            if cfg.individual_dim_torso > 0:
+                self.individual_codes_torso = self.param(
+                    "individual_codes_torso",
+                    nn.initializers.normal(0.1),
+                    (cfg.num_train_frames, cfg.individual_dim_torso),
+                )
+
+    # ---- encoders -------------------------------------------------------------
+    def encode_x(self, xyz):
+        """[N, 3] in [−bound, bound] → triplane features [N, 36]."""
+        cfg = self.cfg
+        spec = cfg.plane_spec
+        xy = xyz[:, :2]
+        yz = xyz[:, 1:]
+        xz = jnp.stack([xyz[:, 0], xyz[:, 2]], axis=-1)
+        return jnp.concatenate(
+            [
+                grid_encode(self.plane_xy, xy, spec, cfg.bound),
+                grid_encode(self.plane_yz, yz, spec, cfg.bound),
+                grid_encode(self.plane_xz, xz, spec, cfg.bound),
+            ],
+            axis=-1,
+        )
+
+    def encode_audio(self, a):
+        """[W, audio_in_dim, 16] windows → [1, audio_dim] attended code."""
+        enc = self.audio_net(a)
+        return self.audio_att_net(enc[None])
+
+    # ---- heads ----------------------------------------------------------------
+    def density(self, x, enc_a, e=None, enc_x=None):
+        if enc_x is None:
+            enc_x = self.encode_x(x)
+        enc_a = jnp.broadcast_to(enc_a, (enc_x.shape[0], enc_a.shape[-1]))
+        aud_ch_att = self.aud_ch_att_net(enc_x)
+        enc_w = enc_a * aud_ch_att
+        if e is not None:
+            eye_att = nn.sigmoid(self.eye_att_net(enc_x))
+            e_feat = jnp.broadcast_to(e, (enc_x.shape[0], 1)) * eye_att
+            h = jnp.concatenate([enc_x, enc_w, e_feat], axis=-1)
+        else:
+            eye_att = jnp.zeros((enc_x.shape[0], 1), enc_x.dtype)
+            h = jnp.concatenate([enc_x, enc_w], axis=-1)
+        h = self.sigma_net(h)
+        return {
+            "sigma": jnp.exp(h[..., 0]),
+            "geo_feat": h[..., 1:],
+            "ambient_aud": jnp.linalg.norm(aud_ch_att, axis=-1, keepdims=True),
+            "ambient_eye": eye_att,
+        }
+
+    def __call__(self, x, d, enc_a, c=None, e=None, training: bool = False):
+        """x [N,3], d [N,3] unit, enc_a [1,audio_dim], c [1,ind_dim], e [1,1].
+
+        Returns (sigma [N], color [N,3], ambient_aud [N,1], ambient_eye [N,1],
+        uncertainty [N,1])."""
+        enc_x = self.encode_x(x)
+        dens = self.density(x, enc_a, e, enc_x)
+        enc_d = sh_encode(d, 4)
+        parts = [enc_d, dens["geo_feat"]]
+        if c is not None:
+            parts.append(jnp.broadcast_to(c, (x.shape[0], c.shape[-1])))
+        h = self.color_net(jnp.concatenate(parts, axis=-1))
+        color = nn.sigmoid(h) * (1 + 2 * 0.001) - 0.001
+        if training:
+            unc = self.unc_net(jax.lax.stop_gradient(enc_x))
+        else:
+            unc = jnp.zeros_like(dens["ambient_aud"])
+        unc = jnp.log1p(jnp.exp(unc))
+        return dens["sigma"], color, dens["ambient_aud"], dens["ambient_eye"], unc
+
+    # ---- torso ------------------------------------------------------------------
+    def forward_torso(self, x, pose, c=None):
+        """x [N,2] in [−1,1]; pose [4,4] head pose; c [1, ind_dim_torso].
+
+        Returns (alpha [N,1], color [N,3], dx [N,2])."""
+        cfg = self.cfg
+        x = x * cfg.torso_shrink
+        inv = jnp.linalg.inv(pose.T)
+        wrapped = self.anchor_points @ inv                # [3, 4]
+        wrapped = (wrapped[:, :2] / wrapped[:, 3:4] / wrapped[:, 2:3]).reshape(1, -1)
+        enc_anchor = freq_encode(wrapped, 3)              # [1, 6+36]
+        enc_x = freq_encode(x, 8)                         # [N, 2+32]
+        n = x.shape[0]
+        parts = [enc_x, jnp.broadcast_to(enc_anchor, (n, enc_anchor.shape[-1]))]
+        if c is not None:
+            parts.append(jnp.broadcast_to(c, (n, c.shape[-1])))
+        h = jnp.concatenate(parts, axis=-1)
+        dx = self.torso_deform_net(h)
+        xd = jnp.clip(x + dx, -1.0, 1.0)
+        feat = grid_encode(self.torso_grid, xd, self._torso_spec, 1.0)
+        h2 = self.torso_net(jnp.concatenate([feat, h], axis=-1))
+        alpha = nn.sigmoid(h2[..., :1]) * (1 + 2 * 0.001) - 0.001
+        color = nn.sigmoid(h2[..., 1:]) * (1 + 2 * 0.001) - 0.001
+        return alpha, color, dx
+
+    def individual_code(self, index):
+        return self.individual_codes[index][None]
+
+    def full_init(self, aud_window, x, d, c=None, e=None):
+        """Traces every submodule so ``init`` creates all parameters."""
+        enc_a = self.encode_audio(aud_window)
+        out = self(x, d, enc_a, c, e, training=True)
+        if self.cfg.torso:
+            c_t = (self.individual_codes_torso[:1]
+                   if self.cfg.individual_dim_torso > 0 else None)
+            self.forward_torso(x[:, :2], jnp.eye(4), c_t)
+        return out
