@@ -1,0 +1,287 @@
+"""ER-NeRF real-time engine.
+
+Pipeline twin of the reference's nerfreal.py/nerfasr.py: a per-frame render
+loop that runs two 20 ms ASR steps per video frame, pulls a looped camera
+pose, injects live audio features through a circular feature ring with an
+8-window attention context (reference: nerfasr.py:29-143, nerfreal.py:70-156),
+and renders the talking head with the static-shape occupancy-guided marcher.
+
+The CTC feature extractor is pluggable: wav2vec2/HuBERT via transformers when
+the model is available locally, or any callable producing [T, audio_dim]
+logits per window (a deterministic fake drives tests).
+"""
+from __future__ import annotations
+
+import asyncio
+import queue
+import time
+from functools import partial
+from threading import Thread
+from typing import Callable, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.data.provider import NeRFTestDataset
+from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base_asr import BaseASR
+from mere_fusion_tpu.models.ernerf.network import NeRFNetConfig, NeRFNetwork
+from mere_fusion_tpu.models.ernerf.renderer import (
+    DensityGrid,
+    get_rays,
+    render_rays,
+)
+from mere_fusion_tpu.runtime.metrics import metrics
+from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
+
+
+def fake_logits_fn(audio_dim: int) -> Callable[[np.ndarray], np.ndarray]:
+    """Deterministic energy-based CTC-logit stand-in: one row per 20 ms frame."""
+
+    def fn(audio: np.ndarray) -> np.ndarray:
+        frames = audio.reshape(-1, 320)
+        energy = np.sqrt((frames**2).mean(axis=1, keepdims=True))
+        base = np.linspace(0, 1, audio_dim, dtype=np.float32)[None]
+        return (energy * base).astype(np.float32)[:-1]  # T-1 rows like wav2vec
+
+    return fn
+
+
+def wav2vec_logits_fn(model_name: str, device: str = "cpu"):
+    """transformers CTC extractor (reference: nerfasr.py:39-45, 128-143).
+    Requires the model to be available locally (zero-egress environments
+    must pre-download)."""
+    import torch
+    from transformers import AutoModelForCTC, AutoProcessor
+
+    processor = AutoProcessor.from_pretrained(model_name)
+    model = AutoModelForCTC.from_pretrained(model_name).to(device).eval()
+
+    def fn(audio: np.ndarray) -> np.ndarray:
+        inputs = processor(audio, sampling_rate=16000, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            logits = model(inputs.input_values.to(device)).logits
+        return logits[0].cpu().numpy()
+
+    return fn
+
+
+class NerfASR(BaseASR):
+    """Sliding-window CTC featurizer with a circular feature ring.
+
+    Feature ring: [4 × context] rows of [audio_dim]; per step one 20 ms frame
+    is consumed and, once l+m+r frames accumulate, the middle m logit rows
+    are written to the ring. get_next_feat returns an [8, audio_dim, 16]
+    attention stack advancing 2 rows (one video frame) per call.
+    """
+
+    def __init__(self, cfg: Config, parent, logits_fn: Callable, att: int = 2):
+        super().__init__(cfg, parent)
+        self.audio_dim = cfg.nerf.audio_in_dim
+        self.context_size = cfg.stride.mid
+        self.logits_fn = logits_fn
+        self.att = att
+        # pad left
+        self.frames.extend(
+            [np.zeros(self.chunk, np.float32)] * self.stride_left_size
+        )
+        self.feat_buffer_size = 4
+        self.feat_buffer_idx = 0
+        self.feat_ring = np.zeros(
+            (self.feat_buffer_size * self.context_size, self.audio_dim), np.float32
+        )
+        self.front = self.feat_buffer_size * self.context_size - 8
+        self.tail = 8
+        self.att_feats: list[np.ndarray] = [
+            np.zeros((self.audio_dim, 16), np.float32)
+        ] * 4
+        self.warm_up_steps = (
+            self.context_size + self.stride_left_size + self.stride_right_size
+        )
+
+    def get_audio_frame(self):
+        try:
+            frame = self.queue.get(block=False)
+            ftype = 0
+        except queue.Empty:
+            if self.parent and self.parent.curr_state > 1:
+                frame = self.parent.get_audio_stream(self.parent.curr_state)
+                ftype = self.parent.curr_state
+            else:
+                frame = np.zeros(self.chunk, np.float32)
+                ftype = 1
+        return frame, ftype
+
+    def run_step(self) -> None:
+        frame, ftype = self.get_audio_frame()
+        self.frames.append(frame)
+        self.output_queue.put((frame, ftype))
+        window = self.stride_left_size + self.context_size + self.stride_right_size
+        if len(self.frames) < window:
+            return
+        audio = np.concatenate(self.frames)
+        self.frames = self.frames[-(self.stride_left_size + self.stride_right_size):]
+        logits = self.logits_fn(audio)  # [T, audio_dim]
+        feats = logits[self.stride_left_size : self.stride_left_size + self.context_size]
+        start = self.feat_buffer_idx * self.context_size
+        self.feat_ring[start : start + feats.shape[0]] = feats
+        self.feat_buffer_idx = (self.feat_buffer_idx + 1) % self.feat_buffer_size
+
+    def _ring_window(self) -> np.ndarray:
+        if self.front < self.tail:
+            feat = self.feat_ring[self.front : self.tail]
+        else:
+            feat = np.concatenate(
+                [self.feat_ring[self.front :], self.feat_ring[: self.tail]]
+            )
+        n = self.feat_ring.shape[0]
+        self.front = (self.front + 2) % n
+        self.tail = (self.tail + 2) % n
+        return feat.T  # [audio_dim, 16]
+
+    def get_next_feat(self) -> np.ndarray:
+        """[8, audio_dim, 16] attention stack (nerfasr.py:75-103)."""
+        if self.att > 0:
+            while len(self.att_feats) < 8:
+                self.att_feats.append(self._ring_window())
+            out = np.stack(self.att_feats)
+            self.att_feats = self.att_feats[1:]
+            return out
+        return self._ring_window()[None]
+
+    def warm_up(self) -> None:
+        for _ in range(self.warm_up_steps):
+            self.run_step()
+
+
+def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestDataset,
+                          cfg: Config):
+    """jit: (pose, aud_window [8,A,16], eye [1,1], density grid, bg) → RGB u8."""
+    H, W = dataset.H, dataset.W
+    intrinsics = dataset.intrinsics
+    nerf_cfg = cfg.nerf
+
+    @jax.jit
+    def step(pose, auds, eye, density: DensityGrid, bg_color):
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
+        ind = (
+            network.apply(variables, 0, method=NeRFNetwork.individual_code)
+            if network.cfg.individual_dim > 0
+            else None
+        )
+
+        def apply_fn(xyz, dirs, training):
+            return network.apply(variables, xyz, dirs, enc_a, ind, eye,
+                                 training=training)
+
+        out = render_rays(
+            apply_fn, rays_o, rays_d, density,
+            bound=nerf_cfg.bound, grid_size=nerf_cfg.grid_size,
+            bg_color=bg_color,
+            n_candidates=64, n_steps=nerf_cfg.max_steps,
+        )
+        img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
+        return (img * 255).astype(jnp.uint8)
+
+    return step
+
+
+class NeRFReal(BaseReal):
+    def __init__(self, cfg: Config, network: NeRFNetwork | None = None,
+                 variables=None, dataset: NeRFTestDataset | None = None,
+                 density: DensityGrid | None = None,
+                 logits_fn: Callable | None = None,
+                 fullbody_frames: Optional[list] = None,
+                 fullbody_offset=(0, 0),
+                 custom_opts: list[dict] | None = None):
+        super().__init__(cfg, custom_opts)
+        nc = cfg.nerf
+        if network is None:
+            network = NeRFNetwork(NeRFNetConfig(
+                bound=nc.bound, audio_in_dim=nc.audio_in_dim,
+                audio_dim=nc.audio_dim, exp_eye=nc.exp_eye,
+                num_levels=nc.num_levels, base_resolution=nc.base_resolution,
+                log2_hashmap_size=nc.log2_hashmap_size,
+                desired_resolution=nc.desired_resolution, torso=nc.torso,
+            ))
+        self.network = network
+        if variables is None:
+            variables = network.init(
+                jax.random.key(0),
+                jnp.zeros((8, network.cfg.audio_in_dim, 16)),
+                jnp.zeros((4, 3)), jnp.ones((4, 3)) / np.sqrt(3.0),
+                jnp.zeros((1, network.cfg.individual_dim)) if network.cfg.individual_dim else None,
+                jnp.zeros((1, 1)),
+                method=NeRFNetwork.full_init,
+            )
+        self.variables = variables
+        if dataset is None:
+            raise ValueError("NeRFReal requires a NeRFTestDataset")
+        self.dataset = dataset
+        self.loader = iter(dataset)
+        self.density = density or DensityGrid.create(nc.grid_size)
+        self.fullbody_frames = fullbody_frames
+        self.fullbody_offset = fullbody_offset
+        self._render_step = make_nerf_render_step(network, variables, dataset, cfg)
+        self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim))
+        self.asr.warm_up()
+
+    def put_msg_txt(self, msg):
+        self.tts.put_msg_txt(msg)
+
+    def test_step(self, loop=None, audio_track=None, video_track=None):
+        data = next(self.loader)
+        auds = self.asr.get_next_feat()
+
+        audiotypes = []
+        for _ in range(2):
+            frame, ftype = self.asr.get_audio_out()
+            audiotypes.append(ftype)
+            chunk = AudioChunk.from_float(frame, self.sample_rate)
+            if loop is not None and audio_track is not None:
+                asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+            self.record_audio_chunk(chunk)
+
+        if (audiotypes[0] != 0 and audiotypes[1] != 0
+                and self.custom_index.get(audiotypes[0]) is not None):
+            atype = audiotypes[0]
+            mirindex = self.mirror_index(
+                len(self.custom_img_cycle[atype]), self.custom_index[atype]
+            )
+            image = self.custom_img_cycle[atype][mirindex]
+            self.custom_index[atype] += 1
+        else:
+            t0 = time.perf_counter()
+            rgb = np.asarray(
+                self._render_step(
+                    data["pose"], jnp.asarray(auds), jnp.asarray(data["eye"]),
+                    self.density, jnp.asarray(data["bg_color"]),
+                )
+            )
+            metrics.latency("nerf.render").observe(time.perf_counter() - t0)
+            metrics.rate("nerf.render_fps").tick()
+            image = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+            if self.fullbody_frames is not None:
+                full = self.fullbody_frames[data["index"] % len(self.fullbody_frames)].copy()
+                ox, oy = self.fullbody_offset
+                full[oy : oy + image.shape[0], ox : ox + image.shape[1]] = image
+                image = full
+
+        vf = VideoImage(image=image)
+        if loop is not None and video_track is not None:
+            asyncio.run_coroutine_threadsafe(video_track._queue.put(vf), loop)
+        self.record_video_frame(vf)
+
+    def render(self, quit_event, loop=None, audio_track=None, video_track=None):
+        self.init_customindex()
+        self.tts.render(quit_event)
+        while not quit_event.is_set():
+            for _ in range(2):
+                self.asr.run_step()
+            self.test_step(loop, audio_track, video_track)
+            if video_track is not None and video_track._queue.qsize() >= 5:
+                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
