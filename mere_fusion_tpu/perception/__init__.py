@@ -1,0 +1,105 @@
+"""Video understanding: object/face/text analysis of the caller's camera.
+
+Equivalent of the reference's yolo_opencv.py (YOLOv10 detection with
+frame-rate throttling, DeepFace attributes when a person is present, EasyOCR
+text — reference: yolo_opencv.py:136-221). The heavy detectors are optional;
+``StubPerception`` provides the same summary contract with basic image
+statistics so the full-duplex pipeline runs anywhere.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class StubPerception:
+    """Dependency-free scene summarizer (shape/brightness/motion)."""
+
+    def __init__(self, fps_throttle: int = 10):
+        self.fps_throttle = fps_throttle
+        self._count = 0
+        self._prev: Optional[np.ndarray] = None
+
+    def process_frame(self, frame_bgr: np.ndarray) -> Optional[str]:
+        self._count += 1
+        if self._count % self.fps_throttle != 0:
+            return None
+        small = frame_bgr[::8, ::8].astype(np.float32)
+        brightness = float(small.mean())
+        motion = 0.0
+        if self._prev is not None and self._prev.shape == small.shape:
+            motion = float(np.abs(small - self._prev).mean())
+        self._prev = small
+        h, w = frame_bgr.shape[:2]
+        light = "bright" if brightness > 128 else "dim"
+        moving = "movement detected" if motion > 8 else "static scene"
+        return f"{w}x{h} {light} scene, {moving}"
+
+
+class YoloPerception:
+    """YOLO + DeepFace + EasyOCR summarizer (needs ultralytics etc.)."""
+
+    def __init__(self, model_path: str = "yolov10x.pt", fps_throttle: int = 10,
+                 use_deepface: bool = True, use_ocr: bool = True):
+        from ultralytics import YOLO
+
+        self.model = YOLO(model_path)
+        self.fps_throttle = fps_throttle
+        self.use_deepface = use_deepface
+        self.use_ocr = use_ocr
+        self._count = 0
+        self._reader = None
+
+    def process_frame(self, frame_bgr: np.ndarray) -> Optional[str]:
+        self._count += 1
+        if self._count % self.fps_throttle != 0:
+            return None
+        results = self.model(frame_bgr, verbose=False)[0]
+        names = results.names
+        counts: dict[str, int] = {}
+        person_seen = False
+        for cls in results.boxes.cls.tolist():
+            label = names[int(cls)]
+            counts[label] = counts.get(label, 0) + 1
+            person_seen |= label == "person"
+        parts = [f"{n} {label}(s)" for label, n in sorted(counts.items())]
+        summary = "scene contains " + (", ".join(parts) if parts else "nothing notable")
+
+        if person_seen and self.use_deepface:
+            try:
+                from deepface import DeepFace
+
+                faces = DeepFace.analyze(
+                    frame_bgr, actions=("age", "gender", "emotion"),
+                    enforce_detection=False, silent=True,
+                )
+                if faces:
+                    f = faces[0]
+                    summary += (
+                        f"; person appears {f.get('age', '?')} years old, "
+                        f"{f.get('dominant_gender', '?')}, "
+                        f"{f.get('dominant_emotion', '?')}"
+                    )
+            except Exception:
+                pass
+        if self.use_ocr:
+            try:
+                if self._reader is None:
+                    import easyocr
+
+                    self._reader = easyocr.Reader(["en", "ch_sim"])
+                texts = [t[1] for t in self._reader.readtext(frame_bgr)]
+                if texts:
+                    summary += "; visible text: " + " | ".join(texts[:5])
+            except Exception:
+                pass
+        return summary
+
+
+def make_perception(kind: str = "stub", **kw):
+    if kind == "stub":
+        return StubPerception(**kw)
+    if kind == "yolo":
+        return YoloPerception(**kw)
+    raise ValueError(f"unknown perception backend {kind!r}")

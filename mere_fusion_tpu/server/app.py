@@ -1,0 +1,131 @@
+"""aiohttp session server with the reference's six routes
+(reference: app.py:725-731) plus /metrics and /health.
+
+POST /start_session   {}                             → {code, session_id}
+POST /stop_session    {session_id}                   → {code}
+POST /interrupt       {session_id}                   → {code}
+POST /talk            {session_id, type: echo|chat, text, interrupt?}
+POST /set_audio_type  {session_id, audio_type, reinit}
+POST /record          {session_id, type: start_record|end_record}
+GET  /metrics, /health
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+
+from aiohttp import web
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.runtime.metrics import metrics
+from mere_fusion_tpu.server.sessions import SessionManager
+
+logger = logging.getLogger(__name__)
+
+
+def json_ok(**kw) -> web.Response:
+    return web.json_response({"code": 0, **kw})
+
+
+def json_err(message: str, status: int = 400) -> web.Response:
+    return web.json_response({"code": 1, "message": message}, status=status)
+
+
+def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
+    app = web.Application()
+    manager = SessionManager(cfg, engine_factory)
+    app["manager"] = manager
+    app["llm"] = llm
+
+    def require_session(params):
+        session = manager.get(params.get("session_id", ""))
+        if session is None:
+            raise web.HTTPNotFound(
+                text='{"code": 1, "message": "Session not found"}',
+                content_type="application/json",
+            )
+        return session
+
+    async def start_session(request: web.Request) -> web.Response:
+        try:
+            session = await manager.start_session()
+        except RuntimeError:
+            return json_err("Maximum number of sessions reached", status=429)
+        return json_ok(message="Session started", session_id=session.session_id)
+
+    async def stop_session(request: web.Request) -> web.Response:
+        data = await request.json()
+        sid = data.get("session_id")
+        if not sid:
+            return json_err("session_id is required")
+        if not await manager.stop_session(sid):
+            return json_err("Session not found", status=404)
+        return json_ok(message="Session stopped")
+
+    async def interrupt(request: web.Request) -> web.Response:
+        session = require_session(await request.json())
+        session.model.pause_talk()
+        return json_ok(data="ok")
+
+    async def talk(request: web.Request) -> web.Response:
+        params = await request.json()
+        session = require_session(params)
+        if params.get("interrupt"):
+            session.model.pause_talk()
+        kind = params.get("type", "echo")
+        if kind == "echo":
+            session.model.put_msg_txt(params["text"])
+        elif kind == "chat":
+            llm = app["llm"]
+            if llm is None:
+                return json_err("no llm configured", status=501)
+            reply = await asyncio.get_event_loop().run_in_executor(
+                None, llm.chat, params["text"]
+            )
+            session.model.put_msg_txt(reply)
+        else:
+            return json_err(f"unknown talk type {kind!r}")
+        return json_ok(data="ok")
+
+    async def set_audio_type(request: web.Request) -> web.Response:
+        params = await request.json()
+        session = require_session(params)
+        session.model.set_curr_state(params["audio_type"], params["reinit"])
+        return json_ok(data="ok")
+
+    async def record(request: web.Request) -> web.Response:
+        params = await request.json()
+        session = require_session(params)
+        if params["type"] == "start_record":
+            session.model.start_recording(params.get("path", "data/record_lasted.mp4"))
+        elif params["type"] == "end_record":
+            session.model.stop_recording()
+        else:
+            return json_err(f"unknown record type {params['type']!r}")
+        return json_ok(data="ok")
+
+    async def get_metrics(request: web.Request) -> web.Response:
+        return web.json_response(metrics.snapshot())
+
+    async def health(request: web.Request) -> web.Response:
+        return json_ok(status="healthy", sessions=len(manager.sessions))
+
+    app.router.add_post("/start_session", start_session)
+    app.router.add_post("/stop_session", stop_session)
+    app.router.add_post("/interrupt", interrupt)
+    app.router.add_post("/talk", talk)
+    app.router.add_post("/set_audio_type", set_audio_type)
+    app.router.add_post("/record", record)
+    app.router.add_get("/metrics", get_metrics)
+    app.router.add_get("/health", health)
+
+    async def on_shutdown(app):
+        await manager.close_all()
+
+    app.on_shutdown.append(on_shutdown)
+    return app
+
+
+def run_server(cfg: Config, engine_factory, llm=None) -> None:
+    app = create_app(cfg, engine_factory, llm)
+    web.run_app(app, host=cfg.server.listen_host, port=cfg.server.listen_port)

@@ -1,0 +1,167 @@
+"""Per-user sessions: engine + media transport lifecycle.
+
+Equivalent of the reference's ConnectSession/session bookkeeping
+(reference: app.py:42-97, 312-531). Transports:
+
+- "loopback": in-process — tracks are drained by a consumer task at the
+  paced rate (tests, demos, and environments without aiortc);
+- "webrtc": dual RTCPeerConnection against an SRS relay (pull the caller's
+  stream, push the avatar stream), HTTP-API signaling with retry/backoff.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.runtime.metrics import metrics
+from mere_fusion_tpu.transport.tracks import HumanPlayer
+
+logger = logging.getLogger(__name__)
+
+
+class Session:
+    def __init__(self, session_id: str, engine, cfg: Config):
+        self.session_id = session_id
+        self.model = engine          # reference name for the engine
+        self.cfg = cfg
+        self.player: Optional[HumanPlayer] = None
+        self.brain = None
+        self._consumers: list[asyncio.Task] = []
+        self._pcs: list = []
+
+    async def start(self) -> None:
+        mode = self.cfg.transport.mode
+        self.player = HumanPlayer(self.model)
+        if mode == "loopback":
+            self._consumers = [
+                asyncio.create_task(self._drain(self.player.audio)),
+                asyncio.create_task(self._drain(self.player.video)),
+            ]
+        elif mode == "webrtc":
+            await self._start_webrtc()
+        else:
+            raise ValueError(f"unsupported transport mode {mode!r}")
+        metrics.counter("sessions.started")
+
+    async def _drain(self, track) -> None:
+        try:
+            while True:
+                await track.recv()
+        except (ConnectionError, asyncio.CancelledError):
+            pass
+
+    # ---- WebRTC against SRS (reference app.py:395-531) -----------------------
+    async def _start_webrtc(self) -> None:
+        from aiortc import RTCPeerConnection, RTCSessionDescription
+        import aiohttp
+
+        async def negotiate(pc, api_url: str, stream_url: str) -> None:
+            """POST the local offer to the SRS HTTP API, 3 retries with
+            exponential backoff (reference app.py:282-291, 434-512)."""
+            offer = await pc.createOffer()
+            await pc.setLocalDescription(offer)
+            last = None
+            for attempt in range(3):
+                try:
+                    async with aiohttp.ClientSession() as http:
+                        async with http.post(
+                            api_url,
+                            json={
+                                "api": api_url,
+                                "streamurl": stream_url,
+                                "sdp": pc.localDescription.sdp,
+                            },
+                            timeout=aiohttp.ClientTimeout(total=15),
+                        ) as resp:
+                            data = await resp.json()
+                    await pc.setRemoteDescription(
+                        RTCSessionDescription(sdp=data["sdp"], type="answer")
+                    )
+                    return
+                except Exception as e:
+                    last = e
+                    await asyncio.sleep(2**attempt)
+            raise ConnectionError(f"SRS signaling failed: {last}")
+
+        sid = self.session_id
+        # pull the caller's stream
+        consume_pc = RTCPeerConnection()
+        consume_pc.addTransceiver("audio", direction="recvonly")
+        consume_pc.addTransceiver("video", direction="recvonly")
+
+        @consume_pc.on("track")
+        def on_track(track):
+            from mere_fusion_tpu.server.upstream import attach_upstream_track
+
+            attach_upstream_track(self, track)
+
+        @consume_pc.on("connectionstatechange")
+        async def on_state():
+            if consume_pc.connectionState in ("failed", "closed", "disconnected"):
+                logger.warning("consume pc %s: %s", sid, consume_pc.connectionState)
+
+        await negotiate(
+            consume_pc, self.cfg.transport.pull_url,
+            f"webrtc://localhost/live/stream_{sid}",
+        )
+
+        # push the avatar stream
+        produce_pc = RTCPeerConnection()
+        produce_pc.addTrack(self.player.audio)
+        produce_pc.addTrack(self.player.video)
+        await negotiate(
+            produce_pc, self.cfg.transport.push_url,
+            f"webrtc://localhost/live/processed_stream_{sid}",
+        )
+        self._pcs = [consume_pc, produce_pc]
+
+    async def close(self) -> None:
+        for task in self._consumers:
+            task.cancel()
+        for pc in self._pcs:
+            await pc.close()
+        if self.player is not None:
+            self.player.stop()
+        if self.brain is not None:
+            self.brain.close()
+        metrics.counter("sessions.closed")
+
+
+class SessionManager:
+    def __init__(self, cfg: Config, engine_factory):
+        self.cfg = cfg
+        self.engine_factory = engine_factory
+        self.sessions: dict[str, Session] = {}
+        self.lock = asyncio.Lock()
+
+    async def start_session(self) -> Session:
+        import uuid
+
+        async with self.lock:
+            if len(self.sessions) >= self.cfg.server.max_sessions:
+                raise RuntimeError("max sessions")
+            sid = str(uuid.uuid4())
+            engine = self.engine_factory(self.cfg)
+            session = Session(sid, engine, self.cfg)
+            await session.start()
+            self.sessions[sid] = session
+            metrics.gauge("sessions.active", len(self.sessions))
+            return session
+
+    async def stop_session(self, session_id: str) -> bool:
+        async with self.lock:
+            session = self.sessions.pop(session_id, None)
+            if session is None:
+                return False
+            await session.close()
+            metrics.gauge("sessions.active", len(self.sessions))
+            return True
+
+    def get(self, session_id: str) -> Optional[Session]:
+        return self.sessions.get(session_id)
+
+    async def close_all(self) -> None:
+        for sid in list(self.sessions):
+            await self.stop_session(sid)
