@@ -105,6 +105,13 @@ class JaxWhisperBackend:
                 jnp.zeros((1, 4), jnp.int32),
             )
         self.variables = variables
+        if tokenizer is None:
+            try:
+                from mere_fusion_tpu.utils.bpe import load_whisper_tokenizer
+
+                tokenizer = load_whisper_tokenizer()
+            except (FileNotFoundError, OSError):
+                tokenizer = None  # token-id text fallback
         self.tokenizer = tokenizer
         self._sot = sot_sequence(language_index)
         self._decode = make_greedy_decoder(self.model, variables, max_new_tokens=128)

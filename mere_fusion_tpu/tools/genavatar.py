@@ -1,0 +1,157 @@
+"""Avatar bundle preparation.
+
+Equivalent of the reference's offline prep tools:
+- wav2lip avatars (reference: wav2lip/genavatar.py:52-125): video → frames →
+  batched S3FD detection with OOM-halving retry → temporal box smoothing
+  (T=5) → face crops + coords.pkl;
+- musetalk avatars (reference: musetalk/mere_musetalk.py:250-317): adds VAE
+  latent pairs per frame, blend masks and mask crop boxes. The reference
+  derives blend masks from BiSeNet face parsing; until that port lands the
+  masks here are gaussian-feathered face boxes (same file format).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+
+
+def video_to_frames(path: str, fps: int = 25) -> list[np.ndarray]:
+    """Decode a video to BGR frames (reference genavatar.py:20-35)."""
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    cap.release()
+    return frames
+
+
+def smooth_boxes(boxes: np.ndarray, T: int = 5) -> np.ndarray:
+    """Temporal mean over a window of T (reference genavatar.py:52-59)."""
+    out = boxes.copy().astype(np.float32)
+    for i in range(len(boxes)):
+        window = boxes[max(0, i - T + 1) : i + 1] if i + T > len(boxes) else boxes[i : i + T]
+        out[i] = np.mean(window, axis=0)
+    return out
+
+
+def detect_face_boxes(frames: list[np.ndarray], detector, batch_size: int = 16,
+                      pads=(0, 10, 0, 0)) -> list[tuple[int, int, int, int]]:
+    """Per-frame single-face boxes (y1, y2, x1, x2) with padding and OOM
+    batch-halving retry (reference genavatar.py:61-99)."""
+    results = []
+    while True:
+        try:
+            results = []
+            for i in range(0, len(frames), batch_size):
+                chunk = np.stack(frames[i : i + batch_size])
+                results.extend(detector.detect_batch(chunk))
+            break
+        except RuntimeError:
+            if batch_size == 1:
+                raise
+            batch_size //= 2
+    pady1, pady2, padx1, padx2 = pads
+    boxes = []
+    for frame, dets in zip(frames, results):
+        if len(dets) == 0:
+            raise ValueError("face not detected in a frame")
+        best = dets[np.argmax(dets[:, 4])]
+        x1, y1, x2, y2 = best[:4]
+        h, w = frame.shape[:2]
+        boxes.append(
+            [
+                max(0, int(y1) - pady1), min(h, int(y2) + pady2),
+                max(0, int(x1) - padx1), min(w, int(x2) + padx2),
+            ]
+        )
+    smoothed = smooth_boxes(np.asarray(boxes), T=5).astype(int)
+    return [tuple(b) for b in smoothed]
+
+
+def create_lip_avatar(frames: list[np.ndarray], out_dir: str, detector,
+                      img_size: int = 96, pads=(0, 10, 0, 0)) -> str:
+    """Write a wav2lip avatar bundle (full_imgs/, face_imgs/, coords.pkl)."""
+    boxes = detect_face_boxes(frames, detector, pads=pads)
+    full_dir = os.path.join(out_dir, "full_imgs")
+    face_dir = os.path.join(out_dir, "face_imgs")
+    os.makedirs(full_dir, exist_ok=True)
+    os.makedirs(face_dir, exist_ok=True)
+    for i, (frame, (y1, y2, x1, x2)) in enumerate(zip(frames, boxes)):
+        cv2.imwrite(os.path.join(full_dir, f"{i}.png"), frame)
+        crop = cv2.resize(frame[y1:y2, x1:x2], (img_size, img_size))
+        cv2.imwrite(os.path.join(face_dir, f"{i}.png"), crop)
+    with open(os.path.join(out_dir, "coords.pkl"), "wb") as f:
+        pickle.dump(boxes, f)
+    return out_dir
+
+
+def feathered_mask(frame_hw: tuple[int, int], face_box, pad: int = 16,
+                   blur: int = 31):
+    """Blend mask + crop box around a face box (BiSeNet-parsing stand-in)."""
+    h, w = frame_hw
+    x1, y1, x2, y2 = face_box
+    xs, ys = max(0, x1 - pad), max(0, y1 - pad)
+    xe, ye = min(w, x2 + pad), min(h, y2 + pad)
+    mask = np.zeros((ye - ys, xe - xs), np.uint8)
+    mask[y1 - ys : y2 - ys, x1 - xs : x2 - xs] = 255
+    k = blur | 1
+    mask = cv2.GaussianBlur(mask, (k, k), 0)
+    return cv2.cvtColor(mask, cv2.COLOR_GRAY2BGR), (xs, ys, xe, ye)
+
+
+def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
+                       models, bbox_shift: int = 0) -> str:
+    """Write a musetalk avatar bundle (full_imgs/, coords.pkl, latents.npy,
+    mask/, mask_coords.pkl, avator_info.json)."""
+    import jax.numpy as jnp
+
+    from mere_fusion_tpu.engines.muse import preprocess_face
+
+    raw = detect_face_boxes(frames, detector, pads=(0, 0, 0, 0))
+    full_dir = os.path.join(out_dir, "full_imgs")
+    mask_dir = os.path.join(out_dir, "mask")
+    os.makedirs(full_dir, exist_ok=True)
+    os.makedirs(mask_dir, exist_ok=True)
+
+    coords, faces, masks, mask_coords = [], [], [], []
+    for i, (frame, (y1, y2, x1, x2)) in enumerate(zip(frames, raw)):
+        y1 = max(0, y1 + bbox_shift)
+        box = (x1, y1, x2, y2)  # musetalk coord order (musereal.py:247)
+        coords.append(box)
+        cv2.imwrite(os.path.join(full_dir, f"{i}.png"), frame)
+        faces.append(
+            preprocess_face(frame[y1:y2, x1:x2], models.face_size, half_mask=False)
+        )
+        mask, crop_box = feathered_mask(frame.shape[:2], box)
+        cv2.imwrite(os.path.join(mask_dir, f"{i}.png"), mask)
+        mask_coords.append(crop_box)
+
+    latents = np.asarray(models.encode_pair(jnp.asarray(np.stack(faces))))
+    np.save(os.path.join(out_dir, "latents.npy"), latents)
+    with open(os.path.join(out_dir, "coords.pkl"), "wb") as f:
+        pickle.dump(coords, f)
+    with open(os.path.join(out_dir, "mask_coords.pkl"), "wb") as f:
+        pickle.dump(mask_coords, f)
+    with open(os.path.join(out_dir, "avator_info.json"), "w") as f:
+        json.dump({"avatar_id": os.path.basename(out_dir),
+                   "bbox_shift": bbox_shift}, f)
+    return out_dir
+
+
+class FixedBoxDetector:
+    """Deterministic detector for tests and known-layout footage."""
+
+    def __init__(self, box_xyxy: tuple[float, float, float, float], score: float = 0.99):
+        self.box = box_xyxy
+        self.score = score
+
+    def detect_batch(self, imgs: np.ndarray, **kw):
+        det = np.asarray([[*self.box, self.score]], np.float32)
+        return [det.copy() for _ in range(len(imgs))]

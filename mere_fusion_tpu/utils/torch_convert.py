@@ -171,6 +171,24 @@ def convert_whisper(state_dict: Mapping[str, Any], dims) -> dict:
     return {"params": {"encoder": enc, "decoder": dec}}
 
 
+def convert_s3fd(state_dict: Mapping[str, Any]) -> dict:
+    """Map the reference S3FD state dict (sfd/net_s3fd.py:22-70) onto our
+    flax S3FD — module names match 1:1."""
+    sd = strip_prefix(state_dict)
+    params: dict = {}
+    for key in sd:
+        name, leaf = key.rsplit(".", 1)
+        w = _np(sd[key])
+        entry = params.setdefault(name, {})
+        if leaf == "weight" and w.ndim == 4:
+            entry["kernel"] = w.transpose(2, 3, 1, 0)
+        elif leaf == "weight":  # L2Norm scale vector
+            entry["weight"] = w
+        elif leaf == "bias":
+            entry["bias"] = w
+    return {"params": params}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file on host (CPU) and return its state dict."""
     import torch
