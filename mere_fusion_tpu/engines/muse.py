@@ -48,13 +48,15 @@ def blend_face(image: np.ndarray, face: np.ndarray, face_box, mask: np.ndarray,
     larger region the mask covers; mask is a BGR image whose gray level is
     the blend weight for the generated content.
     """
+    from mere_fusion_tpu import native
+
     x, y, x1, y1 = face_box
     x_s, y_s, x_e, y_e = crop_box
-    face_large = copy.deepcopy(image[y_s:y_e, x_s:x_e])
-    face_large[y - y_s : y1 - y_s, x - x_s : x1 - x_s] = face
+    face_large = np.ascontiguousarray(image[y_s:y_e, x_s:x_e])
+    native.paste_u8(np.ascontiguousarray(face), face_large, y - y_s, x - x_s)
     w = (cv2.cvtColor(mask, cv2.COLOR_BGR2GRAY) / 255.0).astype(np.float32)
-    image[y_s:y_e, x_s:x_e] = cv2.blendLinear(
-        face_large, image[y_s:y_e, x_s:x_e], w, 1 - w
+    image[y_s:y_e, x_s:x_e] = native.blend_linear_u8(
+        face_large, np.ascontiguousarray(image[y_s:y_e, x_s:x_e]), w
     )
     return image
 

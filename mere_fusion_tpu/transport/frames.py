@@ -39,10 +39,9 @@ class AudioChunk:
 
     @classmethod
     def from_float(cls, pcm: np.ndarray, sample_rate: int = 16000) -> "AudioChunk":
-        return cls(
-            samples=(np.clip(pcm, -1.0, 1.0) * 32767).astype(np.int16),
-            sample_rate=sample_rate,
-        )
+        from mere_fusion_tpu import native
+
+        return cls(samples=native.f32_to_pcm16(pcm), sample_rate=sample_rate)
 
 
 def to_av_video(frame: VideoImage):
