@@ -1,0 +1,63 @@
+"""ASR simulation CLI (reference: whisper_online.py:697-823).
+
+    python -m mere_fusion_tpu.asr path/to/audio.wav --min-chunk-size 1.0 \
+        --backend jax-whisper --mode online
+
+Modes: offline (whole file at once), unaware (chunked, instant compute),
+online (chunked, wall-clock accounted).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def load_wav_16k(path: str) -> np.ndarray:
+    from scipy.io import wavfile
+
+    from mere_fusion_tpu.tts import resample_pcm
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    if data.ndim > 1:
+        data = data[:, 0]
+    return resample_pcm(data.astype(np.float32), sr, 16000)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("asr-simulate")
+    p.add_argument("audio")
+    p.add_argument("--backend", default="jax-whisper")
+    p.add_argument("--min-chunk-size", type=float, default=1.0)
+    p.add_argument("--mode", default="online",
+                   choices=["offline", "unaware", "online"])
+    p.add_argument("--buffer-trim", type=float, default=15.0)
+    args = p.parse_args(argv)
+
+    from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
+    from mere_fusion_tpu.asr.simulate import simulate_streaming
+
+    audio = load_wav_16k(args.audio)
+    backend = make_backend(args.backend)
+
+    if args.mode == "offline":
+        res = backend.transcribe(audio)
+        words = backend.ts_words(res)
+        print(backend.sep.join(w.text for w in words))
+        return
+
+    st = StreamingTranscriber(backend, buffer_trimming=("segment", args.buffer_trim))
+    result = simulate_streaming(
+        st, audio, min_chunk=args.min_chunk_size,
+        computationally_aware=args.mode == "online",
+    )
+    for e in result.emissions:
+        print(f"{e.emitted_at*1000:8.0f} ms  [{e.beg}-{e.end}]  {e.text}")
+    print(f"-- transcript: {result.transcript}")
+    print(f"-- mean emission latency: {result.mean_latency*1000:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Server CLI: flag surface mapped onto the typed Config.
+
+Covers the reference's main server flags (reference: app.py:550-707 — avatar
+kind/id, batch size, TTS backend + server, ASR strides, transport mode +
+SRS URLs, session cap, port) as ``group.field`` dotted overrides.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+from mere_fusion_tpu.config import Config
+
+_FLAG_TO_KEY = {
+    "fps": "audio.fps",
+    "l": "stride.left",
+    "m": "stride.mid",
+    "r": "stride.right",
+    "model": "avatar.kind",
+    "avatar_id": "avatar.avatar_id",
+    "avatar_dir": "avatar.avatar_dir",
+    "batch_size": "avatar.batch_size",
+    "tts": "tts.backend",
+    "tts_server": "tts.server_url",
+    "ref_file": "tts.ref_audio",
+    "ref_text": "tts.ref_text",
+    "asr_backend": "asr.backend",
+    "transport": "transport.mode",
+    "push_url": "transport.push_url",
+    "pull_url": "transport.pull_url",
+    "max_session": "server.max_sessions",
+    "listenport": "server.listen_port",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mere-fusion-tpu server")
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("-l", type=int, default=10, help="left stride (20 ms frames)")
+    p.add_argument("-m", type=int, default=8, help="context size")
+    p.add_argument("-r", type=int, default=10, help="right stride")
+    p.add_argument("--model", default="wav2lip",
+                   choices=["wav2lip", "musetalk", "ernerf"])
+    p.add_argument("--avatar_id", default="avator_1")
+    p.add_argument("--avatar_dir", default="./data/avatars")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--tts", default="edge",
+                   choices=["edge", "gpt-sovits", "cosyvoice", "xtts", "procedural"])
+    p.add_argument("--tts_server", default="http://127.0.0.1:9880")
+    p.add_argument("--ref_file", default="")
+    p.add_argument("--ref_text", default="")
+    p.add_argument("--asr_backend", default="jax-whisper")
+    p.add_argument("--transport", default="webrtc",
+                   choices=["webrtc", "loopback"])
+    p.add_argument("--push_url", default="http://localhost:1985/rtc/v1/publish/")
+    p.add_argument("--pull_url", default="http://localhost:1985/rtc/v1/play/")
+    p.add_argument("--max_session", type=int, default=10)
+    p.add_argument("--listenport", type=int, default=8010)
+    p.add_argument("--customopt", default="", help="path to custom idle-track json")
+    p.add_argument("--llm", default="", help="llm backend (openai|vllm|qwen|echo)")
+    p.add_argument("--llm_url", default="")
+    p.add_argument("--llm_model", default="gpt-3.5-turbo")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    overrides = {
+        key: getattr(args, flag)
+        for flag, key in _FLAG_TO_KEY.items()
+        if getattr(args, flag, None) is not None
+    }
+    return Config().override(**overrides)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    custom_opts = []
+    if args.customopt:
+        with open(args.customopt) as f:
+            custom_opts = json.load(f)
+
+    from mere_fusion_tpu.engines import make_engine
+    from mere_fusion_tpu.server.app import run_server
+
+    llm = None
+    if args.llm:
+        from mere_fusion_tpu.llm import make_llm
+
+        kw = {}
+        if args.llm in ("openai", "chatgpt") and args.llm_url:
+            kw = {"base_url": args.llm_url, "model": args.llm_model}
+        llm = make_llm(args.llm, **kw)
+
+    run_server(cfg, lambda c: make_engine(c, custom_opts=custom_opts), llm=llm)
+
+
+if __name__ == "__main__":
+    main()
