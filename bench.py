@@ -32,10 +32,11 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0), mel[:1], faces[:1])
 
     @jax.jit
-    def step(mel, faces):
+    def _step(variables, mel, faces):
         pred = model.apply(variables, mel, faces)
         return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
 
+    step = lambda mel, faces: _step(variables, mel, faces)
     step(mel, faces).block_until_ready()  # compile
     # steady-state: sequential dispatches (the engine's real pattern)
     iters = 100

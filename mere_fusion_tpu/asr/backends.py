@@ -114,8 +114,16 @@ class JaxWhisperBackend:
                 tokenizer = None  # token-id text fallback
         self.tokenizer = tokenizer
         self._sot = sot_sequence(language_index)
-        self._decode = make_greedy_decoder(self.model, variables, max_new_tokens=128)
-        self._encode = None
+        self._decode = make_greedy_decoder(self.model, self.variables,
+                                           max_new_tokens=128)
+        model = self.model
+        dev_vars = jax.device_put(self.variables)
+
+        @jax.jit
+        def encode(variables, mel):
+            return model.apply(variables, mel, method=Whisper.encode)
+
+        self._encode = lambda mel: encode(dev_vars, mel)
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "JaxWhisperBackend":
@@ -140,7 +148,7 @@ class JaxWhisperBackend:
         padded = np.zeros(N_SAMPLES_30S, dtype=np.float32)
         padded[: min(len(audio), N_SAMPLES_30S)] = audio[:N_SAMPLES_30S]
         mel = melspectrogram(jnp.asarray(padded), WHISPER_MEL)[None]
-        xa = self.model.apply(self.variables, mel, method=Whisper.encode)
+        xa = self._encode(mel)
         prompt = jnp.asarray([self._sot], jnp.int32)
         tokens = np.asarray(self._decode(xa, prompt, len(self._sot)))[0]
         text_tokens = [int(t) for t in tokens[len(self._sot):] if t != EOT]

@@ -33,20 +33,20 @@ class WhisperFeatureExtractor:
                 jnp.zeros((1, self.dims.n_mels, 2 * self.dims.n_audio_ctx)),
                 jnp.zeros((1, 4), jnp.int32),
             )
-        self.variables = variables
+        self.variables = jax.device_put(variables)
         # encoder context window in samples: n_audio_ctx 50 Hz frames
         self.window_samples = self.dims.n_audio_ctx * 2 * 160
 
         model = self.model
 
         @jax.jit
-        def embed(mel):
+        def embed(variables, mel):
             from mere_fusion_tpu.models.whisper import Whisper as W
 
             _, emb = model.apply(variables, mel, True, method=W.encode)
             return emb  # [1, L+1, T', D]
 
-        self._embed = embed
+        self._embed = lambda mel: embed(self.variables, mel)
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "WhisperFeatureExtractor":

@@ -80,16 +80,17 @@ def make_lip_device_step(variables, img_size: int = 96, dtype=jnp.bfloat16):
     (reference does mask/concat on host numpy: lipreal.py:115-119).
     """
     model = Wav2Lip(dtype=dtype)
+    variables = jax.device_put(variables)  # runtime input, not a baked constant
 
     @jax.jit
-    def step(mel: jnp.ndarray, faces_u8: jnp.ndarray) -> jnp.ndarray:
+    def step(variables, mel: jnp.ndarray, faces_u8: jnp.ndarray) -> jnp.ndarray:
         faces = faces_u8.astype(jnp.float32) / 255.0
         masked = faces.at[:, img_size // 2 :].set(0.0)
         x = jnp.concatenate([masked, faces], axis=-1)
         pred = model.apply(variables, mel, x)
         return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
 
-    return step
+    return lambda mel, faces: step(variables, mel, faces)
 
 
 class LipASR(BaseASR):

@@ -134,13 +134,16 @@ class MuseModels:
                 jnp.zeros((1,)),
                 jnp.zeros((1, 50, self.unet_cfg.cross_attention_dim)),
             )
-        self.vae_vars = vae_vars
-        self.unet_vars = unet_vars
+        # keep variables device-resident and pass them as jit ARGUMENTS —
+        # closing over them would bake multi-GB weight constants into the
+        # compiled executable (XLA "captured constants")
+        self.vae_vars = jax.device_put(vae_vars)
+        self.unet_vars = jax.device_put(unet_vars)
         sf = self.vae_cfg.scaling_factor
         vae, unet = self.vae, self.unet
 
         @jax.jit
-        def generate(latents, feats):
+        def _generate(unet_vars, vae_vars, latents, feats):
             """[B,h,w,8] latents + [B,50,384] whisper feats → BGR u8 faces."""
             ctx = positional_encoding(feats)
             pred = unet.apply(
@@ -152,15 +155,17 @@ class MuseModels:
             return img[..., ::-1]  # RGB → BGR
 
         @jax.jit
-        def encode_pair(face_rgb):
+        def _encode_pair(vae_vars, face_rgb):
             """[B,H,W,3] in [-1,1] (unmasked) → [B,h,w,8] scaled latents."""
             masked = face_rgb.at[:, face_rgb.shape[1] // 2 :].set(-1.0)
             zm = vae.apply(vae_vars, masked, method=AutoencoderKL.encode) * sf
             zr = vae.apply(vae_vars, face_rgb, method=AutoencoderKL.encode) * sf
             return jnp.concatenate([zm, zr], axis=-1)
 
-        self.generate = generate
-        self.encode_pair = encode_pair
+        self.generate = lambda latents, feats: _generate(
+            self.unet_vars, self.vae_vars, latents, feats
+        )
+        self.encode_pair = lambda faces: _encode_pair(self.vae_vars, faces)
 
 
 def synthesize_muse_avatar(models: MuseModels, n_frames: int = 6,

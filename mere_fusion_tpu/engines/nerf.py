@@ -163,9 +163,10 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
     H, W = dataset.H, dataset.W
     intrinsics = dataset.intrinsics
     nerf_cfg = cfg.nerf
+    variables = jax.device_put(variables)  # runtime input, not baked constant
 
     @jax.jit
-    def step(pose, auds, eye, density: DensityGrid, bg_color):
+    def step(variables, pose, auds, eye, density: DensityGrid, bg_color):
         rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         ind = (
@@ -187,7 +188,9 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
         img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
         return (img * 255).astype(jnp.uint8)
 
-    return step
+    return lambda pose, auds, eye, density, bg: step(
+        variables, pose, auds, eye, density, bg
+    )
 
 
 class NeRFReal(BaseReal):

@@ -164,13 +164,14 @@ class FaceDetector:
             self.variables = self.model.init(
                 jax.random.key(0), jnp.zeros((1, *shape[1:]), jnp.float32)
             )
+        self.variables = jax.device_put(self.variables)
         model, variables = self.model, self.variables
 
         @jax.jit
-        def fn(imgs):
+        def fn(variables, imgs):
             return decode_detections(model.apply(variables, imgs))
 
-        self._fn = fn
+        self._fn = lambda imgs: fn(variables, imgs)
         self._shape = shape
 
     def detect_batch(self, imgs_bgr: np.ndarray, score_thresh: float = 0.5,

@@ -236,8 +236,9 @@ def make_greedy_decoder(
     re-scoring the full (causal) sequence each step. prompt is a padded
     [B, P] int32 buffer; positions >= prompt_len must be EOT-padded.
     """
+    variables = jax.device_put(variables)  # runtime input, not baked constant
 
-    def decode(xa, prompt, prompt_len):
+    def decode(variables, xa, prompt, prompt_len):
         b, p = prompt.shape
         total = p + max_new_tokens
         tokens = jnp.concatenate(
@@ -268,4 +269,5 @@ def make_greedy_decoder(
         )
         return tokens
 
-    return jax.jit(decode)
+    jitted = jax.jit(decode)
+    return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)
