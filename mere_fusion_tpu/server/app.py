@@ -33,7 +33,7 @@ def json_err(message: str, status: int = 400) -> web.Response:
 
 def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
     app = web.Application()
-    manager = SessionManager(cfg, engine_factory)
+    manager = SessionManager(cfg, engine_factory, llm=llm)
     app["manager"] = manager
     app["llm"] = llm
 

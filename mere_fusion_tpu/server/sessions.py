@@ -22,14 +22,46 @@ logger = logging.getLogger(__name__)
 
 
 class Session:
-    def __init__(self, session_id: str, engine, cfg: Config):
+    def __init__(self, session_id: str, engine, cfg: Config, llm=None,
+                 asr_backend=None, perception=None):
         self.session_id = session_id
         self.model = engine          # reference name for the engine
         self.cfg = cfg
+        self.llm = llm
+        self._asr_backend = asr_backend
+        self._perception = perception
         self.player: Optional[HumanPlayer] = None
         self.brain = None
+        self.speech_upstream = None
+        self.video_upstream = None
         self._consumers: list[asyncio.Task] = []
         self._pcs: list = []
+
+    def ensure_upstream(self) -> None:
+        """Build the cognition plane lazily (first incoming track): incoming
+        speech/video drive the brain, which speaks through the engine. The
+        ASR backend construction compiles the whisper encoder, so it only
+        happens when a caller actually connects."""
+        if self.llm is None or self.speech_upstream is not None:
+            return
+        from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
+        from mere_fusion_tpu.brain import BrainSession
+        from mere_fusion_tpu.perception import StubPerception
+        from mere_fusion_tpu.server.upstream import SpeechUpstream, VideoUpstream
+
+        if self.brain is None:
+            self.brain = BrainSession(self.model, self.llm)
+        backend = self._asr_backend or make_backend(self.cfg.asr.backend)
+        transcriber = StreamingTranscriber(
+            backend, buffer_trimming=("segment", self.cfg.asr.buffer_trim_seconds)
+        )
+        self.speech_upstream = SpeechUpstream(
+            transcriber, self.brain,
+            min_chunk_seconds=self.cfg.asr.min_chunk_seconds,
+        )
+        self.video_upstream = VideoUpstream(
+            self._perception or StubPerception(), self.brain
+        )
 
     async def start(self) -> None:
         mode = self.cfg.transport.mode
@@ -130,9 +162,10 @@ class Session:
 
 
 class SessionManager:
-    def __init__(self, cfg: Config, engine_factory):
+    def __init__(self, cfg: Config, engine_factory, llm=None):
         self.cfg = cfg
         self.engine_factory = engine_factory
+        self.llm = llm
         self.sessions: dict[str, Session] = {}
         self.lock = asyncio.Lock()
 
@@ -144,7 +177,7 @@ class SessionManager:
                 raise RuntimeError("max sessions")
             sid = str(uuid.uuid4())
             engine = self.engine_factory(self.cfg)
-            session = Session(sid, engine, self.cfg)
+            session = Session(sid, engine, self.cfg, llm=self.llm)
             await session.start()
             self.sessions[sid] = session
             metrics.gauge("sessions.active", len(self.sessions))

@@ -70,6 +70,7 @@ class VideoUpstream:
 
 def attach_upstream_track(session, track) -> None:
     """Spawn a reader task for an incoming aiortc track (app.py:233-273)."""
+    session.ensure_upstream()
 
     async def read_audio():
         from mere_fusion_tpu.tts import resample_pcm

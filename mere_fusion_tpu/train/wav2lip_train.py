@@ -44,9 +44,26 @@ def init_state(rng, img_size: int = 96, lr: float = 1e-4, dtype=jnp.float32):
     return model, tx, state
 
 
-def make_train_step(model: Wav2Lip, tx: optax.GradientTransformation):
+def make_train_step(
+    model: Wav2Lip,
+    tx: optax.GradientTransformation,
+    syncnet=None,
+    syncnet_vars=None,
+    disc=None,
+    disc_vars=None,
+    syncnet_wt: float = 0.03,
+    disc_wt: float = 0.07,
+):
     """Returns step(state, batch) -> (state, metrics). batch:
-    {mel [B,80,16], faces [B,S,S,6], target [B,S,S,3]}."""
+    {mel [B,80,16], faces [B,S,S,6], target [B,S,S,3]}.
+
+    Full recipe (reference wav2lip hparams.py:76-100): L1 reconstruction
+    + frozen-SyncNet cosine sync loss on the lower half (syncnet_wt)
+    + frozen-discriminator perceptual term (disc_wt). Pass syncnet/disc
+    modules with their converted variables to enable those terms; the
+    5-frame sync window degenerates to repeated single frames when the batch
+    carries one frame per sample.
+    """
 
     def loss_fn(params, batch_stats, batch):
         out, updates = model.apply(
@@ -57,6 +74,18 @@ def make_train_step(model: Wav2Lip, tx: optax.GradientTransformation):
             mutable=["batch_stats"],
         )
         loss = jnp.mean(jnp.abs(out - batch["target"]))
+        if syncnet is not None:
+            from mere_fusion_tpu.models.syncnet import cosine_sync_loss
+
+            half = out[:, out.shape[1] // 2 :]
+            stacked = jnp.tile(half, (1, 1, 1, 5))  # [B, S/2, S, 15]
+            a_emb, f_emb = syncnet.apply(syncnet_vars, batch["mel"], stacked)
+            loss = loss + syncnet_wt * cosine_sync_loss(
+                a_emb, f_emb, jnp.ones(out.shape[0])
+            )
+        if disc is not None:
+            pred_real = disc.apply(disc_vars, out)
+            loss = loss - disc_wt * jnp.log(jnp.clip(pred_real, 1e-7, 1.0)).mean()
         return loss, (updates["batch_stats"], out)
 
     def train_step(state: TrainState, batch):
