@@ -142,6 +142,141 @@ class NeRFTestDataset:
         return cls(poses, eye_area, bg, intrinsics, H, W)
 
 
+@dataclass
+class NeRFTrainDataset:
+    """Training-time dataset: poses + ground-truth images + per-frame audio
+    feature windows + blink areas + face masks.
+
+    Equivalent of the reference NeRFDataset in train mode
+    (provider.py:362-807): images, face masks, precomputed [N,16,A] audio
+    logits (--aud npy), AU45 blink areas, with random-pixel ray batches.
+    """
+
+    poses: np.ndarray        # [N, 4, 4]
+    images: np.ndarray       # [N, H, W, 3] float32 RGB in [0,1]
+    auds: np.ndarray         # [N, A, 16] audio windows
+    eye_area: np.ndarray     # [N]
+    face_masks: np.ndarray   # [N, H, W] bool
+    bg_img: np.ndarray       # [H, W, 3]
+    intrinsics: tuple
+    H: int
+    W: int
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def sample_rays(self, index: int, num_rays: int, rng: np.random.Generator,
+                    att_window: int = 8) -> dict:
+        """Build one training batch of num_rays random pixels."""
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.ernerf.renderer import get_rays
+
+        pose = jnp.asarray(self.poses[index])
+        rays_o, rays_d = get_rays(pose, self.intrinsics, self.H, self.W)
+        sel = rng.integers(0, self.H * self.W, size=num_rays)
+        img = self.images[index].reshape(-1, 3)
+        mask = self.face_masks[index].reshape(-1)
+        # attention window of audio features around the frame
+        idx = np.clip(
+            np.arange(index - att_window // 2, index + att_window // 2),
+            0, len(self) - 1,
+        )
+        return {
+            "rays_o": jnp.asarray(np.asarray(rays_o)[sel]),
+            "rays_d": jnp.asarray(np.asarray(rays_d)[sel]),
+            "rgb": jnp.asarray(img[sel]),
+            "bg_color": jnp.asarray(self.bg_img.reshape(-1, 3)[sel]),
+            "auds": jnp.asarray(self.auds[idx]),
+            "eye": jnp.asarray([[self.eye_area[index]]], np.float32),
+            "index": jnp.asarray(index, np.int32),
+            "face_mask": jnp.asarray(mask[sel]),
+        }
+
+    @classmethod
+    def load(cls, root: str, scale: float = 4.0, offset=(0, 0, 0),
+             bg_img: str = "white") -> "NeRFTrainDataset":
+        """Load from an ER-NeRF-format data dir: transforms.json (frames with
+        img_id/aud_id), gt_imgs/{img_id}.jpg|png, aud.npy [N,16,A] features,
+        au.csv blink areas, optional parsing/{img_id}.png face masks."""
+        import json as _json
+
+        with open(os.path.join(root, "transforms.json")) as f:
+            transform = _json.load(f)
+        H = int(transform["cy"]) * 2
+        W = int(transform["cx"]) * 2
+        aud_features = np.load(os.path.join(root, "aud.npy"))
+        if aud_features.ndim == 3 and aud_features.shape[1] == 16:
+            aud_features = aud_features.transpose(0, 2, 1)  # [N,16,A] → [N,A,16]
+
+        import pandas as pd
+
+        au = pd.read_csv(os.path.join(root, "au.csv"))
+        au_blink = au[" AU45_r"].values
+
+        poses, images, auds, eyes, masks = [], [], [], [], []
+        for f in transform["frames"]:
+            poses.append(
+                nerf_matrix_to_ngp(
+                    np.array(f["transform_matrix"], np.float32), scale, offset
+                )
+            )
+            img_id = f["img_id"]
+            for ext in (".jpg", ".png"):
+                p = os.path.join(root, "gt_imgs", f"{img_id}{ext}")
+                if os.path.exists(p):
+                    break
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            images.append(img.astype(np.float32) / 255)
+            auds.append(aud_features[min(f.get("aud_id", img_id),
+                                         len(aud_features) - 1)])
+            eyes.append(float(np.clip(au_blink[img_id], 0, 2)) / 2)
+            mp = os.path.join(root, "parsing", f"{img_id}.png")
+            if os.path.exists(mp):
+                parsing = cv2.imread(mp)
+                # reference parsing: face = red-ish pixels (provider.py:540)
+                masks.append((parsing[..., 2] > 200) & (parsing[..., 0] < 100))
+            else:
+                m = np.zeros((H, W), bool)
+                m[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = True
+                masks.append(m)
+
+        if bg_img == "white":
+            bg = np.ones((H, W, 3), np.float32)
+        else:
+            bg = cv2.cvtColor(cv2.imread(bg_img), cv2.COLOR_BGR2RGB).astype(np.float32) / 255
+
+        fl = transform["focal_len"]
+        return cls(
+            poses=np.stack(poses),
+            images=np.stack(images),
+            auds=np.stack(auds).astype(np.float32),
+            eye_area=np.asarray(eyes, np.float32),
+            face_masks=np.stack(masks),
+            bg_img=bg,
+            intrinsics=(fl, fl, transform["cx"], transform["cy"]),
+            H=H, W=W,
+        )
+
+
+def synthesize_nerf_train_data(dirpath: str, n_frames: int = 4, hw: int = 64,
+                               audio_dim: int = 44) -> str:
+    """Procedural ER-NeRF training data dir for tests: a moving bright square
+    over gray, with matching aud.npy and au.csv."""
+    synthesize_nerf_dataset(dirpath, n_frames, hw)
+    gt = os.path.join(dirpath, "gt_imgs")
+    os.makedirs(gt, exist_ok=True)
+    for i in range(n_frames):
+        img = np.full((hw, hw, 3), 64, np.uint8)
+        o = hw // 4 + i
+        img[o : o + hw // 2, o : o + hw // 2] = [220, 180, 140]
+        cv2.imwrite(os.path.join(gt, f"{i}.png"), img)
+    rng = np.random.default_rng(0)
+    np.save(os.path.join(dirpath, "aud.npy"),
+            rng.standard_normal((n_frames, 16, audio_dim)).astype(np.float32))
+    return dirpath
+
+
 def synthesize_nerf_dataset(dirpath: str, n_frames: int = 4, hw: int = 64) -> str:
     """Write a tiny procedural transforms.json + au.csv for tests."""
     os.makedirs(dirpath, exist_ok=True)

@@ -33,6 +33,7 @@ from mere_fusion_tpu.models.ernerf.renderer import (
     DensityGrid,
     get_rays,
     render_rays,
+    render_torso_background,
 )
 from mere_fusion_tpu.runtime.metrics import metrics
 from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
@@ -174,6 +175,15 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
             if network.cfg.individual_dim > 0
             else None
         )
+
+        if network.cfg.torso:
+            def torso_fn(x, p):
+                return network.apply(variables, x, p,
+                                     method=NeRFNetwork.forward_torso)
+
+            bg_color, _ = render_torso_background(
+                torso_fn, H, W, jnp.asarray(pose), bg_color
+            )
 
         def apply_fn(xyz, dirs, training):
             return network.apply(variables, xyz, dirs, enc_a, ind, eye,

@@ -188,6 +188,22 @@ def mark_untrained_grid(density: DensityGrid, visible: jax.Array) -> DensityGrid
                        mean_density=density.mean_density)
 
 
+def render_torso_background(torso_fn: Callable, H: int, W: int, pose,
+                            bg_color, chunk: int | None = None):
+    """2-D torso pass composited over the static background
+    (reference: renderer.py:294-352): evaluate the deformation+color net on
+    the pixel grid in [−1,1]² and alpha-blend onto bg_color.
+
+    torso_fn(x [N,2], pose) → (alpha [N,1], color [N,3], dx). Returns the
+    [H·W, 3] background the head render should composite over.
+    """
+    ys = (jnp.arange(H) + 0.5) / H * 2 - 1
+    xs = (jnp.arange(W) + 0.5) / W * 2 - 1
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+    alpha, color, _dx = torso_fn(grid, pose)
+    return color * alpha + bg_color * (1 - alpha), alpha
+
+
 def get_rays(pose, intrinsics, H: int, W: int):
     """Full-image rays from a c2w pose [4,4] and (fx, fy, cx, cy).
 

@@ -1,0 +1,86 @@
+"""ER-NeRF training CLI (the reference's ernerf/main.py equivalent).
+
+    python -m mere_fusion_tpu.train.ernerf_cli data/obama --iters 100000 \
+        --workspace trial_obama --num_rays 65536
+
+Data dir format: transforms.json + gt_imgs/ + aud.npy + au.csv (+ parsing/).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("ernerf-train")
+    p.add_argument("data_dir")
+    p.add_argument("--workspace", default="workspace")
+    p.add_argument("--iters", type=int, default=200_000)
+    p.add_argument("--num_rays", type=int, default=65536 // 16)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--lr_net", type=float, default=5e-4)
+    p.add_argument("--grid_size", type=int, default=128)
+    p.add_argument("--audio_dim", type=int, default=44)
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mere_fusion_tpu.data.provider import NeRFTrainDataset
+    from mere_fusion_tpu.models.ernerf.network import NeRFNetConfig, NeRFNetwork
+    from mere_fusion_tpu.train.ernerf_train import (
+        NeRFTrainConfig,
+        init_nerf_train,
+        make_nerf_train_step,
+        refresh_density_grid,
+    )
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+    dataset = NeRFTrainDataset.load(args.data_dir)
+    print(f"[train] {len(dataset)} frames, {dataset.H}x{dataset.W}")
+
+    net_cfg = NeRFNetConfig(
+        audio_in_dim=args.audio_dim, num_train_frames=len(dataset)
+    )
+    network = NeRFNetwork(net_cfg)
+    variables = network.init(
+        jax.random.key(args.seed),
+        jnp.zeros((8, args.audio_dim, 16)), jnp.zeros((4, 3)),
+        jnp.ones((4, 3)) / np.sqrt(3.0),
+        jnp.zeros((1, net_cfg.individual_dim)), jnp.zeros((1, 1)),
+        method=NeRFNetwork.full_init,
+    )
+    tcfg = NeRFTrainConfig(
+        grid_size=args.grid_size, iters=args.iters, lr=args.lr,
+        lr_net=args.lr_net,
+    )
+    tx, state = init_nerf_train(network, variables, tcfg)
+    step = make_nerf_train_step(network, tx, tcfg)
+    ckpt = Checkpointer(args.workspace)
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for it in range(args.iters):
+        frame = int(rng.integers(0, len(dataset)))
+        batch = dataset.sample_rays(frame, args.num_rays, rng)
+        state, metrics = step(state, batch, jax.random.key(it))
+        if it % 16 == 0:
+            state = refresh_density_grid(
+                network, state, jnp.asarray(dataset.auds[:8]), tcfg
+            )
+        if it % 100 == 0:
+            loss = float(metrics["loss"])
+            rate = (it + 1) / (time.time() - t0)
+            print(f"[train] it {it}  loss {loss:.5f}  {rate:.1f} it/s")
+        if it > 0 and it % args.ckpt_every == 0:
+            ckpt.save(it, state, {"loss": float(metrics["loss"])})
+    ckpt.save(args.iters, state, {"loss": float(metrics["loss"])})
+    ckpt.close()
+    print("[train] done")
+
+
+if __name__ == "__main__":
+    main()
