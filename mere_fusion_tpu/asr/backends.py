@@ -99,7 +99,7 @@ class JaxWhisperBackend:
         self.dims = dims or TINY
         self.model = Whisper(self.dims)
         if variables is None:
-            variables = self.model.init(
+            variables = jax.jit(self.model.init)(
                 jax.random.key(0),
                 jnp.zeros((1, self.dims.n_mels, 2 * self.dims.n_audio_ctx)),
                 jnp.zeros((1, 4), jnp.int32),

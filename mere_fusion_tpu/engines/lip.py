@@ -141,7 +141,7 @@ class LipReal(BaseReal):
 
         if variables is None:  # weightless mode: random params, silence path still exact
             model = Wav2Lip()
-            variables = model.init(
+            variables = jax.jit(model.init)(
                 jax.random.key(0),
                 jnp.zeros((1, 80, 16)),
                 jnp.zeros((1, self.img_size, self.img_size, 6)),

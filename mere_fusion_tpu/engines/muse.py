@@ -123,11 +123,11 @@ class MuseModels:
         self.latent_size = face_size // down
 
         if vae_vars is None:
-            vae_vars = self.vae.init(
+            vae_vars = jax.jit(self.vae.init)(
                 jax.random.key(0), jnp.zeros((1, face_size, face_size, 3))
             )
         if unet_vars is None:
-            unet_vars = self.unet.init(
+            unet_vars = jax.jit(self.unet.init)(
                 jax.random.key(1),
                 jnp.zeros((1, self.latent_size, self.latent_size,
                            self.unet_cfg.in_channels)),

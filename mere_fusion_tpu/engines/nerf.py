@@ -223,7 +223,7 @@ class NeRFReal(BaseReal):
             ))
         self.network = network
         if variables is None:
-            variables = network.init(
+            variables = jax.jit(network.init, static_argnames="method")(
                 jax.random.key(0),
                 jnp.zeros((8, network.cfg.audio_in_dim, 16)),
                 jnp.zeros((4, 3)), jnp.ones((4, 3)) / np.sqrt(3.0),

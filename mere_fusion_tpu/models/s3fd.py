@@ -161,7 +161,7 @@ class FaceDetector:
 
     def _compile(self, shape):
         if self.variables is None:
-            self.variables = self.model.init(
+            self.variables = jax.jit(self.model.init)(
                 jax.random.key(0), jnp.zeros((1, *shape[1:]), jnp.float32)
             )
         self.variables = jax.device_put(self.variables)

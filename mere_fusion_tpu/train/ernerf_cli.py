@@ -46,7 +46,7 @@ def main(argv=None) -> None:
         audio_in_dim=args.audio_dim, num_train_frames=len(dataset)
     )
     network = NeRFNetwork(net_cfg)
-    variables = network.init(
+    variables = jax.jit(network.init, static_argnames="method")(
         jax.random.key(args.seed),
         jnp.zeros((8, args.audio_dim, 16)), jnp.zeros((4, 3)),
         jnp.ones((4, 3)) / np.sqrt(3.0),

@@ -28,7 +28,7 @@ class TrainState(NamedTuple):
 
 def init_state(rng, img_size: int = 96, lr: float = 1e-4, dtype=jnp.float32):
     model = Wav2Lip(dtype=dtype)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames='train')(
         rng,
         jnp.zeros((1, 80, 16)),
         jnp.zeros((1, img_size, img_size, 6)),
