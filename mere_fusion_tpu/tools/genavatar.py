@@ -107,9 +107,13 @@ def feathered_mask(frame_hw: tuple[int, int], face_box, pad: int = 16,
 
 
 def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
-                       models, bbox_shift: int = 0) -> str:
+                       models, bbox_shift: int = 0, face_parser=None) -> str:
     """Write a musetalk avatar bundle (full_imgs/, coords.pkl, latents.npy,
-    mask/, mask_coords.pkl, avator_info.json)."""
+    mask/, mask_coords.pkl, avator_info.json).
+
+    face_parser: optional mere_fusion_tpu.models.bisenet.FaceParsing — when
+    given, blend masks come from BiSeNet parsing like the reference
+    (mere_musetalk.py:210-233); otherwise feathered boxes."""
     import jax.numpy as jnp
 
     from mere_fusion_tpu.engines.muse import preprocess_face
@@ -129,7 +133,18 @@ def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
         faces.append(
             preprocess_face(frame[y1:y2, x1:x2], models.face_size, half_mask=False)
         )
-        mask, crop_box = feathered_mask(frame.shape[:2], box)
+        if face_parser is not None:
+            pad = 16
+            h, w = frame.shape[:2]
+            xs, ys = max(0, x1 - pad), max(0, y1 - pad)
+            xe, ye = min(w, x2 + pad), min(h, y2 + pad)
+            crop = frame[ys:ye, xs:xe]
+            parsed = face_parser(crop, size=(crop.shape[1], crop.shape[0]))
+            parsed = cv2.GaussianBlur(parsed, (15, 15), 0)
+            mask = cv2.cvtColor(parsed, cv2.COLOR_GRAY2BGR)
+            crop_box = (xs, ys, xe, ye)
+        else:
+            mask, crop_box = feathered_mask(frame.shape[:2], box)
         cv2.imwrite(os.path.join(mask_dir, f"{i}.png"), mask)
         mask_coords.append(crop_box)
 

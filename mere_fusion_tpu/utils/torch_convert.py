@@ -189,6 +189,56 @@ def convert_s3fd(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params}
 
 
+def convert_bisenet(state_dict: Mapping[str, Any]) -> dict:
+    """Map a BiSeNet face-parsing .pth (face_parsing/model.py layout) onto
+    our flax BiSeNet by name translation."""
+    sd = strip_prefix(state_dict)
+    bn_modules = {
+        k.rsplit(".", 1)[0] for k in sd if k.endswith("running_mean")
+    }
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree: dict, path: list[str], leaf_name: str, value):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf_name] = value
+
+    for key, value in sd.items():
+        if "num_batches_tracked" in key or key.startswith("fc."):
+            continue
+        module, leaf = key.rsplit(".", 1)
+        # name translation: layerX.Y → layerX_Y, downsample.{0,1} → named
+        module = module.replace("downsample.0", "downsample_conv")
+        module = module.replace("downsample.1", "downsample_bn")
+        import re as _re
+
+        module = _re.sub(r"(layer\d)\.(\d)", r"\1_\2", module)
+        path = module.split(".")
+        w = _np(value)
+        if module in {m.replace("downsample.0", "downsample_conv")
+                       .replace("downsample.1", "downsample_bn")
+                      for m in bn_modules} or any(
+            module.endswith(s) for s in ("bn", "bn1", "bn2", "bn_atten",
+                                         "downsample_bn")
+        ):
+            if leaf == "weight":
+                put(params, path, "scale", w)
+            elif leaf == "bias":
+                put(params, path, "bias", w)
+            elif leaf == "running_mean":
+                put(stats, path, "mean", w)
+            elif leaf == "running_var":
+                put(stats, path, "var", w)
+        else:  # conv
+            if leaf == "weight":
+                put(params, path, "kernel", w.transpose(2, 3, 1, 0))
+            else:
+                put(params, path, "bias", w)
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file on host (CPU) and return its state dict."""
     import torch
