@@ -105,6 +105,8 @@ class NeRFConfig:
     eye_dim: int = 1                  # AU45 blink scalar
     max_steps: int = 16               # marching steps per ray at inference
     num_rays: int = 65536
+    n_candidates: int = 32            # occupancy probes per ray
+    max_active_rays: int = 65536      # static ray-compaction budget (0 = off)
     smooth_path_window: int = 7
     torso: bool = False
     exp_eye: bool = True

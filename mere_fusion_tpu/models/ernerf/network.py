@@ -215,12 +215,17 @@ class NeRFNetwork(nn.Module):
 
         Returns (sigma [N], color [N,3], ambient_aud [N,1], ambient_eye [N,1],
         uncertainty [N,1])."""
-        enc_x = self.encode_x(x)
-        dens = self.density(x, enc_a, e, enc_x)
+        return self.forward_with_enc(self.encode_x(x), d, enc_a, c, e, training)
+
+    def forward_with_enc(self, enc_x, d, enc_a, c=None, e=None,
+                         training: bool = False):
+        """Heads over precomputed triplane features (the baked-texture
+        inference path feeds this directly)."""
+        dens = self.density(None, enc_a, e, enc_x)
         enc_d = sh_encode(d, 4)
         parts = [enc_d, dens["geo_feat"]]
         if c is not None:
-            parts.append(jnp.broadcast_to(c, (x.shape[0], c.shape[-1])))
+            parts.append(jnp.broadcast_to(c, (enc_x.shape[0], c.shape[-1])))
         h = self.color_net(jnp.concatenate(parts, axis=-1))
         color = nn.sigmoid(h) * (1 + 2 * 0.001) - 0.001
         if training:

@@ -119,12 +119,19 @@ def render_rays(
     n_steps: int = 16,
     min_near: float = 0.05,
     training: bool = False,
+    max_active_rays: int = 0,
 ):
     """Render a batch of rays.
 
     apply_fn(xyz [N·K,3], dirs [N·K,3], training) →
         (sigma, color, amb_aud, amb_eye, unc) — a closure over network
         variables and the per-frame conditions (enc_a, eye, individual code).
+
+    max_active_rays > 0 enables static ray compaction (the fixed-shape
+    analog of the reference's alive-ray compaction, renderer.py:246-270):
+    rays whose probes hit no occupied voxel skip the network entirely; the
+    first max_active_rays occupancy-hitting rays are gathered, rendered,
+    and scattered back over a background-filled frame.
     """
     n = rays_o.shape[0]
     near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound, min_near)
@@ -132,25 +139,47 @@ def render_rays(
         rays_o, rays_d, near, far, density, bound, grid_size, n_candidates, n_steps
     )
     sample_valid = sample_valid & ray_valid[:, None]
+
+    def run(rays_d, z, dt, sample_valid, xyz):
+        m = z.shape[0]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+        sigma, color, amb_aud, amb_eye, unc = apply_fn(
+            xyz.reshape(-1, 3), dirs.reshape(-1, 3), training
+        )
+        k = z.shape[1]
+        return sigma.reshape(m, k), color.reshape(m, k, 3), {
+            "ambient_aud": amb_aud.reshape(m, k, 1),
+            "ambient_eye": amb_eye.reshape(m, k, 1),
+            "uncertainty": unc.reshape(m, k, 1),
+        }
+
+    if 0 < max_active_rays < n:
+        active = sample_valid.any(axis=-1)
+        order = jnp.argsort(~active)            # occupancy-hitting rays first
+        sel = order[:max_active_rays]
+        xyz_s = (rays_o[sel, None, :]
+                 + rays_d[sel, None, :] * z[sel][..., None])
+        xyz_s = jnp.clip(xyz_s, -bound, bound)
+        bg_s = bg_color[sel] if bg_color.ndim == 2 else bg_color
+        sigma, color, extras = run(rays_d[sel], z[sel], dt[sel],
+                                   sample_valid[sel], xyz_s)
+        sub = composite(sigma, color, z[sel], dt[sel], sample_valid[sel],
+                        bg_s, extras=extras)
+        # background-filled defaults, subset scattered back
+        full_bg = jnp.broadcast_to(bg_color, (n, 3))
+        out = {
+            "image": full_bg.at[sel].set(sub["image"]),
+            "depth": jnp.zeros((n,)).at[sel].set(sub["depth"]),
+            "weights_sum": jnp.zeros((n,)).at[sel].set(sub["weights_sum"]),
+        }
+        for name in ("ambient_aud", "ambient_eye", "uncertainty"):
+            out[name] = jnp.zeros((n, 1)).at[sel].set(sub[name])
+        return out
+
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]       # [N,K,3]
     xyz = jnp.clip(xyz, -bound, bound)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
-
-    sigma, color, amb_aud, amb_eye, unc = apply_fn(
-        xyz.reshape(-1, 3), dirs.reshape(-1, 3), training
-    )
-    k = z.shape[1]
-    out = composite(
-        sigma.reshape(n, k),
-        color.reshape(n, k, 3),
-        z, dt, sample_valid, bg_color,
-        extras={
-            "ambient_aud": amb_aud.reshape(n, k, 1),
-            "ambient_eye": amb_eye.reshape(n, k, 1),
-            "uncertainty": unc.reshape(n, k, 1),
-        },
-    )
-    return out
+    sigma, color, extras = run(rays_d, z, dt, sample_valid, xyz)
+    return composite(sigma, color, z, dt, sample_valid, bg_color, extras=extras)
 
 
 def update_density_grid(
