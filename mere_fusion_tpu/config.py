@@ -107,6 +107,9 @@ class NeRFConfig:
     num_rays: int = 65536
     n_candidates: int = 32            # occupancy probes per ray
     max_active_rays: int = 65536      # static ray-compaction budget (0 = off)
+    sample_mode: str = "bilinear"     # baked-texture filtering: bilinear|nearest
+    texture_dtype: str = "bfloat16"   # baked-texture storage dtype
+    probe_block: int = 8              # pixels per shared occupancy probe (0 = per-ray)
     smooth_path_window: int = 7
     torso: bool = False
     exp_eye: bool = True

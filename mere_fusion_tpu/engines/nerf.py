@@ -194,7 +194,8 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
 
         def apply_fn(xyz, dirs, training):
             if baked is not None:
-                enc_x = encode_x_baked(baked, xyz, nerf_cfg.bound)
+                enc_x = encode_x_baked(baked, xyz, nerf_cfg.bound,
+                                       nerf_cfg.sample_mode)
                 return network.apply(
                     variables, enc_x, dirs, enc_a, ind, eye, training=training,
                     method=NeRFNetwork.forward_with_enc,
@@ -208,6 +209,9 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
             bg_color=bg_color,
             n_candidates=nerf_cfg.n_candidates, n_steps=nerf_cfg.max_steps,
             max_active_rays=nerf_cfg.max_active_rays,
+            probe_block=nerf_cfg.probe_block if H % max(nerf_cfg.probe_block, 1) == 0
+            and W % max(nerf_cfg.probe_block, 1) == 0 else 0,
+            image_hw=(H, W),
         )
         img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
         return (img * 255).astype(jnp.uint8)
@@ -262,6 +266,7 @@ class NeRFReal(BaseReal):
             baked = bake_triplanes(
                 variables["params"], network.cfg.plane_spec, network.cfg.bound,
                 resolution=min(1024, 2 * nc.desired_resolution),
+                dtype=jnp.bfloat16 if nc.texture_dtype == "bfloat16" else None,
             )
         self._render_step = make_nerf_render_step(
             network, variables, dataset, cfg, baked=baked

@@ -86,6 +86,58 @@ def select_occupied_depths(
     return z, dt, sample_valid
 
 
+def select_depths_blocked(
+    rays_o, rays_d, near, far, density: DensityGrid, bound: float,
+    grid_size: int, n_candidates: int, n_steps: int,
+    block: int, H: int, W: int,
+):
+    """Block-shared occupancy span: probe one central ray per block×block
+    pixel tile, find the [first, last] occupied depth, and sample n_steps
+    uniformly inside that span for every ray of the tile.
+
+    Rays within a tile are near-parallel at portrait FOVs, so the span
+    transfers; samples landing in empty space contribute σ≈0. This removes
+    the per-ray probe and sort: occupancy gathers drop by block² and the
+    selection becomes a linspace. Returns (z [N,K], dt [N,1], valid [N,K]).
+    """
+    n = rays_o.shape[0]
+    hb, wb = H // block, W // block
+    # central ray per block
+    ctr = (
+        (jnp.arange(hb) * block + block // 2)[:, None] * W
+        + (jnp.arange(wb) * block + block // 2)[None, :]
+    ).reshape(-1)
+    o_c = rays_o[ctr]
+    d_c = rays_d[ctr]
+    near_c, far_c = near[ctr], far[ctr]
+    frac = jnp.linspace(0.0, 1.0, n_candidates)
+    z_all = near_c[:, None] + (far_c - near_c)[:, None] * frac[None, :]
+    xyz = o_c[:, None, :] + d_c[:, None, :] * z_all[..., None]
+    vox, inside = voxel_index(xyz, bound, grid_size)
+    occ = density.occupancy[vox] & inside                      # [B, M]
+    any_occ = occ.any(axis=-1)
+    first = jnp.argmax(occ, axis=-1)
+    last = n_candidates - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
+    # pad one candidate on each side for safety at span edges
+    step_frac = (far_c - near_c) / (n_candidates - 1)
+    zmin = near_c + jnp.maximum(first - 1, 0) * step_frac
+    zmax = near_c + jnp.minimum(last + 1, n_candidates - 1) * step_frac
+
+    # broadcast block spans back to pixels
+    def to_pixels(v):
+        v = v.reshape(hb, wb)
+        v = jnp.repeat(jnp.repeat(v, block, axis=0), block, axis=1)
+        return v.reshape(n)
+
+    zmin_p, zmax_p = to_pixels(zmin), to_pixels(zmax)
+    valid_p = to_pixels(any_occ)
+    kfrac = jnp.linspace(0.0, 1.0, n_steps)
+    z = zmin_p[:, None] + (zmax_p - zmin_p)[:, None] * kfrac[None, :]
+    dt = ((zmax_p - zmin_p) / n_steps)[:, None]
+    sample_valid = jnp.broadcast_to(valid_p[:, None], (n, n_steps))
+    return z, dt, sample_valid
+
+
 def composite(sigmas, colors, z, dt, valid, bg_color, extras=None,
               t_threshold: float = 1e-4):
     """Front-to-back alpha compositing with masked samples.
@@ -120,6 +172,8 @@ def render_rays(
     min_near: float = 0.05,
     training: bool = False,
     max_active_rays: int = 0,
+    probe_block: int = 0,
+    image_hw: Optional[tuple] = None,
 ):
     """Render a batch of rays.
 
@@ -135,9 +189,16 @@ def render_rays(
     """
     n = rays_o.shape[0]
     near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound, min_near)
-    z, dt, sample_valid = select_occupied_depths(
-        rays_o, rays_d, near, far, density, bound, grid_size, n_candidates, n_steps
-    )
+    if probe_block > 1 and image_hw is not None:
+        z, dt, sample_valid = select_depths_blocked(
+            rays_o, rays_d, near, far, density, bound, grid_size,
+            n_candidates, n_steps, probe_block, *image_hw,
+        )
+    else:
+        z, dt, sample_valid = select_occupied_depths(
+            rays_o, rays_d, near, far, density, bound, grid_size,
+            n_candidates, n_steps,
+        )
     sample_valid = sample_valid & ray_valid[:, None]
 
     def run(rays_d, z, dt, sample_valid, xyz):

@@ -36,23 +36,31 @@ def bake_plane(table: jax.Array, spec: GridSpec, bound: float,
     return jnp.concatenate(outs).reshape(r, r, -1)
 
 
-def sample_plane(plane: jax.Array, uv: jnp.ndarray, bound: float) -> jnp.ndarray:
-    """Bilinear texture sample. plane [R, R, C] (axis 0 = v/y, 1 = u/x),
-    uv [N, 2] in [−bound, bound] with uv[:,0] = x. Returns [N, C]."""
+def sample_plane(plane: jax.Array, uv: jnp.ndarray, bound: float,
+                 method: str = "bilinear") -> jnp.ndarray:
+    """Texture sample. plane [R, R, C] (axis 0 = v/y, 1 = u/x), uv [N, 2]
+    in [−bound, bound] with uv[:,0] = x. Returns [N, C] float32.
+
+    method="nearest" does one gather per sample instead of four — at a bake
+    resolution ≥2× the render resolution the snap error is sub-texel."""
     r = plane.shape[0]
     x01 = (uv + bound) / (2 * bound)
     pos = x01 * r - 0.5                      # texel-center alignment
+    flat = plane.reshape(r * r, -1)
+    if method == "nearest":
+        xi = jnp.clip(jnp.round(pos[:, 0]).astype(jnp.int32), 0, r - 1)
+        yi = jnp.clip(jnp.round(pos[:, 1]).astype(jnp.int32), 0, r - 1)
+        return flat[yi * r + xi].astype(jnp.float32)
     pf = jnp.floor(pos)
-    frac = pos - pf
+    frac = (pos - pf).astype(jnp.float32)
     x0 = jnp.clip(pf[:, 0].astype(jnp.int32), 0, r - 1)
     y0 = jnp.clip(pf[:, 1].astype(jnp.int32), 0, r - 1)
     x1 = jnp.minimum(x0 + 1, r - 1)
     y1 = jnp.minimum(y0 + 1, r - 1)
-    flat = plane.reshape(r * r, -1)
-    f00 = flat[y0 * r + x0]
-    f01 = flat[y0 * r + x1]
-    f10 = flat[y1 * r + x0]
-    f11 = flat[y1 * r + x1]
+    f00 = flat[y0 * r + x0].astype(jnp.float32)
+    f01 = flat[y0 * r + x1].astype(jnp.float32)
+    f10 = flat[y1 * r + x0].astype(jnp.float32)
+    f11 = flat[y1 * r + x1].astype(jnp.float32)
     wx = frac[:, 0:1]
     wy = frac[:, 1:2]
     return ((f00 * (1 - wx) + f01 * wx) * (1 - wy)
@@ -60,15 +68,18 @@ def sample_plane(plane: jax.Array, uv: jnp.ndarray, bound: float) -> jnp.ndarray
 
 
 def bake_triplanes(params: dict, spec: GridSpec, bound: float,
-                   resolution: int = 512) -> dict:
-    """Bake plane_xy/plane_yz/plane_xz tables → textures dict."""
-    return {
-        name: bake_plane(params[name], spec, bound, resolution)
-        for name in ("plane_xy", "plane_yz", "plane_xz")
-    }
+                   resolution: int = 512, dtype=None) -> dict:
+    """Bake plane_xy/plane_yz/plane_xz tables → textures dict.
+    dtype=jnp.bfloat16 halves texture memory traffic."""
+    out = {}
+    for name in ("plane_xy", "plane_yz", "plane_xz"):
+        plane = bake_plane(params[name], spec, bound, resolution)
+        out[name] = plane.astype(dtype) if dtype is not None else plane
+    return out
 
 
-def encode_x_baked(baked: dict, xyz: jnp.ndarray, bound: float) -> jnp.ndarray:
+def encode_x_baked(baked: dict, xyz: jnp.ndarray, bound: float,
+                   method: str = "bilinear") -> jnp.ndarray:
     """Triplane features from baked textures — drop-in for
     NeRFNetwork.encode_x at inference. xyz [N, 3] → [N, 3·L·C]."""
     xy = xyz[:, :2]
@@ -76,9 +87,9 @@ def encode_x_baked(baked: dict, xyz: jnp.ndarray, bound: float) -> jnp.ndarray:
     xz = jnp.stack([xyz[:, 0], xyz[:, 2]], axis=-1)
     return jnp.concatenate(
         [
-            sample_plane(baked["plane_xy"], xy, bound),
-            sample_plane(baked["plane_yz"], yz, bound),
-            sample_plane(baked["plane_xz"], xz, bound),
+            sample_plane(baked["plane_xy"], xy, bound, method),
+            sample_plane(baked["plane_yz"], yz, bound, method),
+            sample_plane(baked["plane_xz"], xz, bound, method),
         ],
         axis=-1,
     )

@@ -46,3 +46,27 @@ def test_compaction_matches_full_render():
     # inactive rays are pure background
     inactive = np.asarray(rays_o[:, 0]) > -0.5
     np.testing.assert_allclose(np.asarray(compact["image"])[inactive], 1.0)
+
+
+def test_blocked_probe_matches_per_ray_on_slab():
+    from mere_fusion_tpu.models.ernerf.renderer import (
+        intersect_aabb, select_depths_blocked,
+    )
+
+    g = 16
+    idx = jnp.arange(g**3)
+    zc = (idx % g).astype(jnp.float32) / g * 2 - 1
+    occ = (zc > 0.0) & (zc < 0.5)
+    density = DensityGrid(jnp.zeros((g**3,)), occ, jnp.zeros(()))
+
+    H = W = 8
+    n = H * W
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (n, 1)).astype(np.float32))
+    rays_d = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (n, 1)).astype(np.float32))
+    near, far, _ = intersect_aabb(rays_o, rays_d, 1.0)
+    z, dt, valid = select_depths_blocked(
+        rays_o, rays_d, near, far, density, 1.0, g, 32, 8, block=4, H=H, W=W
+    )
+    assert bool(valid.all())
+    pts = np.asarray(rays_o[:, 2:3] + z)   # z coords of samples
+    assert pts.min() > -0.2 and pts.max() < 0.7  # span ≈ occupied slab ± pad
