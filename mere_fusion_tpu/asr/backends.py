@@ -114,8 +114,14 @@ class JaxWhisperBackend:
                 tokenizer = None  # token-id text fallback
         self.tokenizer = tokenizer
         self._sot = sot_sequence(language_index)
+        suppress = None
+        if self.tokenizer is not None:
+            from mere_fusion_tpu.models.whisper import non_speech_token_ids
+
+            suppress = non_speech_token_ids(self.tokenizer)
         self._decode = make_greedy_decoder(self.model, self.variables,
-                                           max_new_tokens=128)
+                                           max_new_tokens=128,
+                                           suppress_tokens=suppress)
         model = self.model
         dev_vars = jax.device_put(self.variables)
 

@@ -224,6 +224,25 @@ def sot_sequence(language_index: int = 0, task: int = TRANSCRIBE) -> list[int]:
     return [SOT, LANG_BASE + language_index, task, NO_TIMESTAMPS]
 
 
+def non_speech_token_ids(tokenizer) -> tuple:
+    """Token ids to suppress during transcription (the published whisper
+    decoding rule: symbols and bracket/music tokens never start speech).
+    Derived from the tokenizer so it works for any vocab."""
+    symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + [
+        "<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", '("', "((",
+        "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪",
+    ]
+    ids = {SOT, NO_SPEECH}
+    for sym in symbols + [" " + s for s in symbols]:
+        try:
+            toks = tokenizer.encode(sym)
+        except KeyError:
+            continue
+        if len(toks) == 1:
+            ids.add(toks[0])
+    return tuple(sorted(ids))
+
+
 def make_greedy_decoder(
     model: Whisper,
     variables,

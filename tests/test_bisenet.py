@@ -39,22 +39,29 @@ def test_parity_vs_reference_torch(tmp_path):
     import importlib.util
     import types
 
-    # the reference files import torchvision at module level without using it
-    for stub in ("torchvision", "torchvision.models"):
-        sys.modules.setdefault(stub, types.ModuleType(stub))
-
-    pdir = os.path.join(REFERENCE, "musetalk", "utils", "face_parsing")
-    pkg = types.ModuleType("refparse")
-    pkg.__path__ = [pdir]
-    sys.modules["refparse"] = pkg
-    for name in ("resnet", "model"):
-        spec = importlib.util.spec_from_file_location(
-            f"refparse.{name}", os.path.join(pdir, f"{name}.py")
-        )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[f"refparse.{name}"] = mod
-        spec.loader.exec_module(mod)
-    TorchBiSeNet = sys.modules["refparse.model"].BiSeNet
+    # the reference files import torchvision at module level without using
+    # it; stub it only while loading, then restore (a lingering stub breaks
+    # transformers' torchvision detection in later tests)
+    stubbed = [s for s in ("torchvision", "torchvision.models")
+               if s not in sys.modules]
+    for stub in stubbed:
+        sys.modules[stub] = types.ModuleType(stub)
+    try:
+        pdir = os.path.join(REFERENCE, "musetalk", "utils", "face_parsing")
+        pkg = types.ModuleType("refparse")
+        pkg.__path__ = [pdir]
+        sys.modules["refparse"] = pkg
+        for name in ("resnet", "model"):
+            spec = importlib.util.spec_from_file_location(
+                f"refparse.{name}", os.path.join(pdir, f"{name}.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"refparse.{name}"] = mod
+            spec.loader.exec_module(mod)
+        TorchBiSeNet = sys.modules["refparse.model"].BiSeNet
+    finally:
+        for stub in stubbed:
+            sys.modules.pop(stub, None)
 
     # the reference backbone loads resnet weights from a file at init;
     # feed it an empty dict so it keeps its random init
