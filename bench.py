@@ -29,22 +29,30 @@ def main() -> None:
     model = Wav2Lip(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((batch, 80, 16)).astype(np.float32))
-    faces = jnp.asarray(rng.uniform(0, 1, (batch, 96, 96, 6)).astype(np.float32))
-    variables = jax.jit(model.init)(jax.random.key(0), mel[:1], faces[:1])
+    faces = jnp.asarray(
+        rng.integers(0, 255, (batch, 96, 96, 3)).astype(np.uint8)
+    )
+    variables = jax.jit(model.init)(
+        jax.random.key(0), mel[:1], jnp.zeros((1, 96, 96, 6))
+    )
 
     @jax.jit
-    def _step(variables, mel, faces):
-        pred = model.apply(variables, mel, faces)
+    def _step(variables, mel, faces_u8):
+        f = faces_u8.astype(jnp.float32) / 255.0
+        masked = f.at[:, 48:].set(0.0)
+        pred = model.apply(variables, mel, jnp.concatenate([masked, f], -1))
         return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
 
     step = lambda mel, faces: _step(variables, mel, faces)
-    step(mel, faces).block_until_ready()  # compile
-    # steady-state: sequential dispatches (the engine's real pattern)
+    np.asarray(step(mel, faces))  # compile + full sync
+    # steady-state: each step consumes the previous output (true dependency
+    # chain — async-dispatch runtimes cannot skip work), final host readback
     iters = 100
     t0 = time.perf_counter()
+    out = faces
     for _ in range(iters):
-        out = step(mel, faces)
-    out.block_until_ready()
+        out = step(mel, out)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     fps = batch / dt
 
