@@ -31,11 +31,18 @@ class BaseASR:
         self.stride_left_size = cfg.stride.left
         self.stride_right_size = cfg.stride.right
         self.feat_queue: Queue = Queue(2)
+        # set on the first speech chunk after silence; engines clear it when
+        # the first generated frame ships (audio-to-first-frame latency)
+        self.speech_start_ts = None
 
     def pause_talk(self) -> None:
         self.queue.queue.clear()
 
     def put_audio_frame(self, audio_chunk: np.ndarray) -> None:
+        import time
+
+        if self.speech_start_ts is None:
+            self.speech_start_ts = time.monotonic()
         self.queue.put(audio_chunk)
 
     def get_audio_frame(self) -> tuple[np.ndarray, int]:

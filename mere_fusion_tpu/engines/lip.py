@@ -148,6 +148,13 @@ class LipReal(BaseReal):
             )
         dtype = jnp.bfloat16 if cfg.avatar.dtype == "bfloat16" else jnp.float32
         self._device_step = make_lip_device_step(variables, self.img_size, dtype)
+        # warm the speech-path jit so the first utterance doesn't stall the
+        # live pipeline behind a compile
+        self._device_step(
+            jnp.zeros((self.batch_size, 80, 16)),
+            jnp.zeros((self.batch_size, self.img_size, self.img_size, 3),
+                      jnp.uint8),
+        )
 
         self.asr = LipASR(cfg, self)
         self.asr.warm_up()
@@ -227,6 +234,11 @@ class LipReal(BaseReal):
                 else:
                     combine_frame = self.avatar.frame_cycle[idx]
             else:
+                if self.asr.speech_start_ts is not None:
+                    metrics.latency("lip.first_frame").observe(
+                        time.monotonic() - self.asr.speech_start_ts
+                    )
+                    self.asr.speech_start_ts = None
                 y1, y2, x1, x2 = self.avatar.coords[idx]
                 combine_frame = copy.deepcopy(self.avatar.frame_cycle[idx])
                 try:

@@ -136,7 +136,17 @@ class MuseModels:
             )
         # keep variables device-resident and pass them as jit ARGUMENTS —
         # closing over them would bake multi-GB weight constants into the
-        # compiled executable (XLA "captured constants")
+        # compiled executable (XLA "captured constants"). Store weights in
+        # the compute dtype so bf16 inference doesn't reconvert ~900M params
+        # per dispatch (the reference likewise runs fp16 weights,
+        # musereal.py:54-58).
+        if dtype == jnp.bfloat16:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                t,
+            )
+            vae_vars, unet_vars = cast(vae_vars), cast(unet_vars)
         self.vae_vars = jax.device_put(vae_vars)
         self.unet_vars = jax.device_put(unet_vars)
         sf = self.vae_cfg.scaling_factor
@@ -310,6 +320,11 @@ class MuseReal(BaseReal):
                 else:
                     combine_frame = self.avatar.frame_cycle[idx]
             else:
+                if self.asr.speech_start_ts is not None:
+                    metrics.latency("muse.first_frame").observe(
+                        time.monotonic() - self.asr.speech_start_ts
+                    )
+                    self.asr.speech_start_ts = None
                 x1, y1, x2, y2 = self.avatar.coords[idx]
                 ori = copy.deepcopy(self.avatar.frame_cycle[idx])
                 try:
