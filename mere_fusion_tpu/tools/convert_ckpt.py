@@ -1,0 +1,81 @@
+"""Checkpoint conversion CLI: reference torch/diffusers weights → native trees.
+
+    python -m mere_fusion_tpu.tools.convert_ckpt wav2lip models/wav2lip.pth out/
+    python -m mere_fusion_tpu.tools.convert_ckpt whisper models/whisper/tiny.pt out/
+    python -m mere_fusion_tpu.tools.convert_ckpt vae models/sd-vae-ft-mse/... out/
+    python -m mere_fusion_tpu.tools.convert_ckpt musetalk-unet pytorch_model.bin out/ \
+        --unet-config musetalk.json
+    python -m mere_fusion_tpu.tools.convert_ckpt s3fd s3fd.pth out/
+    python -m mere_fusion_tpu.tools.convert_ckpt bisenet 79999_iter.pth out/
+
+Output is an orbax checkpoint directory loadable with
+mere_fusion_tpu.utils.checkpoint.Checkpointer (plus a families.json note).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def convert(family: str, in_path: str, unet_config: str | None = None) -> dict:
+    from mere_fusion_tpu.utils import torch_convert as tc
+
+    sd = tc.load_torch_checkpoint(in_path)
+    if family == "wav2lip":
+        return tc.convert_wav2lip(sd)
+    if family == "wav2lip-disc":
+        return tc.convert_wav2lip_disc(sd)
+    if family == "syncnet":
+        from mere_fusion_tpu.models.syncnet import convert_syncnet
+
+        return convert_syncnet(sd)
+    if family == "whisper":
+        from mere_fusion_tpu.models.whisper import WhisperDims
+
+        dims = WhisperDims(**sd["dims"]) if "dims" in sd else WhisperDims()
+        state = sd.get("model_state_dict", sd)
+        return tc.convert_whisper(state, dims)
+    if family == "vae":
+        from mere_fusion_tpu.utils.diffusers_convert import convert_vae
+
+        return convert_vae(sd)
+    if family == "musetalk-unet":
+        from mere_fusion_tpu.models.musetalk import UNetConfig
+        from mere_fusion_tpu.utils.diffusers_convert import convert_musetalk_unet
+
+        cfg = UNetConfig.from_json(unet_config) if unet_config else UNetConfig()
+        return convert_musetalk_unet(sd, cfg)
+    if family == "s3fd":
+        return tc.convert_s3fd(sd)
+    if family == "bisenet":
+        return tc.convert_bisenet(sd)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("convert-ckpt")
+    p.add_argument("family",
+                   choices=["wav2lip", "wav2lip-disc", "syncnet", "whisper",
+                            "vae", "musetalk-unet", "s3fd", "bisenet"])
+    p.add_argument("input")
+    p.add_argument("out_dir")
+    p.add_argument("--unet-config", default=None)
+    args = p.parse_args(argv)
+
+    variables = convert(args.family, args.input, args.unet_config)
+
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt = Checkpointer(args.out_dir, max_keep=1, best_mode="min")
+    ckpt.save(0, variables)
+    ckpt.close()
+    with open(os.path.join(args.out_dir, "family.json"), "w") as f:
+        json.dump({"family": args.family, "source": os.path.abspath(args.input)}, f)
+    n = sum(x.size for x in __import__("jax").tree.leaves(variables))
+    print(f"converted {args.family}: {n/1e6:.1f}M params → {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
