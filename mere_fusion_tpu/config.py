@@ -51,6 +51,7 @@ class AvatarConfig:
     batch_size: int = 16              # frames per device dispatch
     img_size: int = 96                # face crop size (wav2lip 96, musetalk 256)
     dtype: str = "bfloat16"           # compute dtype on device
+    max_track_queue: int = 5          # render backpressure threshold (frames)
 
 
 @dataclass(frozen=True)
@@ -113,6 +114,10 @@ class NeRFConfig:
     smooth_path_window: int = 7
     torso: bool = False
     exp_eye: bool = True
+    pose_path: str = "data/transforms.json"
+    au_path: str = "data/au.csv"
+    bg_img: str = "white"
+    ckpt: str = ""                    # orbax checkpoint dir with variables
 
 
 @dataclass(frozen=True)

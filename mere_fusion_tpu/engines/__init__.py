@@ -23,7 +23,14 @@ def make_engine(cfg: Config, **kw):
 
         return MuseReal(cfg, **kw)
     if kind == "ernerf":
+        from mere_fusion_tpu.data.provider import NeRFTestDataset
         from mere_fusion_tpu.engines.nerf import NeRFReal
 
+        if "dataset" not in kw:
+            kw["dataset"] = NeRFTestDataset.load(
+                cfg.nerf.pose_path, cfg.nerf.au_path, bg_img=cfg.nerf.bg_img,
+                scale=cfg.nerf.scale, offset=tuple(cfg.nerf.offset),
+                smooth_path=True, smooth_path_window=cfg.nerf.smooth_path_window,
+            )
         return NeRFReal(cfg, **kw)
     raise ValueError(f"unknown avatar kind {kind!r}")

@@ -275,6 +275,6 @@ class LipReal(BaseReal):
         self.render_event.set()
         while not quit_event.is_set():
             self.asr.run_step()
-            if video_track is not None and video_track._queue.qsize() >= 5:
+            if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
                 time.sleep(0.04 * video_track._queue.qsize() * 0.8)
         self.render_event.clear()

@@ -356,6 +356,6 @@ class MuseReal(BaseReal):
         while not quit_event.is_set():
             self.asr.run_step()
             if (video_track is not None
-                    and video_track._queue.qsize() >= 1.5 * self.batch_size):
+                    and video_track._queue.qsize() >= max(self.cfg.avatar.max_track_queue, 1.5 * self.batch_size)):
                 time.sleep(0.04 * video_track._queue.qsize() * 0.8)
         self.render_event.clear()

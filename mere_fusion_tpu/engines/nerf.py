@@ -327,5 +327,5 @@ class NeRFReal(BaseReal):
             for _ in range(2):
                 self.asr.run_step()
             self.test_step(loop, audio_track, video_track)
-            if video_track is not None and video_track._queue.qsize() >= 5:
+            if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
                 time.sleep(0.04 * video_track._queue.qsize() * 0.8)
