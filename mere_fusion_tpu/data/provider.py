@@ -29,6 +29,20 @@ def nerf_matrix_to_ngp(pose: np.ndarray, scale: float, offset=(0, 0, 0)) -> np.n
     )
 
 
+def ngp_to_nerf_matrix(pose: np.ndarray, scale: float, offset=(0, 0, 0)) -> np.ndarray:
+    """Exact inverse of nerf_matrix_to_ngp (for synthesizing datasets)."""
+    out = np.eye(4, dtype=np.float32)
+    # rows of the pre-matrix: pre[0] ← post row 2, pre[1] ← post row 0,
+    # pre[2] ← post row 1, with column sign flips undone
+    out[0, :3] = pose[2, :3] * np.array([1, -1, -1])
+    out[1, :3] = pose[0, :3] * np.array([1, -1, -1])
+    out[2, :3] = pose[1, :3] * np.array([1, -1, -1])
+    out[0, 3] = (pose[2, 3] - offset[2]) / scale
+    out[1, 3] = (pose[0, 3] - offset[0]) / scale
+    out[2, 3] = (pose[1, 3] - offset[1]) / scale
+    return out
+
+
 def smooth_camera_path(poses: np.ndarray, kernel_size: int = 5) -> np.ndarray:
     from scipy.spatial.transform import Rotation
 
@@ -282,14 +296,20 @@ def synthesize_nerf_dataset(dirpath: str, n_frames: int = 4, hw: int = 64) -> st
     os.makedirs(dirpath, exist_ok=True)
     frames = []
     for i in range(n_frames):
-        angle = 0.05 * i
+        # small orbit looking at the origin, authored in NGP space and
+        # converted back so loading reproduces it exactly
+        angle = 0.08 * i
         c, s = np.cos(angle), np.sin(angle)
-        mat = [
-            [c, 0.0, s, 0.05 * s],
-            [0.0, 1.0, 0.0, 0.0],
-            [-s, 0.0, c, 1.0],
-            [0.0, 0.0, 0.0, 1.0],
-        ]
+        post = np.array(
+            [
+                [c, 0.0, s, 1.5 * s],
+                [0.0, 1.0, 0.0, 0.0],
+                [-s, 0.0, c, 1.5 * c],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+        mat = ngp_to_nerf_matrix(post, scale=1.0).tolist()
         frames.append({"img_id": i, "aud_id": i, "transform_matrix": mat})
     pose_path = os.path.join(dirpath, "transforms.json")
     with open(pose_path, "w") as f:
