@@ -73,6 +73,29 @@ class MultiHeadAttention(nn.Module):
         v = self.value(x if xa is None else xa)
         return self.out(self._attend(q, k, v, mask))
 
+    def step_self(self, x_new, k_cache, v_cache, pos):
+        """Incremental self-attention: x_new [B,1,D], caches [B,ctx,D],
+        pos scalar. Returns (out [B,1,D], k_cache, v_cache)."""
+        q = self.query(x_new)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, self.key(x_new), (0, pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, self.value(x_new), (0, pos, 0)
+        )
+        ctx = k_cache.shape[1]
+        mask = jnp.where(
+            jnp.arange(ctx)[None, :] > pos, -jnp.inf, 0.0
+        ).astype(jnp.float32)  # [1, ctx] broadcast over the single query
+        return self.out(self._attend(q, k_cache, v_cache, mask)), k_cache, v_cache
+
+    def cross_kv(self, xa):
+        return self.key(xa), self.value(xa)
+
+    def step_cross(self, x_new, k, v):
+        q = self.query(x_new)
+        return self.out(self._attend(q, k, v, None))
+
     def _attend(self, q, k, v, mask):
         b, lq, _ = q.shape
         lk = k.shape[1]
@@ -113,6 +136,20 @@ class ResidualAttentionBlock(nn.Module):
             x = x + self.cross_attn(self.cross_attn_ln(x), xa=xa)
         x = x + self.mlp_fc2(nn.gelu(self.mlp_fc1(self.mlp_ln(x)), approximate=False))
         return x
+
+    def step(self, x_new, k_cache, v_cache, pos, cross_k, cross_v):
+        a, k_cache, v_cache = self.attn.step_self(
+            self.attn_ln(x_new), k_cache, v_cache, pos
+        )
+        x_new = x_new + a
+        if self.cross_attention:
+            x_new = x_new + self.cross_attn.step_cross(
+                self.cross_attn_ln(x_new), cross_k, cross_v
+            )
+        x_new = x_new + self.mlp_fc2(
+            nn.gelu(self.mlp_fc1(self.mlp_ln(x_new)), approximate=False)
+        )
+        return x_new, k_cache, v_cache
 
 
 class AudioEncoder(nn.Module):
@@ -191,6 +228,39 @@ class TextDecoder(nn.Module):
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.float32)
 
+    def init_cache(self, batch: int, max_len: int):
+        d = self.dims
+        shape = (d.n_text_layer, batch, max_len, d.n_text_state)
+        return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+    def cross_kv(self, xa):
+        """Per-layer cross-attention K/V: two [L, B, T', D] stacks."""
+        ks, vs = zip(*(blk.cross_attn.cross_kv(xa) for blk in self.blocks))
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def step(self, token, pos, k_cache, v_cache, cross_k, cross_v):
+        """One incremental decode step.
+
+        token [B,1] int32, pos scalar int32, caches [L,B,ctx,D],
+        cross_k/v [L,B,T',D]. Returns (logits [B,vocab], k_cache, v_cache).
+        """
+        x = self.token_embedding(token) + jax.lax.dynamic_slice_in_dim(
+            self.positional_embedding, pos, 1, axis=0
+        )
+        new_k, new_v = [], []
+        for i, blk in enumerate(self.blocks):
+            x, k_i, v_i = blk.step(
+                x, k_cache[i], v_cache[i], pos, cross_k[i], cross_v[i]
+            )
+            new_k.append(k_i)
+            new_v.append(v_i)
+        x = self.ln(x)
+        logits = jnp.dot(
+            x[:, 0], self.token_embedding.embedding.T.astype(x.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.float32)
+        return logits, jnp.stack(new_k), jnp.stack(new_v)
+
 
 class Whisper(nn.Module):
     dims: WhisperDims = TINY
@@ -260,8 +330,10 @@ def make_greedy_decoder(
     def decode(variables, xa, prompt, prompt_len):
         b, p = prompt.shape
         total = p + max_new_tokens
+        # pad with 0, not EOT: the causal mask makes the value irrelevant, and
+        # an out-of-vocab id would NaN the embedding (NaN + -inf mask = NaN)
         tokens = jnp.concatenate(
-            [prompt, jnp.full((b, max_new_tokens), EOT, jnp.int32)], axis=1
+            [prompt, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
         )
 
         def cond(state):
@@ -288,5 +360,70 @@ def make_greedy_decoder(
         )
         return tokens
 
+    jitted = jax.jit(decode)
+    return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)
+
+
+def make_cached_greedy_decoder(
+    model: Whisper,
+    variables,
+    max_new_tokens: int = 128,
+    suppress_tokens: Optional[tuple] = None,
+):
+    """KV-cached greedy decode: one incremental decoder step per token
+    (O(L) instead of the plain decoder's O(L²) re-scoring), fully on device.
+
+    Returns decode(xa, prompt, prompt_len) → tokens [B, P+max_new]."""
+
+    def decode(variables, xa, prompt, prompt_len):
+        b, p = prompt.shape
+        total = p + max_new_tokens
+        dec = model.dims
+
+        def dec_apply(method, *args):
+            return model.apply(
+                variables, *args,
+                method=lambda m, *a: getattr(m.decoder, method)(*a),
+            )
+
+        cross_k, cross_v = dec_apply("cross_kv", xa)
+        k_cache, v_cache = (
+            jnp.zeros((dec.n_text_layer, b, total, dec.n_text_state)),
+            jnp.zeros((dec.n_text_layer, b, total, dec.n_text_state)),
+        )
+        tokens = jnp.concatenate(
+            [prompt, jnp.full((b, max_new_tokens), EOT, jnp.int32)], axis=1
+        )
+
+        def cond(state):
+            i, _, _, _, done = state
+            return jnp.logical_and(i < total - 1, jnp.logical_not(jnp.all(done)))
+
+        def body(state):
+            i, tokens, k_cache, v_cache, done = state
+            tok = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
+            logits, k_cache, v_cache = dec_apply(
+                "step", tok, i, k_cache, v_cache, cross_k, cross_v
+            )
+            if suppress_tokens:
+                logits = logits.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            in_prompt = (i + 1) < prompt_len
+            keep = jax.lax.dynamic_slice(tokens, (0, i + 1), (b, 1))[:, 0]
+            nxt = jnp.where(in_prompt, keep, jnp.where(done, EOT, nxt))
+            newly_done = jnp.logical_or(
+                done, jnp.logical_and(jnp.logical_not(in_prompt), nxt == EOT)
+            )
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+            return i + 1, tokens, k_cache, v_cache, newly_done
+
+        state = (
+            jnp.asarray(0, jnp.int32), tokens, k_cache, v_cache,
+            jnp.zeros((b,), bool),
+        )
+        _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+        return tokens
+
+    variables = jax.device_put(variables)
     jitted = jax.jit(decode)
     return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)

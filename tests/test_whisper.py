@@ -59,6 +59,10 @@ def test_parity_vs_reference_torch():
         n_vocab=100, n_text_ctx=24, n_text_state=64, n_text_head=2, n_text_layer=2,
     )
     tmodel = TorchWhisper(tdims).eval()
+    with torch.no_grad():
+        # the reference leaves decoder.positional_embedding as torch.empty
+        # (uninitialized memory) — give it defined values for the comparison
+        tmodel.decoder.positional_embedding.normal_(0, 0.02)
 
     rng = np.random.default_rng(0)
     mel = rng.standard_normal((2, 80, 96)).astype(np.float32)
@@ -82,3 +86,20 @@ def test_parity_vs_reference_torch():
 
 def test_sot_sequence():
     assert sot_sequence(0) == [50258, 50259, 50359, 50363]
+
+
+def test_cached_decode_matches_full_rescoring():
+    from mere_fusion_tpu.models.whisper import make_cached_greedy_decoder
+
+    model = Whisper(SMALL)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 96)).astype(np.float32))
+    variables = model.init(jax.random.key(1), mel, jnp.zeros((2, 4), jnp.int32))
+    xa = model.apply(variables, mel, method=Whisper.encode)
+    prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+
+    full = make_greedy_decoder(model, variables, max_new_tokens=10)
+    cached = make_cached_greedy_decoder(model, variables, max_new_tokens=10)
+    t_full = np.asarray(full(xa, prompt, 3))
+    t_cached = np.asarray(cached(xa, prompt, 3))
+    np.testing.assert_array_equal(t_cached, t_full)
