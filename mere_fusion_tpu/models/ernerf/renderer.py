@@ -68,8 +68,12 @@ def select_occupied_depths(
     rays_o, rays_d, near, far, density: DensityGrid, bound: float,
     grid_size: int, n_candidates: int, n_steps: int,
 ):
-    """Probe candidates, keep the first n_steps occupied depths per ray.
+    """Probe candidates, then sample n_steps uniformly inside the per-ray
+    [first, last] occupied span (±1 candidate pad).
 
+    Span sampling (not first-K compaction) keeps the sample spacing dt
+    consistent between training and the block-probe inference path, so the
+    learned density is integrated with the same quadrature at both times.
     Returns (z [N, K], dt [N, 1], sample_valid [N, K])."""
     n = rays_o.shape[0]
     frac = jnp.linspace(0.0, 1.0, n_candidates)
@@ -77,12 +81,16 @@ def select_occupied_depths(
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
     vox, inside = voxel_index(xyz, bound, grid_size)
     occ = density.occupancy[vox] & inside                              # [N, M]
-    BIG = 1e9
-    key = jnp.where(occ, z_all, z_all + BIG)
-    z_sorted = jax.lax.sort(key, dimension=1)[:, :n_steps]             # [N, K]
-    sample_valid = z_sorted < BIG
-    z = jnp.where(sample_valid, z_sorted, far[:, None])
-    dt = ((far - near) / n_candidates)[:, None]
+    any_occ = occ.any(axis=-1)
+    first = jnp.argmax(occ, axis=-1)
+    last = n_candidates - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
+    step = (far - near) / (n_candidates - 1)
+    zmin = near + jnp.maximum(first - 1, 0) * step
+    zmax = near + jnp.minimum(last + 1, n_candidates - 1) * step
+    kfrac = jnp.linspace(0.0, 1.0, n_steps)
+    z = zmin[:, None] + (zmax - zmin)[:, None] * kfrac[None, :]
+    dt = ((zmax - zmin) / n_steps)[:, None]
+    sample_valid = jnp.broadcast_to(any_occ[:, None], (n, n_steps))
     return z, dt, sample_valid
 
 
