@@ -91,7 +91,7 @@ class JaxWhisperBackend:
         from mere_fusion_tpu.models.whisper import (
             TINY,
             Whisper,
-            make_greedy_decoder,
+            make_cached_greedy_decoder,
             sot_sequence,
         )
 
@@ -119,9 +119,9 @@ class JaxWhisperBackend:
             from mere_fusion_tpu.models.whisper import non_speech_token_ids
 
             suppress = non_speech_token_ids(self.tokenizer)
-        self._decode = make_greedy_decoder(self.model, self.variables,
-                                           max_new_tokens=128,
-                                           suppress_tokens=suppress)
+        self._decode = make_cached_greedy_decoder(self.model, self.variables,
+                                                  max_new_tokens=128,
+                                                  suppress_tokens=suppress)
         model = self.model
         dev_vars = jax.device_put(self.variables)
 
