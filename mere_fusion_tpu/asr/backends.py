@@ -151,8 +151,9 @@ class JaxWhisperBackend:
         from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
 
         duration = len(audio) / SAMPLE_RATE
-        padded = np.zeros(N_SAMPLES_30S, dtype=np.float32)
-        padded[: min(len(audio), N_SAMPLES_30S)] = audio[:N_SAMPLES_30S]
+        window = self.dims.n_audio_ctx * 2 * 160  # 30 s for the tiny config
+        padded = np.zeros(window, dtype=np.float32)
+        padded[: min(len(audio), window)] = audio[:window]
         mel = melspectrogram(jnp.asarray(padded), WHISPER_MEL)[None]
         xa = self._encode(mel)
         prompt = jnp.asarray([self._sot], jnp.int32)
