@@ -34,6 +34,16 @@ class BaseASR:
         # set on the first speech chunk after silence; engines clear it when
         # the first generated frame ships (audio-to-first-frame latency)
         self.speech_start_ts = None
+        # Sequence numbers for silence skipping: consumed_seq counts chunks
+        # pulled by the featurizer; skip_before_seq marks the consumption
+        # point at which real speech entered the queue. Any SILENCE entry
+        # consumed before that point is stale pre-buffered idle output that
+        # would otherwise pace-delay the first speech frame by the whole
+        # pipeline depth (~1.6 s at batch 16) — engines drop those entries
+        # instead of playing them, collapsing audio-to-first-frame latency
+        # to track-queue depth + one batch compute.
+        self.consumed_seq = 0
+        self.skip_before_seq = 0
 
     def pause_talk(self) -> None:
         self.queue.queue.clear()
@@ -43,9 +53,12 @@ class BaseASR:
 
         if self.speech_start_ts is None:
             self.speech_start_ts = time.monotonic()
+        # everything consumed so far but not yet played is stale silence
+        self.skip_before_seq = self.consumed_seq + 1
         self.queue.put(audio_chunk)
 
     def get_audio_frame(self) -> tuple[np.ndarray, int]:
+        self.consumed_seq += 1
         try:
             frame = self.queue.get(block=True, timeout=0.01)
             ftype = 0
@@ -61,11 +74,18 @@ class BaseASR:
     def get_audio_out(self):
         return self.output_queue.get()
 
+    def is_stale_silence(self, audio_frames) -> bool:
+        """True when every (frame, ftype, seq) entry is non-speech consumed
+        before the newest speech arrival — i.e. pre-buffered idle output that
+        should be dropped, not played, so queued speech ships sooner."""
+        return all(f[1] != 0 and f[2] < self.skip_before_seq
+                   for f in audio_frames)
+
     def warm_up(self) -> None:
         for _ in range(self.stride_left_size + self.stride_right_size):
             frame, ftype = self.get_audio_frame()
             self.frames.append(frame)
-            self.output_queue.put((frame, ftype))
+            self.output_queue.put((frame, ftype, self.consumed_seq))
         for _ in range(self.stride_left_size):
             self.output_queue.get()
 

@@ -105,7 +105,7 @@ class LipASR(BaseASR):
         for _ in range(self.batch_size * 2):
             frame, ftype = self.get_audio_frame()
             self.frames.append(frame)
-            self.output_queue.put((frame, ftype))
+            self.output_queue.put((frame, ftype, self.consumed_seq))
         if len(self.frames) <= self.stride_left_size + self.stride_right_size:
             return
         t0 = time.perf_counter()
@@ -183,7 +183,7 @@ class LipReal(BaseReal):
             except queue.Empty:
                 continue
             audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
-            is_all_silence = all(ftype != 0 for _, ftype in audio_frames)
+            is_all_silence = all(f[1] != 0 for f in audio_frames)
 
             if is_all_silence:
                 for i in range(self.batch_size):
@@ -222,6 +222,10 @@ class LipReal(BaseReal):
             except queue.Empty:
                 continue
             if audio_frames[0][1] != 0 and audio_frames[1][1] != 0:
+                if self.asr.is_stale_silence(audio_frames):
+                    # speech is queued behind this pre-buffered idle frame:
+                    # drop it (video + silent audio) so speech ships sooner
+                    continue
                 # silence: emit the idle/custom full frame untouched
                 audiotype = audio_frames[0][1]
                 if self.custom_index.get(audiotype) is not None:
@@ -256,7 +260,7 @@ class LipReal(BaseReal):
                 )
             self.record_video_frame(video_frame)
 
-            for frame, _ftype in audio_frames:
+            for frame, _ftype, _seq in audio_frames:
                 chunk = AudioChunk.from_float(frame, self.sample_rate)
                 if loop is not None and audio_track is not None:
                     asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)

@@ -222,7 +222,7 @@ class MuseASR(BaseASR):
         for _ in range(self.batch_size * 2):
             frame, ftype = self.get_audio_frame()
             self.frames.append(frame)
-            self.output_queue.put((frame, ftype))
+            self.output_queue.put((frame, ftype, self.consumed_seq))
         if len(self.frames) <= self.stride_left_size + self.stride_right_size:
             return
         t0 = time.perf_counter()
@@ -279,7 +279,7 @@ class MuseReal(BaseReal):
             except queue.Empty:
                 continue
             audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
-            is_all_silence = all(ftype != 0 for _, ftype in audio_frames)
+            is_all_silence = all(f[1] != 0 for f in audio_frames)
             if is_all_silence:
                 for i in range(self.batch_size):
                     self.res_frame_queue.put(
@@ -318,6 +318,10 @@ class MuseReal(BaseReal):
             except queue.Empty:
                 continue
             if audio_frames[0][1] != 0 and audio_frames[1][1] != 0:
+                if self.asr.is_stale_silence(audio_frames):
+                    # speech queued behind this pre-buffered idle frame:
+                    # drop it (video + silent audio) so speech ships sooner
+                    continue
                 audiotype = audio_frames[0][1]
                 if self.custom_index.get(audiotype) is not None:
                     mirindex = self.mirror_index(
@@ -348,7 +352,7 @@ class MuseReal(BaseReal):
             if loop is not None and video_track is not None:
                 asyncio.run_coroutine_threadsafe(video_track._queue.put(video_frame), loop)
             self.record_video_frame(video_frame)
-            for frame, _t in audio_frames:
+            for frame, _t, _seq in audio_frames:
                 chunk = AudioChunk.from_float(frame, self.sample_rate)
                 if loop is not None and audio_track is not None:
                     asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)

@@ -32,8 +32,10 @@ from mere_fusion_tpu.models.ernerf.network import NeRFNetConfig, NeRFNetwork
 from mere_fusion_tpu.models.ernerf.renderer import (
     DensityGrid,
     get_rays,
+    plan_rays,
     render_rays,
     render_torso_background,
+    shade,
 )
 from mere_fusion_tpu.runtime.metrics import metrics
 from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
@@ -104,6 +106,7 @@ class NerfASR(BaseASR):
         )
 
     def get_audio_frame(self):
+        self.consumed_seq += 1
         try:
             frame = self.queue.get(block=False)
             ftype = 0
@@ -119,7 +122,7 @@ class NerfASR(BaseASR):
     def run_step(self) -> None:
         frame, ftype = self.get_audio_frame()
         self.frames.append(frame)
-        self.output_queue.put((frame, ftype))
+        self.output_queue.put((frame, ftype, self.consumed_seq))
         window = self.stride_left_size + self.context_size + self.stride_right_size
         if len(self.frames) < window:
             return
@@ -160,65 +163,114 @@ class NerfASR(BaseASR):
 
 def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestDataset,
                           cfg: Config, baked: dict | None = None):
-    """jit: (pose, aud_window [8,A,16], eye [1,1], density grid, bg) → RGB u8.
+    """(pose, aud_window [8,A,16], eye [1,1], density grid, bg) → RGB u8.
 
     baked: optional baked triplane textures (ops/triplane_bake) — replaces
-    the multi-level hash encode at inference (~12× fewer, wider gathers)."""
+    the multi-level hash encode at inference (~12× fewer, wider gathers).
+
+    With baked textures the frame runs as THREE chained device dispatches —
+    plan (rays/probe/compaction) → encode (texture gathers) → shade
+    (MLPs + composite). The split exists because XLA's layout assignment,
+    given one big program, stores the texture channel-major and the row
+    gather degrades ~10× (88 ms → 9 ms for a 512px frame's samples);
+    as its own program the gather keeps the fast row layout. Intermediates
+    stay on device, so the extra dispatch cost is ~0.1 ms."""
     from mere_fusion_tpu.ops.triplane_bake import encode_x_baked
 
     H, W = dataset.H, dataset.W
     intrinsics = dataset.intrinsics
     nerf_cfg = cfg.nerf
     variables = jax.device_put(variables)  # runtime input, not baked constant
-    if baked is not None:
-        baked = jax.device_put(baked)
+    probe_block = (
+        nerf_cfg.probe_block
+        if nerf_cfg.probe_block > 0 and H % max(nerf_cfg.probe_block, 1) == 0
+        and W % max(nerf_cfg.probe_block, 1) == 0 else 0
+    )
+    plan_kwargs = dict(
+        bound=nerf_cfg.bound, grid_size=nerf_cfg.grid_size,
+        n_candidates=nerf_cfg.n_candidates, n_steps=nerf_cfg.max_steps,
+        max_active_rays=nerf_cfg.max_active_rays,
+        probe_block=probe_block, image_hw=(H, W),
+    )
 
-    @jax.jit
-    def step(variables, baked, pose, auds, eye, density: DensityGrid, bg_color):
-        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+    def make_apply_fn(variables, enc_a, ind, eye, baked_mode: bool):
+        def apply_fn(pos, dirs, training):
+            if baked_mode:
+                return network.apply(
+                    variables, pos, dirs, enc_a, ind, eye, training=training,
+                    method=NeRFNetwork.forward_with_enc,
+                )
+            return network.apply(variables, pos, dirs, enc_a, ind, eye,
+                                 training=training)
+        return apply_fn
+
+    def conditions(variables, auds):
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         ind = (
             network.apply(variables, 0, method=NeRFNetwork.individual_code)
             if network.cfg.individual_dim > 0
             else None
         )
+        return enc_a, ind
 
-        if network.cfg.torso:
-            def torso_fn(x, p):
-                return network.apply(variables, x, p,
-                                     method=NeRFNetwork.forward_torso)
+    def background(variables, pose, bg_color):
+        if not network.cfg.torso:
+            return bg_color
 
-            bg_color, _ = render_torso_background(
-                torso_fn, H, W, jnp.asarray(pose), bg_color
+        def torso_fn(x, p):
+            return network.apply(variables, x, p,
+                                 method=NeRFNetwork.forward_torso)
+
+        bg, _ = render_torso_background(torso_fn, H, W, pose, bg_color)
+        return bg
+
+    if baked is None:
+        @jax.jit
+        def step(variables, pose, auds, eye, density: DensityGrid, bg_color):
+            pose = jnp.asarray(pose)
+            rays_o, rays_d = get_rays(pose, intrinsics, H, W)
+            enc_a, ind = conditions(variables, auds)
+            bg_color = background(variables, pose, bg_color)
+            out = render_rays(
+                make_apply_fn(variables, enc_a, ind, eye, False),
+                rays_o, rays_d, density, bg_color=bg_color, **plan_kwargs,
             )
+            img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
+            return (img * 255).astype(jnp.uint8)
 
-        def apply_fn(xyz, dirs, training):
-            if baked is not None:
-                enc_x = encode_x_baked(baked, xyz, nerf_cfg.bound,
-                                       nerf_cfg.sample_mode)
-                return network.apply(
-                    variables, enc_x, dirs, enc_a, ind, eye, training=training,
-                    method=NeRFNetwork.forward_with_enc,
-                )
-            return network.apply(variables, xyz, dirs, enc_a, ind, eye,
-                                 training=training)
+        return lambda pose, auds, eye, density, bg: step(
+            variables, pose, auds, eye, density, bg
+        )
 
-        out = render_rays(
-            apply_fn, rays_o, rays_d, density,
-            bound=nerf_cfg.bound, grid_size=nerf_cfg.grid_size,
-            bg_color=bg_color,
-            n_candidates=nerf_cfg.n_candidates, n_steps=nerf_cfg.max_steps,
-            max_active_rays=nerf_cfg.max_active_rays,
-            probe_block=nerf_cfg.probe_block if H % max(nerf_cfg.probe_block, 1) == 0
-            and W % max(nerf_cfg.probe_block, 1) == 0 else 0,
-            image_hw=(H, W),
+    baked = jax.device_put(baked)
+
+    @jax.jit
+    def stage_plan(pose, density: DensityGrid):
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        return plan_rays(rays_o, rays_d, density, **plan_kwargs)
+
+    @jax.jit
+    def stage_encode(baked, xyz):
+        return encode_x_baked(baked, xyz.reshape(-1, 3), nerf_cfg.bound,
+                              nerf_cfg.sample_mode)
+
+    @jax.jit
+    def stage_shade(variables, plan, enc_x, pose, auds, eye, bg_color):
+        enc_a, ind = conditions(variables, auds)
+        bg_color = background(variables, jnp.asarray(pose), bg_color)
+        out = shade(
+            make_apply_fn(variables, enc_a, ind, eye, True),
+            plan, bg_color, enc_x=enc_x, n_rays=H * W,
         )
         img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
         return (img * 255).astype(jnp.uint8)
 
-    return lambda pose, auds, eye, density, bg: step(
-        variables, baked, pose, auds, eye, density, bg
-    )
+    def step(pose, auds, eye, density, bg):
+        plan = stage_plan(pose, density)
+        enc_x = stage_encode(baked, plan["xyz"])
+        return stage_shade(variables, plan, enc_x, pose, auds, eye, bg)
+
+    return step
 
 
 class NeRFReal(BaseReal):
@@ -281,9 +333,14 @@ class NeRFReal(BaseReal):
         data = next(self.loader)
         auds = self.asr.get_next_feat()
 
+        audio_frames = [self.asr.get_audio_out() for _ in range(2)]
+        if self.asr.is_stale_silence(audio_frames):
+            # speech is queued behind this pre-buffered idle output (e.g.
+            # the ASR warm-up backlog): drop the frame + silent audio so
+            # the first speech frame ships at queue-drain rate
+            return False
         audiotypes = []
-        for _ in range(2):
-            frame, ftype = self.asr.get_audio_out()
+        for frame, ftype, _seq in audio_frames:
             audiotypes.append(ftype)
             chunk = AudioChunk.from_float(frame, self.sample_rate)
             if loop is not None and audio_track is not None:
@@ -299,6 +356,11 @@ class NeRFReal(BaseReal):
             image = self.custom_img_cycle[atype][mirindex]
             self.custom_index[atype] += 1
         else:
+            if self.asr.speech_start_ts is not None and 0 in audiotypes:
+                metrics.latency("nerf.first_frame").observe(
+                    time.monotonic() - self.asr.speech_start_ts
+                )
+                self.asr.speech_start_ts = None
             t0 = time.perf_counter()
             rgb = np.asarray(
                 self._render_step(
@@ -319,6 +381,7 @@ class NeRFReal(BaseReal):
         if loop is not None and video_track is not None:
             asyncio.run_coroutine_threadsafe(video_track._queue.put(vf), loop)
         self.record_video_frame(vf)
+        return True
 
     def render(self, quit_event, loop=None, audio_track=None, video_track=None):
         self.init_customindex()

@@ -94,3 +94,71 @@ def test_pause_talk_clears_queue(engine):
     engine.put_msg_txt("some long text " * 20)
     engine.pause_talk()
     assert engine.asr.queue.qsize() == 0
+
+
+def test_stale_silence_flagging():
+    """Entries consumed before speech arrival are stale (droppable); the
+    speech entry itself and anything after it are not."""
+    from mere_fusion_tpu.engines.base_asr import BaseASR
+
+    asr = BaseASR(Config())
+    pre = []
+    for _ in range(5):  # pipeline pre-fills with silence
+        frame, ftype = asr.get_audio_frame()
+        pre.append((frame, ftype, asr.consumed_seq))
+    assert all(f[1] == 1 for f in pre)
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    assert asr.is_stale_silence(pre)
+    speech = []
+    for _ in range(2):  # speech chunk + trailing fresh silence
+        frame, ftype = asr.get_audio_frame()
+        speech.append((frame, ftype, asr.consumed_seq))
+    assert speech[0][1] == 0
+    assert not asr.is_stale_silence(speech)
+    assert not asr.is_stale_silence([speech[1]])  # fresh silence: play it
+
+
+def test_first_speech_frame_skips_buffered_silence(avatar):
+    """Audio-to-first-frame: pre-buffered idle frames queued ahead of the
+    first utterance are dropped, so the first generated frame arrives within
+    a small number of emitted frames instead of the full pipeline depth
+    (2 feature batches + res queue + track ≈ 5·batch frames)."""
+    cfg = Config().override(
+        **{"avatar.batch_size": 8, "tts.backend": "procedural",
+           "avatar.dtype": "float32"}
+    )
+    engine = LipReal(cfg, avatar=avatar)
+    cycle = [f.tobytes() for f in avatar.frame_cycle]
+
+    async def main():
+        loop = asyncio.get_running_loop()
+        video_track = SimpleNamespace(_queue=asyncio.Queue())
+        audio_track = SimpleNamespace(_queue=asyncio.Queue())
+        quit_event = threading.Event()
+        t = threading.Thread(
+            target=engine.render,
+            args=(quit_event, loop, audio_track, video_track),
+            daemon=True,
+        )
+        t.start()
+        try:
+            # let the pipeline fill with buffered silence (several batches)
+            for _ in range(3 * cfg.avatar.batch_size):
+                await asyncio.wait_for(video_track._queue.get(), timeout=120)
+            engine.put_msg_txt("hello hello hello hello")
+            emitted_after_put = 0
+            while True:
+                vf = await asyncio.wait_for(video_track._queue.get(), timeout=120)
+                if vf.image.tobytes() not in cycle:
+                    return emitted_after_put
+                emitted_after_put += 1
+        finally:
+            quit_event.set()
+            t.join(timeout=10)
+
+    silence_before_speech = asyncio.run(main())
+    # without stale-silence dropping this is ~5·batch (≈40); with it, only
+    # frames already past the res queue at put time can precede speech
+    assert silence_before_speech <= 2 * cfg.avatar.batch_size, (
+        f"{silence_before_speech} buffered silence frames preceded speech"
+    )
