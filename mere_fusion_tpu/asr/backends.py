@@ -84,13 +84,15 @@ class JaxWhisperBackend:
 
     sep = ""
 
-    def __init__(self, variables=None, dims=None, tokenizer=None, language_index: int = 0):
+    def __init__(self, variables=None, dims=None, tokenizer=None,
+                 language_index: int = 0, beam_size: int = 1):
         import jax
         import jax.numpy as jnp
 
         from mere_fusion_tpu.models.whisper import (
             TINY,
             Whisper,
+            make_cached_beam_decoder,
             make_cached_greedy_decoder,
             sot_sequence,
         )
@@ -119,9 +121,16 @@ class JaxWhisperBackend:
             from mere_fusion_tpu.models.whisper import non_speech_token_ids
 
             suppress = non_speech_token_ids(self.tokenizer)
-        self._decode = make_cached_greedy_decoder(self.model, self.variables,
-                                                  max_new_tokens=128,
-                                                  suppress_tokens=suppress)
+        if beam_size > 1:
+            # reference runs beam 5 ("b5 is faster and better than b1",
+            # whisper_online.py:137); ours defaults greedy for latency
+            self._decode = make_cached_beam_decoder(
+                self.model, self.variables, beam_size=beam_size,
+                max_new_tokens=128, suppress_tokens=suppress)
+        else:
+            self._decode = make_cached_greedy_decoder(
+                self.model, self.variables, max_new_tokens=128,
+                suppress_tokens=suppress)
         model = self.model
         dev_vars = jax.device_put(self.variables)
 

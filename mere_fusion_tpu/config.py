@@ -108,7 +108,11 @@ class NeRFConfig:
     num_rays: int = 65536
     n_candidates: int = 32            # occupancy probes per ray
     max_active_rays: int = 65536      # static ray-compaction budget (0 = off)
-    sample_mode: str = "bilinear"     # baked-texture filtering: bilinear|nearest
+    # Baked-texture filtering. "nearest" is ~80× faster than "bilinear" on
+    # TPU (one gather/plane keeps XLA's fast row-gather layout; the 4-corner
+    # pattern makes layout assignment store the texture channel-major) and
+    # at a 2× oversampled bake the snap error is sub-texel.
+    sample_mode: str = "nearest"      # nearest | bilinear
     texture_dtype: str = "bfloat16"   # baked-texture storage dtype
     probe_block: int = 8              # pixels per shared occupancy probe (0 = per-ray)
     smooth_path_window: int = 7

@@ -61,6 +61,7 @@ class BaseReal:
         self.tts = make_tts(cfg, self)
 
         self.recording = False
+        self.latest_frame = None         # most recent VideoImage (preview tap)
         self.recordq_video: Queue = Queue()
         self.recordq_audio: Queue = Queue()
         self._record_path: str | None = None
@@ -74,6 +75,17 @@ class BaseReal:
         self._load_custom(custom_opts or [])
 
     # ---- engine public API (reference parity) ------------------------------
+    def first_video_frame_shape(self) -> tuple[int, int]:
+        """(H, W) of the frames this engine emits — fixed-format transports
+        (RTMP/recording) size their pipelines from it before frames flow."""
+        if getattr(self, "avatar", None) is not None:
+            return self.avatar.frame_cycle[0].shape[:2]
+        if getattr(self, "fullbody_frames", None):
+            return self.fullbody_frames[0].shape[:2]
+        if getattr(self, "dataset", None) is not None:
+            return (self.dataset.H, self.dataset.W)
+        raise RuntimeError("engine has no frame source yet")
+
     def put_msg_txt(self, msg: str) -> None:
         self.tts.put_msg_txt(msg)
 
@@ -182,6 +194,9 @@ class BaseReal:
             pass
 
     def record_video_frame(self, frame: VideoImage) -> None:
+        # single-slot tap for the HTTP MJPEG preview (the TPU stand-in for
+        # the reference's dearpygui viewer, ernerf/nerf_triplane/gui.py)
+        self.latest_frame = frame
         if self.recording:
             self.recordq_video.put(frame)
 

@@ -168,6 +168,102 @@ def composite(sigmas, colors, z, dt, valid, bg_color, extras=None,
     return out
 
 
+def plan_rays(
+    rays_o, rays_d,
+    density: DensityGrid,
+    bound: float,
+    grid_size: int,
+    n_candidates: int = 64,
+    n_steps: int = 16,
+    min_near: float = 0.05,
+    max_active_rays: int = 0,
+    probe_block: int = 0,
+    image_hw: Optional[tuple] = None,
+) -> dict:
+    """Occupancy probing + sample placement + static ray compaction.
+
+    Pure geometry/gather stage: no network evaluation. Returns a plan dict
+    with xyz [M,K,3], dirs [M,3], z [M,K], dt [M,1], valid [M,K] and, when
+    max_active_rays compacts, sel [M] (indices of rendered rays; rays whose
+    probes hit no occupied voxel are dropped — the fixed-shape analog of the
+    reference's alive-ray compaction, renderer.py:246-270).
+
+    Split out from render_rays so inference can run it as a separate XLA
+    dispatch from the texture-sampling stage (keeping the texture gather in
+    its own program preserves the fast row-gather layout — inside one big
+    program XLA re-lays the table channel-major and the gather slows ~10×).
+    """
+    n = rays_o.shape[0]
+    near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound, min_near)
+    if probe_block > 1 and image_hw is not None:
+        z, dt, sample_valid = select_depths_blocked(
+            rays_o, rays_d, near, far, density, bound, grid_size,
+            n_candidates, n_steps, probe_block, *image_hw,
+        )
+    else:
+        z, dt, sample_valid = select_occupied_depths(
+            rays_o, rays_d, near, far, density, bound, grid_size,
+            n_candidates, n_steps,
+        )
+    sample_valid = sample_valid & ray_valid[:, None]
+    sel = None
+    if 0 < max_active_rays < n:
+        active = sample_valid.any(axis=-1)
+        order = jnp.argsort(~active)            # occupancy-hitting rays first
+        sel = order[:max_active_rays]
+        z, dt, sample_valid = z[sel], dt[sel], sample_valid[sel]
+        rays_o, rays_d = rays_o[sel], rays_d[sel]
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]       # [M,K,3]
+    xyz = jnp.clip(xyz, -bound, bound)
+    return {"xyz": xyz, "dirs": rays_d, "z": z, "dt": dt,
+            "valid": sample_valid, "sel": sel}
+
+
+def shade(apply_fn: Callable, plan: dict, bg_color, training: bool = False,
+          enc_x=None, n_rays: int | None = None) -> dict:
+    """Network evaluation + compositing over a plan_rays() plan.
+
+    apply_fn(xyz [M·K,3], dirs [M·K,3], training) →
+        (sigma, color, amb_aud, amb_eye, unc) — a closure over network
+        variables and the per-frame conditions (enc_a, eye, individual code).
+    When enc_x [M·K, F] is given (pre-encoded positions from a separate
+    dispatch), apply_fn receives it instead of xyz.
+
+    If the plan was compacted, results are scattered back over a
+    background-filled frame.
+    """
+    z, dt, valid, sel = plan["z"], plan["dt"], plan["valid"], plan["sel"]
+    m, k = z.shape
+    xyz = plan["xyz"]
+    dirs = jnp.broadcast_to(plan["dirs"][:, None, :], xyz.shape)
+    pos = enc_x if enc_x is not None else xyz.reshape(-1, 3)
+    sigma, color, amb_aud, amb_eye, unc = apply_fn(
+        pos, dirs.reshape(-1, 3), training
+    )
+    sigma, color = sigma.reshape(m, k), color.reshape(m, k, 3)
+    extras = {
+        "ambient_aud": amb_aud.reshape(m, k, 1),
+        "ambient_eye": amb_eye.reshape(m, k, 1),
+        "uncertainty": unc.reshape(m, k, 1),
+    }
+    if sel is None:
+        return composite(sigma, color, z, dt, valid, bg_color, extras=extras)
+    bg_s = bg_color[sel] if bg_color.ndim == 2 else bg_color
+    sub = composite(sigma, color, z, dt, valid, bg_s, extras=extras)
+    if n_rays is None:
+        raise ValueError("shade on a compacted plan needs static n_rays")
+    n = n_rays
+    full_bg = jnp.broadcast_to(bg_color, (n, 3))
+    out = {
+        "image": full_bg.at[sel].set(sub["image"]),
+        "depth": jnp.zeros((n,)).at[sel].set(sub["depth"]),
+        "weights_sum": jnp.zeros((n,)).at[sel].set(sub["weights_sum"]),
+    }
+    for name in ("ambient_aud", "ambient_eye", "uncertainty"):
+        out[name] = jnp.zeros((n, 1)).at[sel].set(sub[name])
+    return out
+
+
 def render_rays(
     apply_fn: Callable,
     rays_o, rays_d,
@@ -183,72 +279,16 @@ def render_rays(
     probe_block: int = 0,
     image_hw: Optional[tuple] = None,
 ):
-    """Render a batch of rays.
-
-    apply_fn(xyz [N·K,3], dirs [N·K,3], training) →
-        (sigma, color, amb_aud, amb_eye, unc) — a closure over network
-        variables and the per-frame conditions (enc_a, eye, individual code).
-
-    max_active_rays > 0 enables static ray compaction (the fixed-shape
-    analog of the reference's alive-ray compaction, renderer.py:246-270):
-    rays whose probes hit no occupied voxel skip the network entirely; the
-    first max_active_rays occupancy-hitting rays are gathered, rendered,
-    and scattered back over a background-filled frame.
-    """
-    n = rays_o.shape[0]
-    near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound, min_near)
-    if probe_block > 1 and image_hw is not None:
-        z, dt, sample_valid = select_depths_blocked(
-            rays_o, rays_d, near, far, density, bound, grid_size,
-            n_candidates, n_steps, probe_block, *image_hw,
-        )
-    else:
-        z, dt, sample_valid = select_occupied_depths(
-            rays_o, rays_d, near, far, density, bound, grid_size,
-            n_candidates, n_steps,
-        )
-    sample_valid = sample_valid & ray_valid[:, None]
-
-    def run(rays_d, z, dt, sample_valid, xyz):
-        m = z.shape[0]
-        dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
-        sigma, color, amb_aud, amb_eye, unc = apply_fn(
-            xyz.reshape(-1, 3), dirs.reshape(-1, 3), training
-        )
-        k = z.shape[1]
-        return sigma.reshape(m, k), color.reshape(m, k, 3), {
-            "ambient_aud": amb_aud.reshape(m, k, 1),
-            "ambient_eye": amb_eye.reshape(m, k, 1),
-            "uncertainty": unc.reshape(m, k, 1),
-        }
-
-    if 0 < max_active_rays < n:
-        active = sample_valid.any(axis=-1)
-        order = jnp.argsort(~active)            # occupancy-hitting rays first
-        sel = order[:max_active_rays]
-        xyz_s = (rays_o[sel, None, :]
-                 + rays_d[sel, None, :] * z[sel][..., None])
-        xyz_s = jnp.clip(xyz_s, -bound, bound)
-        bg_s = bg_color[sel] if bg_color.ndim == 2 else bg_color
-        sigma, color, extras = run(rays_d[sel], z[sel], dt[sel],
-                                   sample_valid[sel], xyz_s)
-        sub = composite(sigma, color, z[sel], dt[sel], sample_valid[sel],
-                        bg_s, extras=extras)
-        # background-filled defaults, subset scattered back
-        full_bg = jnp.broadcast_to(bg_color, (n, 3))
-        out = {
-            "image": full_bg.at[sel].set(sub["image"]),
-            "depth": jnp.zeros((n,)).at[sel].set(sub["depth"]),
-            "weights_sum": jnp.zeros((n,)).at[sel].set(sub["weights_sum"]),
-        }
-        for name in ("ambient_aud", "ambient_eye", "uncertainty"):
-            out[name] = jnp.zeros((n, 1)).at[sel].set(sub[name])
-        return out
-
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]       # [N,K,3]
-    xyz = jnp.clip(xyz, -bound, bound)
-    sigma, color, extras = run(rays_d, z, dt, sample_valid, xyz)
-    return composite(sigma, color, z, dt, sample_valid, bg_color, extras=extras)
+    """Render a batch of rays: plan_rays + shade in one program (the
+    training path, where the hash encode is differentiable and fused)."""
+    plan = plan_rays(
+        rays_o, rays_d, density, bound, grid_size,
+        n_candidates=n_candidates, n_steps=n_steps, min_near=min_near,
+        max_active_rays=max_active_rays, probe_block=probe_block,
+        image_hw=image_hw,
+    )
+    return shade(apply_fn, plan, bg_color, training=training,
+                 n_rays=rays_o.shape[0])
 
 
 def update_density_grid(

@@ -427,3 +427,126 @@ def make_cached_greedy_decoder(
     variables = jax.device_put(variables)
     jitted = jax.jit(decode)
     return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)
+
+
+def make_cached_beam_decoder(
+    model: Whisper,
+    variables,
+    beam_size: int = 5,
+    max_new_tokens: int = 128,
+    suppress_tokens: Optional[tuple] = None,
+):
+    """KV-cached beam search (reference: whisper decoding.py BeamSearchDecoder
+    with patience 1.0 + MaximumLikelihoodRanker; the reference server runs
+    beam 5, whisper_online.py:137).
+
+    Fully on-device `lax.while_loop` with static shapes: `beam_size` beams as
+    the batch dimension, per-step flattened top-2n expansion, finished
+    hypotheses collected into a fixed n-slot pool, final pick by average
+    logprob. Batch 1 input (the streaming case).
+
+    Returns decode(xa [1,T,D], prompt [1,P], prompt_len) → tokens [1, P+max_new].
+    """
+    n = beam_size
+
+    def decode(variables, xa, prompt, prompt_len):
+        _, p = prompt.shape
+        total = p + max_new_tokens
+        dims = model.dims
+
+        def dec_apply(method, *args):
+            return model.apply(
+                variables, *args,
+                method=lambda m, *a: getattr(m.decoder, method)(*a),
+            )
+
+        xa_n = jnp.broadcast_to(xa, (n,) + xa.shape[1:])
+        cross_k, cross_v = dec_apply("cross_kv", xa_n)
+        k_cache = jnp.zeros((dims.n_text_layer, n, total, dims.n_text_state))
+        v_cache = jnp.zeros_like(k_cache)
+        tokens = jnp.broadcast_to(
+            jnp.concatenate(
+                [prompt, jnp.full((1, max_new_tokens), EOT, jnp.int32)], axis=1
+            ),
+            (n, total),
+        )
+        # identical beams: keep only beam 0 alive at the first expansion
+        sum_lp = jnp.where(jnp.arange(n) == 0, 0.0, -1e9)
+        fin_tokens = jnp.full((n, total), EOT, jnp.int32)
+        fin_scores = jnp.full((n,), -jnp.inf)      # avg logprob of finished
+        fin_count = jnp.asarray(0, jnp.int32)
+
+        def cond(state):
+            i, *_, fin_count = state
+            return jnp.logical_and(i < total - 1, fin_count < n)
+
+        def body(state):
+            (i, tokens, sum_lp, k_cache, v_cache,
+             fin_tokens, fin_scores, fin_count) = state
+            tok = jax.lax.dynamic_slice(tokens, (0, i), (n, 1))
+            logits, k_cache, v_cache = dec_apply(
+                "step", tok, i, k_cache, v_cache, cross_k, cross_v
+            )
+            if suppress_tokens:
+                logits = logits.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
+            lp = jax.nn.log_softmax(logits, axis=-1)            # [n, V]
+            v = lp.shape[-1]
+            flat = (sum_lp[:, None] + lp).reshape(-1)           # [n·V]
+            top_lp, top_idx = jax.lax.top_k(flat, 2 * n)
+            src = (top_idx // v).astype(jnp.int32)
+            tok_id = (top_idx % v).astype(jnp.int32)
+
+            in_prompt = (i + 1) < prompt_len
+            is_eot = jnp.logical_and(tok_id == EOT,
+                                     jnp.logical_not(in_prompt))
+            # finished candidates → pool, ranked by avg logprob over the
+            # generated region (MaximumLikelihoodRanker, length penalty None)
+            gen_len = jnp.maximum(i + 1 - prompt_len, 1).astype(jnp.float32)
+            cand_avg = jnp.where(is_eot, top_lp / gen_len, -jnp.inf)
+            # merge the best finished candidates into the n-slot pool
+            cand_src_tokens = tokens[src]
+            all_scores = jnp.concatenate([fin_scores, cand_avg])
+            all_tokens = jnp.concatenate(
+                [fin_tokens,
+                 jax.lax.dynamic_update_slice(
+                     cand_src_tokens,
+                     jnp.full((2 * n, 1), EOT, jnp.int32), (0, i + 1))]
+            )
+            keep = jax.lax.top_k(all_scores, n)[1]
+            fin_scores = all_scores[keep]
+            fin_tokens = all_tokens[keep]
+            fin_count = jnp.minimum(
+                fin_count + is_eot.sum().astype(jnp.int32), n
+            )
+
+            # continue with the best n non-finished candidates
+            order = jnp.argsort(jnp.where(is_eot, jnp.inf, -top_lp))
+            live = order[:n]
+            src_l, tok_l, lp_l = src[live], tok_id[live], top_lp[live]
+            keep_tok = jax.lax.dynamic_slice(tokens, (0, i + 1), (n, 1))[:, 0]
+            nxt = jnp.where(in_prompt, keep_tok, tok_l)
+            new_tokens = jnp.where(in_prompt, tokens, tokens[src_l])
+            new_tokens = jax.lax.dynamic_update_slice(
+                new_tokens, nxt[:, None], (0, i + 1)
+            )
+            reorder = lambda c: jnp.where(in_prompt, c, c[:, src_l])
+            sum_lp = jnp.where(in_prompt, sum_lp, lp_l)
+            return (i + 1, new_tokens, sum_lp, reorder(k_cache),
+                    reorder(v_cache), fin_tokens, fin_scores, fin_count)
+
+        state = (jnp.asarray(0, jnp.int32), tokens, sum_lp, k_cache, v_cache,
+                 fin_tokens, fin_scores, fin_count)
+        (i, tokens, sum_lp, _, _, fin_tokens, fin_scores, fin_count) = (
+            jax.lax.while_loop(cond, body, state)
+        )
+        # fall back to the best live beam if nothing finished
+        gen_len = jnp.maximum(i - prompt_len, 1).astype(jnp.float32)
+        live_best = tokens[jnp.argmax(sum_lp)]
+        best = jnp.where(
+            fin_count > 0, fin_tokens[jnp.argmax(fin_scores)], live_best
+        )
+        return best[None]
+
+    variables = jax.device_put(variables)
+    jitted = jax.jit(decode)
+    return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)

@@ -42,11 +42,21 @@ def sample_plane(plane: jax.Array, uv: jnp.ndarray, bound: float,
     in [−bound, bound] with uv[:,0] = x. Returns [N, C] float32.
 
     method="nearest" does one gather per sample instead of four — at a bake
-    resolution ≥2× the render resolution the snap error is sub-texel."""
-    r = plane.shape[0]
+    resolution ≥2× the render resolution the snap error is sub-texel.
+
+    plane may also be pre-flattened [R·R, C] (R inferred as √rows). This is
+    the layout bake_triplanes stores: XLA lays a [R, R, C] array out
+    channel-major (each channel a separate image, HLO layout {1,0,2}), which
+    turns every texel-row gather into C scattered single-element reads —
+    flat 2-D tables keep rows contiguous and gather ~3× faster on TPU."""
+    if plane.ndim == 3:
+        r = plane.shape[0]
+        flat = plane.reshape(r * r, -1)
+    else:
+        r = int(round(plane.shape[0] ** 0.5))
+        flat = plane
     x01 = (uv + bound) / (2 * bound)
     pos = x01 * r - 0.5                      # texel-center alignment
-    flat = plane.reshape(r * r, -1)
     if method == "nearest":
         xi = jnp.clip(jnp.round(pos[:, 0]).astype(jnp.int32), 0, r - 1)
         yi = jnp.clip(jnp.round(pos[:, 1]).astype(jnp.int32), 0, r - 1)
@@ -70,11 +80,17 @@ def sample_plane(plane: jax.Array, uv: jnp.ndarray, bound: float,
 def bake_triplanes(params: dict, spec: GridSpec, bound: float,
                    resolution: int = 512, dtype=None) -> dict:
     """Bake plane_xy/plane_yz/plane_xz tables → textures dict.
-    dtype=jnp.bfloat16 halves texture memory traffic."""
+    dtype=jnp.bfloat16 halves texture memory traffic.
+
+    Stored flat [R·R, C] for the fast row-gather layout (see sample_plane)."""
     out = {}
     for name in ("plane_xy", "plane_yz", "plane_xz"):
         plane = bake_plane(params[name], spec, bound, resolution)
-        out[name] = plane.astype(dtype) if dtype is not None else plane
+        if dtype is not None:
+            plane = plane.astype(dtype)
+        out[name] = jax.jit(
+            lambda p: p.reshape(resolution * resolution, -1)
+        )(plane)
     return out
 
 

@@ -104,6 +104,44 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
             return json_err(f"unknown record type {params['type']!r}")
         return json_ok(data="ok")
 
+    async def preview(request: web.Request) -> web.StreamResponse:
+        """Live MJPEG preview of a session's output video — the HTTP
+        stand-in for the reference's dearpygui viewer
+        (ernerf/nerf_triplane/gui.py). View with any browser:
+        GET /preview?session_id=...&fps=10"""
+        import asyncio as _asyncio
+
+        import cv2
+
+        session = require_session(dict(request.query))
+        fps = float(request.query.get("fps", 10))
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "multipart/x-mixed-replace; boundary=mjpeg",
+                "Cache-Control": "no-store",
+            }
+        )
+        await resp.prepare(request)
+        last = None
+        try:
+            while True:
+                frame = session.model.latest_frame
+                if frame is not None and frame is not last:
+                    last = frame
+                    ok, jpg = cv2.imencode(
+                        ".jpg", frame.image, [cv2.IMWRITE_JPEG_QUALITY, 85]
+                    )
+                    if ok:
+                        await resp.write(
+                            b"--mjpeg\r\nContent-Type: image/jpeg\r\n"
+                            + f"Content-Length: {len(jpg)}\r\n\r\n".encode()
+                            + jpg.tobytes() + b"\r\n"
+                        )
+                await _asyncio.sleep(1.0 / fps)
+        except (ConnectionResetError, _asyncio.CancelledError):
+            pass
+        return resp
+
     async def get_metrics(request: web.Request) -> web.Response:
         return web.json_response(metrics.snapshot())
 
@@ -116,6 +154,7 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
     app.router.add_post("/talk", talk)
     app.router.add_post("/set_audio_type", set_audio_type)
     app.router.add_post("/record", record)
+    app.router.add_get("/preview", preview)
     app.router.add_get("/metrics", get_metrics)
     app.router.add_get("/health", health)
 

@@ -73,9 +73,32 @@ class Session:
             ]
         elif mode == "webrtc":
             await self._start_webrtc()
+        elif mode == "rtmp":
+            await self._start_rtmp()
         else:
             raise ValueError(f"unsupported transport mode {mode!r}")
         metrics.counter("sessions.started")
+
+    # ---- RTMP push (reference app.py:699, nerfreal.py:89-124 — vestigial
+    # there; a working ffmpeg-piped implementation here) ----------------------
+    async def _start_rtmp(self) -> None:
+        from mere_fusion_tpu.transport.rtmp import RtmpStreamer, RtmpTrackSink
+
+        probe = self.model.first_video_frame_shape()
+        streamer = RtmpStreamer(
+            self.cfg.transport.push_url, width=probe[1], height=probe[0],
+            fps=self.cfg.audio.fps, sample_rate=self.cfg.audio.sample_rate,
+        )
+        self._rtmp = streamer
+        sink = RtmpTrackSink(streamer)
+        import threading
+
+        quit_event = threading.Event()
+        self._consumers = [
+            asyncio.create_task(
+                sink.run(self.player.video, self.player.audio, quit_event)
+            )
+        ]
 
     async def _drain(self, track) -> None:
         try:
@@ -152,6 +175,8 @@ class Session:
     async def close(self) -> None:
         for task in self._consumers:
             task.cancel()
+        if getattr(self, "_rtmp", None) is not None:
+            self._rtmp.close()
         for pc in self._pcs:
             await pc.close()
         if self.player is not None:

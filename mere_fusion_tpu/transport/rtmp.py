@@ -1,0 +1,136 @@
+"""RTMP push through an ffmpeg subprocess.
+
+The reference exposes `--transport rtmp` and calls
+`self.streamer.stream_frame(...)` / `stream_frame_audio(...)`
+(reference: nerfreal.py:89-124, app.py:699-701, 746) but never constructs
+the streamer — the path is vestigial from an upstream compiled
+`rtmp_streaming` module. This is a working equivalent with the same two-call
+API: raw BGR frames and float32 PCM are piped into one ffmpeg process that
+muxes H.264+AAC into an FLV stream and pushes it to the RTMP URL.
+
+Audio rides a named FIFO (ffmpeg needs two independent inputs; only one can
+be stdin). Requires the ffmpeg binary; `ffmpeg_path` is injectable so tests
+can substitute a recorder script.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+
+class RtmpStreamer:
+    """Push raw video frames + PCM audio to an RTMP endpoint.
+
+    stream_frame(image)        — BGR uint8 [H, W, 3], paced by the caller
+    stream_frame_audio(chunk)  — float32 PCM at `sample_rate`, mono
+    close()                    — flush and terminate the pipeline
+    """
+
+    def __init__(self, url: str, width: int, height: int, fps: int = 25,
+                 sample_rate: int = 16000, bitrate: str = "2000k",
+                 ffmpeg_path: str | None = None):
+        ffmpeg = ffmpeg_path or shutil.which("ffmpeg")
+        if ffmpeg is None:
+            raise RuntimeError(
+                "RTMP push needs the ffmpeg binary (not found on PATH)"
+            )
+        self.width, self.height = width, height
+        self._tmp = tempfile.mkdtemp(prefix="mf_rtmp_")
+        self._fifo = os.path.join(self._tmp, "audio.pcm")
+        os.mkfifo(self._fifo)
+        self._proc = subprocess.Popen(
+            [
+                ffmpeg, "-loglevel", "error", "-re",
+                # video: raw BGR frames on stdin
+                "-f", "rawvideo", "-pix_fmt", "bgr24",
+                "-s", f"{width}x{height}", "-r", str(fps), "-i", "pipe:0",
+                # audio: raw PCM16 mono through the fifo
+                "-f", "s16le", "-ar", str(sample_rate), "-ac", "1",
+                "-i", self._fifo,
+                "-c:v", "libx264", "-preset", "ultrafast",
+                "-tune", "zerolatency", "-b:v", bitrate,
+                "-pix_fmt", "yuv420p", "-g", str(2 * fps),
+                "-c:a", "aac", "-ar", str(sample_rate),
+                "-f", "flv", url,
+            ],
+            stdin=subprocess.PIPE,
+        )
+        # opening a fifo for write blocks until the reader opens it; do it on
+        # a thread so construction doesn't deadlock if ffmpeg dies early
+        self._audio_fh = None
+        self._audio_ready = threading.Event()
+
+        def _open_fifo():
+            try:
+                self._audio_fh = open(self._fifo, "wb")
+            except OSError:
+                self._audio_fh = None
+            self._audio_ready.set()
+
+        threading.Thread(target=_open_fifo, daemon=True).start()
+        self._lock = threading.Lock()
+
+    def stream_frame(self, image: np.ndarray) -> None:
+        if image.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"frame {image.shape[:2]} != configured "
+                f"{(self.height, self.width)}"
+            )
+        with self._lock:
+            if self._proc.poll() is None:
+                self._proc.stdin.write(np.ascontiguousarray(image).tobytes())
+
+    def stream_frame_audio(self, chunk: np.ndarray) -> None:
+        if not self._audio_ready.wait(timeout=5) or self._audio_fh is None:
+            return
+        pcm = np.clip(chunk, -1.0, 1.0)
+        self._audio_fh.write((pcm * 32767).astype(np.int16).tobytes())
+
+    def close(self) -> None:
+        with self._lock:
+            if self._proc.stdin and not self._proc.stdin.closed:
+                try:
+                    self._proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+        if self._audio_fh is not None:
+            try:
+                self._audio_fh.close()
+            except BrokenPipeError:
+                pass
+        try:
+            self._proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+        shutil.rmtree(self._tmp, ignore_errors=True)
+
+
+class RtmpTrackSink:
+    """Adapter that drains HumanPlayer-style paced tracks into an
+    RtmpStreamer — lets any engine's render() output (VideoImage /
+    AudioChunk frames) feed an RTMP push instead of WebRTC."""
+
+    def __init__(self, streamer: RtmpStreamer):
+        self.streamer = streamer
+
+    async def run(self, video_track, audio_track, quit_event) -> None:
+        import asyncio
+
+        async def pump_video():
+            while not quit_event.is_set():
+                frame = await video_track.recv()
+                self.streamer.stream_frame(frame.image)
+
+        async def pump_audio():
+            while not quit_event.is_set():
+                chunk = await audio_track.recv()
+                self.streamer.stream_frame_audio(
+                    chunk.samples.astype(np.float32) / 32768.0
+                )
+
+        await asyncio.gather(pump_video(), pump_audio())

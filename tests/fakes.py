@@ -18,6 +18,7 @@ class FakeEngine:
         self.paused = 0
         self.curr_state = 0
         self.recording = False
+        self.latest_frame = None
         self.rendering = threading.Event()
 
     def put_msg_txt(self, msg):

@@ -153,3 +153,33 @@ def test_video_upstream_summaries():
         up.process_frame(frame)
     assert len(spy.summaries) == 2
     assert "bright" in spy.summaries[0]
+
+
+def test_preview_mjpeg_stream():
+    """GET /preview streams multipart JPEG parts of the engine's latest
+    frame (the dearpygui-viewer stand-in)."""
+    async def main():
+        client = make_client()
+        await client.start_server()
+        try:
+            r = await client.post("/start_session", json={})
+            sid = (await r.json())["session_id"]
+            engine = client.app["manager"].get(sid).model
+            from mere_fusion_tpu.transport.frames import VideoImage
+
+            img = np.full((8, 8, 3), 128, np.uint8)
+            engine.latest_frame = VideoImage(image=img)
+
+            resp = await client.get(f"/preview?session_id={sid}&fps=50")
+            assert resp.status == 200
+            assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
+            data = await resp.content.read(64)
+            assert b"--mjpeg" in data and b"image/jpeg" in data
+            resp.close()
+
+            r = await client.get("/preview?session_id=nope")
+            assert r.status == 404
+        finally:
+            await client.close()
+
+    run(main())

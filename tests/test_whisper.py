@@ -103,3 +103,43 @@ def test_cached_decode_matches_full_rescoring():
     t_full = np.asarray(full(xa, prompt, 3))
     t_cached = np.asarray(cached(xa, prompt, 3))
     np.testing.assert_array_equal(t_cached, t_full)
+
+
+def test_beam_search_decoder():
+    """Beam search returns a well-formed hypothesis whose total generated
+    logprob is >= the greedy path's (beam explores a superset), and respects
+    the prompt prefix."""
+    from mere_fusion_tpu.models.whisper import (
+        make_cached_beam_decoder,
+        make_cached_greedy_decoder,
+    )
+
+    model = Whisper(SMALL)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 96)).astype(np.float32))
+    variables = model.init(jax.random.key(2), mel, jnp.zeros((1, 4), jnp.int32))
+    xa = model.apply(variables, mel, method=Whisper.encode)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+
+    greedy = make_cached_greedy_decoder(model, variables, max_new_tokens=8)
+    beam = make_cached_beam_decoder(model, variables, beam_size=3,
+                                    max_new_tokens=8)
+    t_g = np.asarray(greedy(xa, prompt, 3))[0]
+    t_b = np.asarray(beam(xa, prompt, 3))[0]
+    assert t_b.shape == t_g.shape
+    np.testing.assert_array_equal(t_b[:3], [1, 2, 3])  # prompt preserved
+
+    def seq_logprob(tokens):
+        logits = model.apply(
+            variables, jnp.asarray(tokens[None]), xa, method=Whisper.logits
+        )
+        lp = jax.nn.log_softmax(logits, axis=-1)[0]
+        total = 0.0
+        for i in range(3, len(tokens)):
+            tok = int(tokens[i])
+            total += float(lp[i - 1, tok])
+            if tok == EOT:
+                break
+        return total
+
+    assert seq_logprob(t_b) >= seq_logprob(t_g) - 1e-4
