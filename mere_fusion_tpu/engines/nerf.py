@@ -53,10 +53,33 @@ def fake_logits_fn(audio_dim: int) -> Callable[[np.ndarray], np.ndarray]:
     return fn
 
 
-def wav2vec_logits_fn(model_name: str, device: str = "cpu"):
+def wav2vec_logits_fn(model_name: str, device: str = "cpu",
+                      backend: str = "flax"):
     """transformers CTC extractor (reference: nerfasr.py:39-45, 128-143).
     Requires the model to be available locally (zero-egress environments
-    must pre-download)."""
+    must pre-download).
+
+    backend="flax" runs the encoder on the TPU (jitted
+    FlaxWav2Vec2ForCTC); "torch" is the CPU fallback matching the
+    reference's torch path."""
+    if backend == "flax":
+        import jax
+
+        from transformers import AutoProcessor, FlaxWav2Vec2ForCTC
+
+        processor = AutoProcessor.from_pretrained(model_name)
+        model = FlaxWav2Vec2ForCTC.from_pretrained(model_name)
+        apply = jax.jit(lambda p, x: model.module.apply(
+            {"params": p}, x, deterministic=True).logits)
+        params = jax.device_put(model.params)
+
+        def fn(audio: np.ndarray) -> np.ndarray:
+            inputs = processor(audio, sampling_rate=16000, return_tensors="np",
+                               padding=True)
+            return np.asarray(apply(params, inputs.input_values))[0]
+
+        return fn
+
     import torch
     from transformers import AutoModelForCTC, AutoProcessor
 
