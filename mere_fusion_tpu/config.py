@@ -108,11 +108,16 @@ class NeRFConfig:
     num_rays: int = 65536
     n_candidates: int = 32            # occupancy probes per ray
     max_active_rays: int = 65536      # static ray-compaction budget (0 = off)
-    # Baked-texture filtering. "nearest" is ~80× faster than "bilinear" on
-    # TPU (one gather/plane keeps XLA's fast row-gather layout; the 4-corner
-    # pattern makes layout assignment store the texture channel-major) and
-    # at a 2× oversampled bake the snap error is sub-texel.
-    sample_mode: str = "nearest"      # nearest | bilinear
+    # Baked-texture filtering. "pallas" = windowed two-hot MXU sampler
+    # (ops/pallas_sampler): exact bilinear at ~2.5× the XLA gather rate,
+    # per-ray spans from a pose-keyed cache, tile compaction. "nearest" is
+    # the XLA-gather path (one gather/plane; at a 2× oversampled bake the
+    # snap error is sub-texel); "bilinear" its 4-gather exact variant.
+    sample_mode: str = "pallas"       # pallas | nearest | bilinear
+    tile_budget: int = 1024           # active 8×8 tiles per frame (pallas)
+    pallas_window_u: int = 64         # texture window, contract (depth) axis
+    pallas_window_v: int = 32         # texture window, lateral axis
+    pallas_depth_groups: int = 4      # depth groups per ray (even, divides K)
     texture_dtype: str = "bfloat16"   # baked-texture storage dtype
     probe_block: int = 8              # pixels per shared occupancy probe (0 = per-ray)
     smooth_path_window: int = 7

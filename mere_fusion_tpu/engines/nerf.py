@@ -343,9 +343,20 @@ class NeRFReal(BaseReal):
                 resolution=min(1024, 2 * nc.desired_resolution),
                 dtype=jnp.bfloat16 if nc.texture_dtype == "bfloat16" else None,
             )
-        self._render_step = make_nerf_render_step(
-            network, variables, dataset, cfg, baked=baked
-        )
+        self._pallas_mode = bool(baked is not None
+                                 and nc.sample_mode == "pallas")
+        if self._pallas_mode:
+            from mere_fusion_tpu.engines.nerf_pallas import (
+                make_pallas_render_step,
+            )
+
+            self._render_step = make_pallas_render_step(
+                network, variables, dataset, cfg, baked=baked
+            )
+        else:
+            self._render_step = make_nerf_render_step(
+                network, variables, dataset, cfg, baked=baked
+            )
         self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim))
         self.asr.warm_up()
 
@@ -385,12 +396,23 @@ class NeRFReal(BaseReal):
                 )
                 self.asr.speech_start_ts = None
             t0 = time.perf_counter()
-            rgb = np.asarray(
-                self._render_step(
+            if self._pallas_mode:
+                rgb, n_active, n_overflow = self._render_step(
                     data["pose"], jnp.asarray(auds), jnp.asarray(data["eye"]),
                     self.density, jnp.asarray(data["bg_color"]),
+                    pose_key=data.get("index"),
                 )
-            )
+                rgb = np.asarray(rgb)
+                metrics.gauge("nerf.active_tiles", int(n_active))
+                metrics.gauge("nerf.overflow_jobs", int(n_overflow))
+            else:
+                rgb = np.asarray(
+                    self._render_step(
+                        data["pose"], jnp.asarray(auds),
+                        jnp.asarray(data["eye"]),
+                        self.density, jnp.asarray(data["bg_color"]),
+                    )
+                )
             metrics.latency("nerf.render").observe(time.perf_counter() - t0)
             metrics.rate("nerf.render_fps").tick()
             image = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)

@@ -1,0 +1,192 @@
+"""ER-NeRF inference pipeline built on the Pallas triplane sampler.
+
+Replaces the XLA-gather texture path (engines/nerf.make_nerf_render_step)
+with the windowed two-hot MXU sampler (ops/pallas_sampler) plus two design
+changes measured to matter:
+
+1. **Per-ray spans from a pose-keyed cache.** Block-shared occupancy probes
+   (probe_block=8) cost ~7 dB PSNR on the synthetic learn-check scene —
+   the block's center ray misses geometry the edge rays hit, and the span
+   width sets the quadrature the trained density expects. Per-ray probing
+   is exact but costs ~70 ms at 512² (8.4M occupancy gathers). Since the
+   test-time pose track is a fixed loop (reference provider.py:276-283) and
+   the density grid is static at inference, per-ray spans are computed once
+   per pose (lazily, on first visit) and cached on device as f16 — after
+   one loop every frame gets per-ray quality for ~zero planning cost.
+
+2. **Tile-level compaction.** Rays are reordered into 8×8 pixel tiles (a
+   constant permutation); tiles whose probes hit nothing are dropped and
+   the survivors compacted to a fixed budget, bounding the sampler and MLP
+   work exactly like the reference's alive-ray compaction
+   (ernerf/nerf_triplane/renderer.py:246-270) but at the granularity the
+   kernel wants.
+
+Samples that leave their texture window clamp to its edge; the planner
+reports the overflow-job fraction through runtime metrics so the
+degradation is observable rather than silent.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.models.ernerf.network import NeRFNetwork
+from mere_fusion_tpu.models.ernerf.renderer import (
+    DensityGrid,
+    composite,
+    get_rays,
+    intersect_aabb,
+    render_torso_background,
+    select_occupied_depths,
+)
+from mere_fusion_tpu.ops.pallas_sampler import (
+    SamplerSpec,
+    from_tiles,
+    pack_planes_major,
+    plan_jobs,
+    regroup_features,
+    sample_tiles,
+    to_tiles,
+)
+
+
+def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
+                            cfg: Config, baked: dict,
+                            interpret: bool | None = None):
+    """step(pose, auds, eye, density, bg, pose_key=None) → RGB u8 [H, W, 3].
+
+    pose_key: hashable id of the pose (dataset frame index) for the span
+    cache; None disables caching (spans recomputed per call).
+    interpret: run the kernel in the Pallas interpreter (auto-enabled off
+    TPU so the pipeline stays testable on the CPU mesh)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = dataset.H, dataset.W
+    intrinsics = dataset.intrinsics
+    nc = cfg.nerf
+    k = nc.max_steps
+    res = int(round(next(iter(baked.values())).shape[0] ** 0.5)) \
+        if next(iter(baked.values())).ndim == 2 \
+        else next(iter(baked.values())).shape[0]
+    channels = network.cfg.num_levels * network.cfg.plane_spec.level_dim
+    spec = SamplerSpec(resolution=res, channels=channels,
+                       tile_w=8, tile_h=8, k=k, kg=nc.pallas_depth_groups,
+                       wu=nc.pallas_window_u, wv=nc.pallas_window_v)
+    rpt = spec.rays_per_tile
+    n = H * W
+    t = n // rpt
+    budget = min(nc.tile_budget, t)
+    bound = nc.bound
+
+    tile = lambda x: to_tiles(x, H, W, spec.tile_w, spec.tile_h)
+    untile = lambda x: from_tiles(x, H, W, spec.tile_w, spec.tile_h)
+    variables = jax.device_put(variables)
+    planes_major = jax.jit(
+        lambda b: pack_planes_major(b, spec)
+    )(jax.device_put(baked))
+
+    @jax.jit
+    def span_fn(pose, density: DensityGrid):
+        """Per-ray spans (the expensive, cacheable part)."""
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound)
+        z, dt, valid = select_occupied_depths(
+            rays_o, rays_d, near, far, density, bound, nc.grid_size,
+            nc.n_candidates, 2,      # only the span ends are needed
+        )
+        zmin, zmax = z[:, 0], z[:, -1]
+        return (jnp.stack([zmin, zmax], -1).astype(jnp.float16),
+                valid.any(-1) & ray_valid)
+
+    @jax.jit
+    def stage_plan(pose, spans, valid):
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        d_t = tile(rays_d)
+        o_t = tile(rays_o)
+        sp = tile(spans.astype(jnp.float32))
+        va = tile(valid)
+        zmin, zmax = sp[..., 0], sp[..., 1]
+        kfrac = jnp.linspace(0.0, 1.0, k)
+        z = zmin[..., None] + (zmax - zmin)[..., None] * kfrac  # [T, rpt, K]
+        dt = ((zmax - zmin) / k)[..., None]
+        xyz = jnp.clip(
+            o_t[:, :, None] + d_t[:, :, None] * z[..., None], -bound, bound
+        )
+        valid_k = jnp.broadcast_to(va[..., None], (t, rpt, k))
+        scalars, uv, active, overflow = plan_jobs(
+            xyz.reshape(t, rpt * k, 3), valid_k, spec, bound
+        )
+        order = jnp.argsort(~active)
+        sel = order[:budget]
+        return {
+            "scalars": scalars[sel].reshape(-1),
+            "uv": uv[sel].reshape(budget * 3, spec.kg, spec.sg, 2),
+            "sel": sel,
+            "n_active": active.sum(),
+            "n_overflow": (overflow & active[:, None]).sum(),
+            "z": z[sel], "dt": dt[sel], "valid": valid_k[sel],
+            "dirs": d_t[sel],
+        }
+
+    @jax.jit
+    def stage_encode(planes_major, scalars, uv):
+        feats = sample_tiles(planes_major, scalars, uv, spec,
+                             interpret=interpret)
+        return regroup_features(feats, spec)          # [B, rpt, k, 3C]
+
+    def conditions(variables, auds):
+        enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
+        ind = (
+            network.apply(variables, 0, method=NeRFNetwork.individual_code)
+            if network.cfg.individual_dim > 0 else None
+        )
+        return enc_a, ind
+
+    @jax.jit
+    def stage_shade(variables, plan, enc, pose, auds, eye, bg_color):
+        enc_a, ind = conditions(variables, auds)
+        if network.cfg.torso:
+            def torso_fn(x, p):
+                return network.apply(variables, x, p,
+                                     method=NeRFNetwork.forward_torso)
+
+            bg_color, _ = render_torso_background(
+                torso_fn, H, W, jnp.asarray(pose), bg_color
+            )
+        sel = plan["sel"]
+        m = budget * rpt
+        dirs = jnp.broadcast_to(
+            plan["dirs"][:, :, None, :], (budget, rpt, k, 3)
+        ).reshape(-1, 3)
+        sigma, color, amb_aud, amb_eye, unc = network.apply(
+            variables, enc.reshape(-1, 3 * channels), dirs, enc_a, ind, eye,
+            training=False, method=NeRFNetwork.forward_with_enc,
+        )
+        bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
+        out = composite(
+            sigma.reshape(m, k), color.reshape(m, k, 3),
+            plan["z"].reshape(m, k), plan["dt"].reshape(m, 1),
+            plan["valid"].reshape(m, k), bg_t[sel].reshape(m, 3),
+        )
+        # scatter compacted tiles back over a background-filled frame
+        img_t = bg_t.at[sel].set(out["image"].reshape(budget, rpt, 3))
+        img = jnp.clip(untile(img_t).reshape(H, W, 3), 0.0, 1.0)
+        return (img * 255).astype(jnp.uint8)
+
+    span_cache: dict = {}
+
+    def step(pose, auds, eye, density, bg, pose_key=None):
+        if pose_key is not None and pose_key in span_cache:
+            spans, valid = span_cache[pose_key]
+        else:
+            spans, valid = span_fn(pose, density)
+            if pose_key is not None:
+                span_cache[pose_key] = (spans, valid)
+        plan = stage_plan(pose, spans, valid)
+        enc = stage_encode(planes_major, plan["scalars"], plan["uv"])
+        img = stage_shade(variables, plan, enc, pose, auds, eye, bg)
+        return img, plan["n_active"], plan["n_overflow"]
+
+    return step

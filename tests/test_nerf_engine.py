@@ -92,3 +92,55 @@ def test_nerf_engine_renders_frames(dataset):
     # untrained NeRF over a white bg composites to a bright, valid frame
     assert all(f.image.dtype == np.uint8 for f in frames)
     assert all(f.image.mean() > 128 for f in frames)
+
+
+def test_nerf_engine_pallas_mode_matches_xla(dataset):
+    """The Pallas sampler pipeline produces frames close to the XLA path
+    (exact in-window; LOD only on wide spans) through the full engine."""
+    cfg_p = CFG.override(**{
+        "nerf.sample_mode": "pallas",
+        "nerf.tile_budget": 64,
+        "nerf.pallas_depth_groups": 4,
+    })
+    net = NeRFNetwork(NeRFNetConfig(
+        bound=CFG.nerf.bound, audio_in_dim=CFG.nerf.audio_in_dim,
+        audio_dim=CFG.nerf.audio_dim, exp_eye=CFG.nerf.exp_eye,
+        num_levels=CFG.nerf.num_levels,
+        base_resolution=CFG.nerf.base_resolution,
+        log2_hashmap_size=CFG.nerf.log2_hashmap_size,
+        desired_resolution=CFG.nerf.desired_resolution,
+    ))
+    variables = jax.jit(net.init, static_argnames="method")(
+        jax.random.key(0), jnp.zeros((8, net.cfg.audio_in_dim, 16)),
+        jnp.zeros((4, 3)), jnp.ones((4, 3)) / np.sqrt(3.0),
+        jnp.zeros((1, net.cfg.individual_dim)) if net.cfg.individual_dim else None,
+        jnp.zeros((1, 1)), method=NeRFNetwork.full_init,
+    )
+    cfg_x = CFG.override(**{"nerf.sample_mode": "nearest"})
+    eng_p = NeRFReal(cfg_p, network=net, variables=variables, dataset=dataset)
+    eng_x = NeRFReal(cfg_x, network=net, variables=variables, dataset=dataset)
+    assert eng_p._pallas_mode and not eng_x._pallas_mode
+
+    data = dataset.collate(0)
+    auds = jnp.zeros((8, net.cfg.audio_in_dim, 16))
+    img_p, n_act, n_ovf = eng_p._render_step(
+        data["pose"], auds, jnp.asarray(data["eye"]), eng_p.density,
+        jnp.asarray(data["bg_color"]), pose_key=0,
+    )
+    img_x = eng_x._render_step(
+        data["pose"], auds, jnp.asarray(data["eye"]), eng_x.density,
+        jnp.asarray(data["bg_color"]),
+    )
+    img_p, img_x = np.asarray(img_p), np.asarray(img_x)
+    assert img_p.shape == img_x.shape == (64, 64, 3)
+    mse = ((img_p.astype(np.float32) - img_x.astype(np.float32)) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    # untrained density → fully occupied grid → wide spans → LOD filtering;
+    # the two paths must still broadly agree
+    assert psnr > 20, f"pallas vs xla frame PSNR {psnr:.1f} dB"
+    # span cache hit on the second call
+    img_p2, _, _ = eng_p._render_step(
+        data["pose"], auds, jnp.asarray(data["eye"]), eng_p.density,
+        jnp.asarray(data["bg_color"]), pose_key=0,
+    )
+    np.testing.assert_array_equal(np.asarray(img_p2), img_p)
