@@ -85,7 +85,8 @@ class JaxWhisperBackend:
     sep = ""
 
     def __init__(self, variables=None, dims=None, tokenizer=None,
-                 language_index: int = 0, beam_size: int = 1):
+                 language_index: int = 0, beam_size: int = 1,
+                 word_timestamps: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -139,6 +140,14 @@ class JaxWhisperBackend:
             return model.apply(variables, mel, method=Whisper.encode)
 
         self._encode = lambda mel: encode(dev_vars, mel)
+        self.word_timestamps = word_timestamps and self.tokenizer is not None
+
+        @jax.jit
+        def cross_attn(variables, tokens, xa):
+            return model.apply(variables, tokens, xa,
+                               method=Whisper.cross_attentions)
+
+        self._cross_attn = lambda tokens, xa: cross_attn(dev_vars, tokens, xa)
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "JaxWhisperBackend":
@@ -168,7 +177,22 @@ class JaxWhisperBackend:
         prompt = jnp.asarray([self._sot], jnp.int32)
         tokens = np.asarray(self._decode(xa, prompt, len(self._sot)))[0]
         text_tokens = [int(t) for t in tokens[len(self._sot):] if t != EOT]
-        return {"tokens": text_tokens, "duration": duration}
+        starts = None
+        if self.word_timestamps and text_tokens:
+            # DTW word alignment over the final sequence's cross-attention
+            # (one fixed-shape causal pass; reference parity with
+            # faster-whisper's word_timestamps=True)
+            attn = np.asarray(self._cross_attn(jnp.asarray(tokens[None]), xa))
+            n_frames = int(duration / 0.02)
+            starts = self._align_starts(attn, len(self._sot), n_frames,
+                                        len(text_tokens))
+        return {"tokens": text_tokens, "duration": duration, "starts": starts}
+
+    def _align_starts(self, attn, n_prompt, n_frames, n_text):
+        from mere_fusion_tpu.asr.align import token_times
+
+        starts = token_times(attn, n_prompt, n_frames)
+        return starts[:n_text]
 
     def _token_text(self, tok: int) -> str:
         if self.tokenizer is not None:
@@ -179,6 +203,12 @@ class JaxWhisperBackend:
         toks = res["tokens"]
         if not toks:
             return []
+        if res.get("starts") is not None and self.tokenizer is not None:
+            from mere_fusion_tpu.asr.align import words_with_times
+
+            triples = words_with_times(toks, res["starts"], self.tokenizer,
+                                       res["duration"])
+            return [Word(s, e, " " + t) for s, e, t in triples]
         dt = res["duration"] / len(toks)
         return [
             Word(i * dt, (i + 1) * dt, self._token_text(t)) for i, t in enumerate(toks)

@@ -97,6 +97,17 @@ class MultiHeadAttention(nn.Module):
         return self.out(self._attend(q, k, v, None))
 
     def _attend(self, q, k, v, mask):
+        wv, _ = self._attend_with_weights(q, k, v, mask)
+        return wv
+
+    def attention_weights(self, x, xa):
+        """Cross-attention probabilities [B, h, Lq, Lk] (for DTW word
+        alignment, mirroring openai-whisper's find_alignment hooks)."""
+        q, k = self.query(x), self.key(xa)
+        _, w = self._attend_with_weights(q, k, self.value(xa), None)
+        return w
+
+    def _attend_with_weights(self, q, k, v, mask):
         b, lq, _ = q.shape
         lk = k.shape[1]
         h = self.n_head
@@ -109,7 +120,7 @@ class MultiHeadAttention(nn.Module):
             qk = qk + mask[:lq, :lk]
         w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(v.dtype)
         wv = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        return wv.transpose(0, 2, 1, 3).reshape(b, lq, self.n_state)
+        return wv.transpose(0, 2, 1, 3).reshape(b, lq, self.n_state), w
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -228,6 +239,24 @@ class TextDecoder(nn.Module):
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.float32)
 
+    def cross_attentions(self, tokens, xa):
+        """Cross-attention weights for a fixed token sequence:
+        [n_layers, B, h, L, T'] — one full causal pass, used by the DTW
+        word aligner (openai-whisper timing.py find_alignment analog)."""
+        L = tokens.shape[-1]
+        x = self.token_embedding(tokens) + self.positional_embedding[:L]
+        mask = jnp.triu(jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1)
+        weights = []
+        for block in self.blocks:
+            weights.append(
+                block.cross_attn.attention_weights(
+                    block.cross_attn_ln(x + block.attn(block.attn_ln(x),
+                                                       mask=mask)), xa
+                )
+            )
+            x = block(x, xa=xa, mask=mask)
+        return jnp.stack(weights)
+
     def init_cache(self, batch: int, max_len: int):
         d = self.dims
         shape = (d.n_text_layer, batch, max_len, d.n_text_state)
@@ -278,6 +307,9 @@ class Whisper(nn.Module):
 
     def logits(self, tokens, xa):
         return self.decoder(tokens, xa)
+
+    def cross_attentions(self, tokens, xa):
+        return self.decoder.cross_attentions(tokens, xa)
 
 
 # ---- special tokens (multilingual vocab; tokenizer-independent) -------------
