@@ -1,0 +1,163 @@
+"""3DMM face tracking by differentiable landmark fitting (JAX).
+
+TPU-native replacement for the reference's pytorch3d-based tracker
+(reference: data_utils/face_tracking/face_tracker.py — optimizes BFM
+id/exp/pose/focal per frame by differentiable rendering). The pose signal
+that the ER-NeRF data pipeline actually consumes (transforms.json
+euler/trans + focal, data_utils/process.py task 8) is recoverable from the
+landmark term alone, so this implements that stage as a batched, jitted
+Adam optimization over all frames at once:
+
+    minimize  || project(R(euler_f)·(mean + B_id a + B_exp e_f) + t_f) - L_f ||²
+              + λ_id ||a||² + λ_exp ||e_f||²
+
+with a shared identity `a`, per-frame expressions `e_f`, per-frame pose
+(euler_f, t_f) and a shared focal length. The reference's photometric
+refinement stage needs a differentiable rasterizer and is out of scope —
+documented, not silently skipped.
+
+The morphable-model arrays (mean [N,3], id basis [N·3, K_id], exp basis
+[N·3, K_exp]) load from the reference's 3DMM asset directory when present
+(convert_BFM output), or can be passed directly (tests use a synthetic
+model)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class MorphableModel:
+    mean: np.ndarray        # [N, 3]
+    base_id: np.ndarray     # [N*3, K_id]
+    base_exp: np.ndarray    # [N*3, K_exp]
+
+    @classmethod
+    def load(cls, path: str) -> "MorphableModel":
+        """Load from the reference's converted BFM directory
+        (data_utils/face_tracking/3DMM: 3DMM_info.npy from convert_BFM.py)."""
+        import os
+
+        info = np.load(os.path.join(path, "3DMM_info.npy"),
+                       allow_pickle=True).item()
+        return cls(
+            mean=info["mu_shape"].reshape(-1, 3).astype(np.float32),
+            base_id=info["b_shape"].astype(np.float32),
+            base_exp=info["b_exp"].astype(np.float32),
+        )
+
+
+def euler_to_rot(euler: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] (pitch, yaw, roll) → [..., 3, 3] rotation matrices (the
+    reference's euler2rot convention, face_tracking/geo_transform.py)."""
+    x, y, z = euler[..., 0], euler[..., 1], euler[..., 2]
+    cx, sx = jnp.cos(x), jnp.sin(x)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    rx = jnp.stack([one, zero, zero,
+                    zero, cx, -sx,
+                    zero, sx, cx], -1).reshape(*x.shape, 3, 3)
+    ry = jnp.stack([cy, zero, sy,
+                    zero, one, zero,
+                    -sy, zero, cy], -1).reshape(*x.shape, 3, 3)
+    rz = jnp.stack([cz, -sz, zero,
+                    sz, cz, zero,
+                    zero, zero, one], -1).reshape(*x.shape, 3, 3)
+    return rz @ ry @ rx
+
+
+def project(points: jnp.ndarray, focal: jnp.ndarray, center: tuple
+            ) -> jnp.ndarray:
+    """Perspective projection [..., N, 3] → [..., N, 2] pixels; camera looks
+    down -z (the reference's forward_transform, geo_transform.py)."""
+    z = jnp.maximum(-points[..., 2], 1e-4)
+    u = points[..., 0] / z * focal + center[0]
+    v = -points[..., 1] / z * focal + center[1]
+    return jnp.stack([u, v], axis=-1)
+
+
+def fit_landmarks(
+    model: MorphableModel,
+    landmarks: np.ndarray,          # [F, N, 2] detected 2D landmarks (px)
+    image_hw: tuple,
+    iters: int = 3000,
+    lr: float = 3e-2,
+    lambda_id: float = 1e-4,
+    lambda_exp: float = 1e-4,
+    init_trans_z: float = -600.0,
+) -> dict:
+    """Fit shared id + focal and per-frame exp/euler/trans to landmarks.
+
+    Returns {euler [F,3], trans [F,3], exp [F,Ke], id [Ki], focal ()} as
+    numpy plus the final mean pixel error."""
+    import optax
+
+    f, n, _ = landmarks.shape
+    h, w = image_hw
+    center = (w / 2.0, h / 2.0)
+    mean = jnp.asarray(model.mean)
+    b_id = jnp.asarray(model.base_id).reshape(n, 3, -1)
+    b_exp = jnp.asarray(model.base_exp).reshape(n, 3, -1)
+    target = jnp.asarray(landmarks, jnp.float32)
+
+    params = {
+        "id": jnp.zeros((b_id.shape[-1],)),
+        "exp": jnp.zeros((f, b_exp.shape[-1])),
+        "euler": jnp.zeros((f, 3)),
+        "trans": jnp.tile(jnp.asarray([0.0, 0.0, init_trans_z]), (f, 1)),
+        "log_focal": jnp.log(jnp.asarray(1150.0)),
+    }
+
+    def geometry(p):
+        pts = (mean[None]
+               + jnp.einsum("nvk,k->nv", b_id, p["id"])[None]
+               + jnp.einsum("nvk,fk->fnv", b_exp, p["exp"]))
+        rot = euler_to_rot(p["euler"])                  # [F, 3, 3]
+        return jnp.einsum("fij,fnj->fni", rot, pts) + p["trans"][:, None]
+
+    def loss_fn(p):
+        proj = project(geometry(p), jnp.exp(p["log_focal"]), center)
+        lmk = ((proj - target) ** 2).sum(-1).mean()
+        reg = (lambda_id * (p["id"] ** 2).sum()
+               + lambda_exp * (p["exp"] ** 2).sum())
+        return lmk + reg, lmk
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (_, lmk), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, lmk
+
+    lmk = jnp.inf
+    for _ in range(iters):
+        params, opt_state, lmk = step(params, opt_state)
+
+    out = {k: np.asarray(v) for k, v in params.items()}
+    out["focal"] = float(np.exp(out.pop("log_focal")))
+    out["pixel_rmse"] = float(np.sqrt(np.asarray(lmk)))
+    return out
+
+
+def poses_from_fit(fit: dict) -> np.ndarray:
+    """Per-frame camera-to-world matrices [F, 4, 4] from the fitted head
+    pose — the inverse rigid transform, what transforms.json stores
+    (reference: data_utils/process.py task 9 save_transforms)."""
+    euler = jnp.asarray(fit["euler"])
+    trans = np.asarray(fit["trans"])
+    rot = np.asarray(euler_to_rot(euler))
+    f = rot.shape[0]
+    out = np.tile(np.eye(4, dtype=np.float32), (f, 1, 1))
+    # world→cam is (R, t); cam→world is (Rᵀ, -Rᵀ t)
+    rt = rot.transpose(0, 2, 1)
+    out[:, :3, :3] = rt
+    out[:, :3, 3] = -np.einsum("fij,fj->fi", rt, trans)
+    return out

@@ -134,13 +134,33 @@ def export_transforms(poses: np.ndarray, focal_len: float, cx: float, cy: float,
     return out_path
 
 
-def face_tracking(*args, **kw):
-    raise NotImplementedError(
-        "3DMM face tracking requires a differentiable mesh renderer (the "
-        "reference uses pytorch3d, data_utils/face_tracking/); not available "
-        "in this environment — track offline and feed poses to "
-        "export_transforms"
+def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
+                  model=None, **fit_kw):
+    """3DMM head-pose tracking from 2D landmarks (process.py task 8).
+
+    TPU-native re-implementation: batched differentiable landmark fitting in
+    JAX (tools/face_tracking.py) instead of the reference's pytorch3d
+    renderer. The photometric refinement stage needs a rasterizer and is
+    not reproduced. Returns (c2w poses [F,4,4], focal, fit dict).
+
+    landmarks_2d: [F, N, 2] pixels; model_path: the reference's converted
+    BFM directory (3DMM_info.npy) — or pass a MorphableModel directly."""
+    from mere_fusion_tpu.tools.face_tracking import (
+        MorphableModel,
+        fit_landmarks,
+        poses_from_fit,
     )
+
+    if model is None:
+        if model_path is None:
+            raise ValueError(
+                "face_tracking needs the converted BFM assets (model_path "
+                "→ 3DMM_info.npy, see reference convert_BFM.py) or an "
+                "explicit MorphableModel"
+            )
+        model = MorphableModel.load(model_path)
+    fit = fit_landmarks(model, landmarks_2d, image_hw, **fit_kw)
+    return poses_from_fit(fit), fit["focal"], fit
 
 
 def landmarks(*args, **kw):

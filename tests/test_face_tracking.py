@@ -1,0 +1,63 @@
+"""Differentiable 3DMM landmark fitting recovers synthetic ground truth."""
+import numpy as np
+import jax.numpy as jnp
+
+from mere_fusion_tpu.tools.face_tracking import (
+    MorphableModel,
+    euler_to_rot,
+    fit_landmarks,
+    poses_from_fit,
+    project,
+)
+
+
+def synth_model(rng, n=68, ki=8, ke=6):
+    mean = rng.normal(0, 40, (n, 3)).astype(np.float32)
+    return MorphableModel(
+        mean=mean,
+        base_id=rng.normal(0, 3, (n * 3, ki)).astype(np.float32),
+        base_exp=rng.normal(0, 2, (n * 3, ke)).astype(np.float32),
+    )
+
+
+def test_euler_to_rot_orthonormal():
+    e = jnp.asarray([[0.1, -0.2, 0.3], [0.0, 0.0, 0.0]])
+    r = np.asarray(euler_to_rot(e))
+    np.testing.assert_allclose(r[1], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(r[0] @ r[0].T, np.eye(3), atol=1e-5)
+    assert np.isclose(np.linalg.det(r[0]), 1.0, atol=1e-5)
+
+
+def test_fit_recovers_pose_and_focal():
+    rng = np.random.default_rng(0)
+    model = synth_model(rng)
+    f = 4
+    true_id = rng.normal(0, 0.3, (model.base_id.shape[1],)).astype(np.float32)
+    true_exp = rng.normal(0, 0.2, (f, model.base_exp.shape[1])).astype(np.float32)
+    true_euler = rng.normal(0, 0.15, (f, 3)).astype(np.float32)
+    true_trans = np.tile([0.0, 0.0, -650.0], (f, 1)).astype(np.float32)
+    true_trans[:, :2] += rng.normal(0, 10, (f, 2))
+    focal = 1200.0
+
+    pts = (model.mean[None]
+           + (model.base_id @ true_id).reshape(1, -1, 3)
+           + (true_exp @ model.base_exp.T).reshape(f, -1, 3))
+    rot = np.asarray(euler_to_rot(jnp.asarray(true_euler)))
+    cam = np.einsum("fij,fnj->fni", rot, pts) + true_trans[:, None]
+    lmk = np.asarray(project(jnp.asarray(cam), focal, (256.0, 256.0)))
+
+    fit = fit_landmarks(model, lmk, (512, 512))
+    assert fit["pixel_rmse"] < 1.0, fit["pixel_rmse"]
+    # head pose must be recovered (rotation within ~1 degree)
+    rec = np.asarray(euler_to_rot(jnp.asarray(fit["euler"])))
+    for i in range(f):
+        cos = (np.trace(rec[i].T @ rot[i]) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 1.5
+    assert abs(fit["focal"] - focal) / focal < 0.1
+
+    poses = poses_from_fit(fit)
+    assert poses.shape == (f, 4, 4)
+    # c2w inverts the fitted rigid transform: R c2w[:3,:3] == I
+    for i in range(f):
+        np.testing.assert_allclose(rec[i] @ poses[i, :3, :3], np.eye(3),
+                                   atol=1e-4)

@@ -54,7 +54,32 @@ def test_background_and_transforms(tmp_path):
 
 
 def test_gated_tasks_raise():
-    with pytest.raises(NotImplementedError):
-        nerf_data.face_tracking()
+    # task 8 is implemented (JAX landmark 3DMM fitter) but needs either a
+    # BFM asset path or an explicit model
+    with pytest.raises(ValueError):
+        nerf_data.face_tracking(np.zeros((1, 4, 2), np.float32), (64, 64))
     with pytest.raises(NotImplementedError):
         nerf_data.landmarks()
+
+
+def test_face_tracking_task_runs_with_explicit_model():
+    from mere_fusion_tpu.tools.face_tracking import (
+        MorphableModel, euler_to_rot, project,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = 16
+    model = MorphableModel(
+        mean=rng.normal(0, 30, (n, 3)).astype(np.float32),
+        base_id=rng.normal(0, 2, (n * 3, 4)).astype(np.float32),
+        base_exp=rng.normal(0, 1, (n * 3, 3)).astype(np.float32),
+    )
+    pts = model.mean[None] + np.zeros((2, n, 3), np.float32)
+    cam = pts + np.asarray([0, 0, -600.0], np.float32)
+    lmk = np.asarray(project(jnp.asarray(cam), 1100.0, (128.0, 128.0)))
+    poses, focal, fit = nerf_data.face_tracking(
+        lmk, (256, 256), model=model, iters=800
+    )
+    assert poses.shape == (2, 4, 4)
+    assert fit["pixel_rmse"] < 3.0
