@@ -12,9 +12,10 @@ errors naming the missing dependency:
 4. face_parsing         our BiSeNet port (needs converted 79999_iter.pth)
 5. extract_background   median of background-labeled pixels across frames
 6. composites           gt_imgs (head+bg) and torso_imgs from parsing
-7. landmarks            face_alignment package (gated)
-8. face_tracking        3DMM fitting — requires a differentiable renderer
-                        (pytorch3d in the reference); gated
+7. landmarks            our flax FAN 2DFAN-4 twin (models/fan.py; needs the
+                        converted 2DFAN4 checkpoint) → per-frame .lms files
+8. face_tracking        JAX differentiable-landmark 3DMM fitting (needs the
+                        converted BFM assets)
 9. export_transforms    transforms.json from tracked poses
 """
 from __future__ import annotations
@@ -163,8 +164,39 @@ def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
     return poses_from_fit(fit), fit["focal"], fit
 
 
-def landmarks(*args, **kw):
-    raise NotImplementedError(
-        "landmark extraction requires the face_alignment package "
-        "(process.py task 7); not available in this environment"
-    )
+def landmarks(ori_imgs_dir: str, detector=None, fan_path: str | None = None,
+              s3fd_path: str | None = None):
+    """68-point face landmarks per frame (process.py task 7,
+    extract_landmarks at process.py:46-60): for every ``*.jpg`` in
+    ``ori_imgs_dir`` write a ``.lms`` text file with the [68, 2] landmark
+    array of the first detected face.
+
+    Runs our flax FAN 2DFAN-4 twin (models/fan.py) — face_alignment is not
+    required. Pass ``detector`` (a LandmarkDetector) or ``fan_path`` /
+    ``s3fd_path`` torch checkpoints to convert.
+    """
+    import glob
+
+    import cv2
+    import numpy as np
+
+    from mere_fusion_tpu.models.fan import LandmarkDetector
+
+    if detector is None:
+        if fan_path is None:
+            raise ValueError(
+                "landmarks needs a LandmarkDetector or a FAN checkpoint "
+                "(fan_path=2DFAN4 .pth, optional s3fd_path)"
+            )
+        detector = LandmarkDetector.from_checkpoints(fan_path, s3fd_path)
+
+    written = []
+    for image_path in sorted(glob.glob(os.path.join(ori_imgs_dir, "*.jpg"))):
+        img = cv2.cvtColor(cv2.imread(image_path, cv2.IMREAD_UNCHANGED),
+                           cv2.COLOR_BGR2RGB)
+        preds = detector.get_landmarks(img)
+        if preds:
+            lms_path = image_path.replace("jpg", "lms")
+            np.savetxt(lms_path, preds[0].reshape(-1, 2)[:, :2], "%f")
+            written.append(lms_path)
+    return written

@@ -239,6 +239,51 @@ def convert_bisenet(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_fan(state_dict: Mapping[str, Any]) -> dict:
+    """Map a FAN (2DFAN-4 face_alignment / reference
+    wav2lip/face_detection/models.py:144-200) state dict onto our flax FAN.
+
+    Module names are kept 1:1 (conv1/bn1/conv2..4, m{i}.b1_4.., top_m_{i},
+    conv_last{i}, bn_end{i}, l{i}, bl{i}, al{i}); the ConvBlock downsample
+    Sequential(BN, ReLU, Conv) becomes downsample_bn / downsample_conv.
+    """
+    sd = strip_prefix(state_dict)
+    bn_modules = {k.rsplit(".", 1)[0] for k in sd if k.endswith("running_mean")}
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree: dict, path: list[str], leaf_name: str, value):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf_name] = value
+
+    for key, value in sd.items():
+        if "num_batches_tracked" in key:
+            continue
+        module, leaf = key.rsplit(".", 1)
+        is_bn = module in bn_modules
+        module = module.replace("downsample.0", "downsample_bn")
+        module = module.replace("downsample.2", "downsample_conv")
+        path = module.split(".")
+        w = _np(value)
+        if is_bn:
+            if leaf == "weight":
+                put(params, path, "scale", w)
+            elif leaf == "bias":
+                put(params, path, "bias", w)
+            elif leaf == "running_mean":
+                put(stats, path, "mean", w)
+            elif leaf == "running_var":
+                put(stats, path, "var", w)
+        else:  # conv
+            if leaf == "weight":
+                put(params, path, "kernel", w.transpose(2, 3, 1, 0))
+            else:
+                put(params, path, "bias", w)
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file on host (CPU) and return its state dict."""
     import torch

@@ -58,8 +58,8 @@ def test_gated_tasks_raise():
     # BFM asset path or an explicit model
     with pytest.raises(ValueError):
         nerf_data.face_tracking(np.zeros((1, 4, 2), np.float32), (64, 64))
-    with pytest.raises(NotImplementedError):
-        nerf_data.landmarks()
+    with pytest.raises(ValueError):
+        nerf_data.landmarks("/nonexistent")
 
 
 def test_face_tracking_task_runs_with_explicit_model():
