@@ -180,15 +180,34 @@ class NeRFTrainDataset:
         return len(self.poses)
 
     def sample_rays(self, index: int, num_rays: int, rng: np.random.Generator,
-                    att_window: int = 8) -> dict:
-        """Build one training batch of num_rays random pixels."""
+                    att_window: int = 8, patch_size: int | None = None) -> dict:
+        """Build one training batch of num_rays random pixels.
+
+        patch_size: sample contiguous patch_size×patch_size pixel patches
+        instead of scattered pixels (the reference's get_rays patch mode,
+        utils.py:291-305, used for the LPIPS patch loss). num_rays must be a
+        multiple of patch_size²; pass the same (patch_size, patch_size) as
+        make_nerf_train_step's static patch_hw.
+        """
         import jax.numpy as jnp
 
         from mere_fusion_tpu.models.ernerf.renderer import get_rays
 
         pose = jnp.asarray(self.poses[index])
         rays_o, rays_d = get_rays(pose, self.intrinsics, self.H, self.W)
-        sel = rng.integers(0, self.H * self.W, size=num_rays)
+        if patch_size is not None:
+            ps = patch_size
+            num_patch = num_rays // (ps * ps)
+            assert num_patch * ps * ps == num_rays, \
+                "num_rays must be a multiple of patch_size**2"
+            tl_y = rng.integers(0, self.H - ps, size=num_patch)
+            tl_x = rng.integers(0, self.W - ps, size=num_patch)
+            dy, dx = np.meshgrid(np.arange(ps), np.arange(ps), indexing="ij")
+            ys = tl_y[:, None, None] + dy[None]
+            xs = tl_x[:, None, None] + dx[None]
+            sel = (ys * self.W + xs).reshape(-1)
+        else:
+            sel = rng.integers(0, self.H * self.W, size=num_rays)
         img = self.images[index].reshape(-1, 3)
         mask = self.face_masks[index].reshape(-1)
         # attention window of audio features around the frame

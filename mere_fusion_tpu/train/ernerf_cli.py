@@ -23,6 +23,13 @@ def main(argv=None) -> None:
     p.add_argument("--audio_dim", type=int, default=44)
     p.add_argument("--ckpt_every", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--patch_size", type=int, default=0,
+                   help="sample NxN pixel patches and add the 0.1×LPIPS "
+                        "patch loss (reference --patch_size, utils.py:816)")
+    p.add_argument("--lpips_alex", default=None,
+                   help="torchvision alexnet .pth for the LPIPS backbone")
+    p.add_argument("--lpips_lins", default=None,
+                   help="lpips package lin-head .pth (alex.pth)")
     args = p.parse_args(argv)
 
     import jax
@@ -58,14 +65,24 @@ def main(argv=None) -> None:
         lr_net=args.lr_net,
     )
     tx, state = init_nerf_train(network, variables, tcfg)
-    step = make_nerf_train_step(network, tx, tcfg)
+    lpips_fn = None
+    patch_hw = None
+    patch_size = args.patch_size or None
+    if patch_size:
+        from mere_fusion_tpu.models.lpips import make_lpips_fn
+
+        lpips_fn = make_lpips_fn(args.lpips_alex, args.lpips_lins)
+        patch_hw = (patch_size, patch_size)
+    step = make_nerf_train_step(network, tx, tcfg, lpips_fn=lpips_fn,
+                                patch_hw=patch_hw)
     ckpt = Checkpointer(args.workspace)
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for it in range(args.iters):
         frame = int(rng.integers(0, len(dataset)))
-        batch = dataset.sample_rays(frame, args.num_rays, rng)
+        batch = dataset.sample_rays(frame, args.num_rays, rng,
+                                    patch_size=patch_size)
         state, metrics = step(state, batch, jax.random.key(it))
         if it % 16 == 0:
             state = refresh_density_grid(

@@ -89,11 +89,16 @@ def init_nerf_train(network: NeRFNetwork, variables, tcfg: NeRFTrainConfig):
 
 
 def make_nerf_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig,
-                         lpips_fn: Optional[Callable] = None):
+                         lpips_fn: Optional[Callable] = None,
+                         patch_hw: Optional[tuple] = None):
     """step(state, batch, rng) → (state, metrics).
 
     batch: rays_o/rays_d/rgb [N,3], bg_color [N,3] or [3], auds [W,A,16],
     eye [1,1], index int32, face_mask [N] bool.
+
+    patch_hw: static (ph, pw) when the ray batch is patch-sampled
+    (provider.sample_rays(patch_size=...)); with lpips_fn set this enables
+    the reference's 0.1×LPIPS patch loss (utils.py:816-818).
     """
 
     def loss_fn(params, state: NeRFTrainState, batch, rng):
@@ -146,8 +151,8 @@ def make_nerf_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig,
 
         loss = loss.mean()
 
-        if lpips_fn is not None and "patch_hw" in batch:
-            ph, pw = batch["patch_hw"]
+        if lpips_fn is not None and patch_hw is not None:
+            ph, pw = patch_hw
             loss = loss + 0.1 * lpips_fn(
                 pred.reshape(-1, ph, pw, 3), rgb.reshape(-1, ph, pw, 3)
             )

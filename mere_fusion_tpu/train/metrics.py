@@ -1,9 +1,11 @@
 """Evaluation metrics: PSNR, landmark distance, SSIM.
 
 Equivalent of the reference's PSNR/LPIPS/LMD meters
-(reference: ernerf/nerf_triplane/utils.py:410-580). LPIPS requires a
-pretrained AlexNet that this environment does not ship; SSIM is provided as
-the structural-quality meter, and the LPIPS hook accepts any callable.
+(reference: ernerf/nerf_triplane/utils.py:410-580). LPIPS lives in
+models/lpips.py (flax AlexNet backbone + converted lin heads; use
+``make_lpips_fn(..., normalize=True)`` with a MetricMeter for the reference's
+LPIPSMeter semantics, utils.py:447-481). SSIM is provided as an additional
+structural-quality meter.
 """
 from __future__ import annotations
 
