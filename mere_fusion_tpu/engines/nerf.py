@@ -359,12 +359,36 @@ class NeRFReal(BaseReal):
             )
         self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim))
         self.asr.warm_up()
+        # interactive free camera (the reference GUI's orbit viewer,
+        # gui.py:12-69); None = follow the dataset's camera path
+        self.orbit = None
+
+    def set_orbit_camera(self, enable: bool = True):
+        """Toggle the interactive orbit camera. Returns the OrbitCamera (or
+        None when disabled); mutate it via orbit/scale/pan between frames."""
+        if not enable:
+            self.orbit = None
+            return None
+        if self.orbit is None:
+            from mere_fusion_tpu.engines.orbit import OrbitCamera
+
+            cam = OrbitCamera(self.dataset.W, self.dataset.H)
+            # start from the dataset's current viewpoint
+            cam.update_pose(np.asarray(self.dataset.poses[0]))
+            self.orbit = cam
+        return self.orbit
 
     def put_msg_txt(self, msg):
         self.tts.put_msg_txt(msg)
 
     def test_step(self, loop=None, audio_track=None, video_track=None):
         data = next(self.loader)
+        if self.orbit is not None:
+            # free camera: override the dataset pose; spans must be planned
+            # fresh (pose-keyed cache entries are only valid for path poses)
+            data = dict(data)
+            data["pose"] = jnp.asarray(self.orbit.pose)
+            data["index"] = None
         auds = self.asr.get_next_feat()
 
         audio_frames = [self.asr.get_audio_out() for _ in range(2)]
@@ -416,7 +440,7 @@ class NeRFReal(BaseReal):
             metrics.latency("nerf.render").observe(time.perf_counter() - t0)
             metrics.rate("nerf.render_fps").tick()
             image = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
-            if self.fullbody_frames is not None:
+            if self.fullbody_frames is not None and data["index"] is not None:
                 full = self.fullbody_frames[data["index"] % len(self.fullbody_frames)].copy()
                 ox, oy = self.fullbody_offset
                 full[oy : oy + image.shape[0], ox : ox + image.shape[1]] = image

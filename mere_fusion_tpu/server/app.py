@@ -142,6 +142,33 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
             pass
         return resp
 
+    async def camera(request: web.Request) -> web.Response:
+        """Interactive camera control for NeRF sessions — with /preview this
+        replaces the reference's dearpygui orbit viewer (gui.py mouse
+        handlers). JSON body:
+          {"session_id": ..., "enable": bool,      # toggle free camera
+           "orbit": [dx, dy], "scale": delta,      # gui.py:56-69 semantics
+           "pan": [dx, dy(, dz)], "reset": bool}"""
+        params = await request.json()
+        session = require_session(params)
+        model = session.model
+        if not hasattr(model, "set_orbit_camera"):
+            return json_err("session model has no interactive camera")
+        if not params.get("enable", True):
+            model.set_orbit_camera(False)
+            return json_ok(data="camera disabled")
+        cam = model.set_orbit_camera(True)
+        if params.get("reset"):
+            cam.reset()
+        if "orbit" in params:
+            cam.orbit(*params["orbit"])
+        if "scale" in params:
+            cam.scale(params["scale"])
+        if "pan" in params:
+            cam.pan(*params["pan"])
+        return json_ok(data={"radius": float(cam.radius),
+                             "pose": cam.pose.tolist()})
+
     async def get_metrics(request: web.Request) -> web.Response:
         return web.json_response(metrics.snapshot())
 
@@ -155,6 +182,7 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
     app.router.add_post("/set_audio_type", set_audio_type)
     app.router.add_post("/record", record)
     app.router.add_get("/preview", preview)
+    app.router.add_post("/camera", camera)
     app.router.add_get("/metrics", get_metrics)
     app.router.add_get("/health", health)
 
