@@ -16,5 +16,6 @@ from mere_fusion_tpu.asr.backends import (  # noqa: F401
     ASRBackend,
     FakeBackend,
     JaxWhisperBackend,
+    OpenAIApiBackend,
     make_backend,
 )

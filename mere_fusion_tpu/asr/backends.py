@@ -8,6 +8,7 @@ drives deterministic streaming-logic tests.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Protocol, Sequence
 
@@ -253,11 +254,107 @@ class FasterWhisperBackend:
         return [s.end for s in segments]
 
 
+class OpenAIApiBackend:
+    """OpenAI cloud transcription API (whisper_online.py:165-246
+    OpenaiApiASR): verbose_json with word+segment timestamps, optional
+    translate task, VAD filtering of words inside no_speech_prob>0.8
+    segments, and cost accounting in whole transcribed seconds.
+
+    transport: callable(files, data) -> dict — injectable for tests;
+    defaults to an HTTP multipart POST against ``base_url`` with
+    ``OPENAI_API_KEY``.
+    """
+
+    sep = ""
+
+    def __init__(self, language: str | None = "en", model: str = "whisper-1",
+                 temperature: float = 0.0, base_url: str | None = None,
+                 api_key: str | None = None, transport=None):
+        self.modelname = model
+        self.original_language = None if language == "auto" else language
+        self.temperature = temperature
+        self.task = "transcribe"
+        self.use_vad_opt = False
+        self.transcribed_seconds = 0
+        self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL")
+                         or "https://api.openai.com/v1")
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.transport = transport or self._http_transport
+
+    def use_vad(self) -> None:
+        self.use_vad_opt = True
+
+    def set_translate_task(self) -> None:
+        self.task = "translate"
+
+    def _http_transport(self, files: dict, data: dict) -> dict:
+        import requests
+
+        endpoint = ("translations" if self.task == "translate"
+                    else "transcriptions")
+        r = requests.post(
+            f"{self.base_url}/audio/{endpoint}",
+            headers={"Authorization": f"Bearer {self.api_key}"},
+            files=files, data=data, timeout=120,
+        )
+        r.raise_for_status()
+        return r.json()
+
+    @staticmethod
+    def _wav_bytes(audio: np.ndarray) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SAMPLE_RATE)
+            pcm = np.clip(audio, -1.0, 1.0)
+            w.writeframes((pcm * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> dict:
+        import math
+
+        self.transcribed_seconds += math.ceil(len(audio) / SAMPLE_RATE)
+        data = {
+            "model": self.modelname,
+            "response_format": "verbose_json",
+            "temperature": str(self.temperature),
+            "timestamp_granularities[]": ["word", "segment"],
+        }
+        if self.task != "translate" and self.original_language:
+            data["language"] = self.original_language
+        if init_prompt:
+            data["prompt"] = init_prompt
+        files = {"file": ("audio.wav", self._wav_bytes(audio), "audio/wav")}
+        return self.transport(files, data)
+
+    def ts_words(self, res: dict) -> list[Word]:
+        no_speech = []
+        if self.use_vad_opt:
+            for seg in res.get("segments", []) or []:
+                if seg.get("no_speech_prob", 0.0) > 0.8:
+                    no_speech.append((seg.get("start"), seg.get("end")))
+        out = []
+        for w in res.get("words", []) or []:
+            if any(s[0] <= w["start"] <= s[1] for s in no_speech):
+                continue
+            out.append(Word(w["start"], w["end"], w["word"]))
+        return out
+
+    def segments_end_ts(self, res: dict) -> list[float]:
+        return [w["end"] for w in res.get("words", []) or []]
+
+
 def make_backend(name: str, **kw) -> ASRBackend:
     if name == "jax-whisper":
         return JaxWhisperBackend(**kw)
     if name == "faster-whisper":
         return FasterWhisperBackend(**kw)
+    if name == "openai-api":
+        return OpenAIApiBackend(**kw)
     if name == "fake":
         return FakeBackend(kw.pop("script", []), **kw)
     raise ValueError(f"unknown ASR backend {name!r}")

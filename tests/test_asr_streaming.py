@@ -64,3 +64,82 @@ def test_prompt_is_bounded_suffix():
     assert len(prompt) <= 210
     # the newest committed word is context, not prompt (reference parity)
     assert prompt.endswith("word98")
+
+
+def test_openai_api_backend_stub_transport():
+    """OpenAIApiBackend (whisper_online.py:165-246 parity): wav encoding,
+    verbose_json params, VAD no-speech filtering, cost accounting."""
+    from mere_fusion_tpu.asr.backends import OpenAIApiBackend
+
+    sent = {}
+
+    def transport(files, data):
+        sent["files"] = files
+        sent["data"] = data
+        return {
+            "text": "hello world again",
+            "words": [
+                {"start": 0.1, "end": 0.4, "word": "hello"},
+                {"start": 0.5, "end": 0.9, "word": " world"},
+                {"start": 2.1, "end": 2.4, "word": " again"},
+            ],
+            "segments": [
+                {"start": 0.0, "end": 1.0, "no_speech_prob": 0.1},
+                {"start": 2.0, "end": 3.0, "no_speech_prob": 0.95},
+            ],
+        }
+
+    be = OpenAIApiBackend(language="en", transport=transport)
+    audio = np.zeros(16000 + 1, np.float32)  # 1.0000625 s → ceil = 2 s billed
+    res = be.transcribe(audio, init_prompt="prior text")
+    assert be.transcribed_seconds == 2
+    assert sent["data"]["model"] == "whisper-1"
+    assert sent["data"]["language"] == "en"
+    assert sent["data"]["prompt"] == "prior text"
+    assert sent["data"]["response_format"] == "verbose_json"
+    name, wav_bytes, mime = sent["files"]["file"]
+    assert mime == "audio/wav" and wav_bytes[:4] == b"RIFF"
+
+    words = be.ts_words(res)
+    assert [w.text for w in words] == ["hello", " world", " again"]
+    assert be.segments_end_ts(res) == [0.4, 0.9, 2.4]
+
+    # VAD filters words inside the no-speech segment
+    be.use_vad()
+    words = be.ts_words(res)
+    assert [w.text for w in words] == ["hello", " world"]
+
+    # translate task drops the language param
+    be2 = OpenAIApiBackend(language="en", transport=transport)
+    be2.set_translate_task()
+    be2.transcribe(audio)
+    assert "language" not in sent["data"]
+
+
+def test_openai_api_backend_in_streaming_transcriber():
+    """The cloud backend slots into StreamingTranscriber like any other."""
+    from mere_fusion_tpu.asr.backends import OpenAIApiBackend
+    from mere_fusion_tpu.asr.streaming import StreamingTranscriber
+
+    calls = []
+
+    def transport(files, data):
+        calls.append(data)
+        return {
+            "text": "stable words",
+            "words": [
+                {"start": 0.1, "end": 0.3, "word": "stable"},
+                {"start": 0.4, "end": 0.6, "word": " words"},
+            ],
+            "segments": [{"start": 0.0, "end": 1.0, "no_speech_prob": 0.0}],
+        }
+
+    be = OpenAIApiBackend(transport=transport)
+    st = StreamingTranscriber(be)
+    audio = np.zeros(16000, np.float32)
+    st.insert_audio_chunk(audio)
+    st.process_iter()
+    st.insert_audio_chunk(audio)
+    beg, end, text = st.process_iter()
+    assert "stable" in text and " words" in text
+    assert len(calls) == 2
