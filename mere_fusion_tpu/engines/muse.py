@@ -246,7 +246,10 @@ class MuseReal(BaseReal):
                  custom_opts: list[dict] | None = None):
         super().__init__(cfg, custom_opts)
         self.batch_size = cfg.avatar.batch_size
-        self.models = models or MuseModels()
+        self.models = models or MuseModels(
+            dtype=jnp.bfloat16 if cfg.avatar.dtype == "bfloat16"
+            else jnp.float32
+        )
         if avatar is None:
             avatar = load_muse_avatar(
                 os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mere_fusion_tpu.models.musetalk.vae import upsample2x_nearest
+
 
 @dataclass(frozen=True)
 class UNetConfig:
@@ -247,8 +249,7 @@ class UNet2DCondition(nn.Module):
                     h = SpatialTransformer(ch, heads, self.dtype, cfg.norm_num_groups,
                                            name=f"up_{i}_attn_{j}")(h, context)
             if i < len(up_channels) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
 

@@ -17,6 +17,18 @@ import jax
 import jax.numpy as jnp
 
 
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact nearest-neighbor 2x upsample via broadcast+reshape.
+
+    Equivalent to jax.image.resize(..., method='nearest') at integer scale,
+    but lowers to a copy instead of per-pixel gathers — on TPU the gather
+    form was the single hottest op in the VAE decoder.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 @dataclass(frozen=True)
 class VAEConfig:
     in_channels: int = 3
@@ -120,8 +132,7 @@ class Decoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock(ch, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i < len(up_channels) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
