@@ -7,7 +7,9 @@ errors naming the missing dependency:
 
 1. extract_audio        ffmpeg → 16 kHz wav
 2. audio_features       wav2vec2 CTC logits npy (transformers; needs local
-                        model weights) or any logits_fn
+                        model weights), DeepSpeech 29-dim logits
+                        (audio/deepspeech.py, needs the frozen .pb), or any
+                        logits_fn
 3. extract_frames       25 fps PNG frames
 4. face_parsing         our BiSeNet port (needs converted 79999_iter.pth)
 5. extract_background   median of background-labeled pixels across frames
