@@ -106,19 +106,76 @@ def feathered_mask(frame_hw: tuple[int, int], face_box, pad: int = 16,
     return cv2.cvtColor(mask, cv2.COLOR_GRAY2BGR), (xs, ys, xe, ye)
 
 
+def get_landmark_and_bbox(frames: list[np.ndarray], detector,
+                          landmark_detector=None,
+                          upperbondrange: int = 0) -> list[tuple]:
+    """Landmark-refined face boxes, the reference's dwpose+S3FD fusion
+    (musetalk/utils/preprocessing.py:84-137) with our FAN 68-point
+    detector standing in for the mmpose face keypoints (23:91 of the
+    wholebody skeleton ARE the same 68-point convention):
+
+      half_face = landmark 29 (+ optional bbox_shift on y)
+      upper_bond = half_face.y - (max(y) - half_face.y)
+      box = (min(x), upper_bond, max(x), max(y)); degenerate boxes fall
+      back to the raw S3FD detection.
+
+    Returns (x1, y1, x2, y2) per frame.
+    """
+    raw = detect_face_boxes(frames, detector, pads=(0, 0, 0, 0))
+    if landmark_detector is None:
+        return [(x1, y1, x2, y2) for (y1, y2, x1, x2) in raw]
+    coords = []
+    ranges_minus, ranges_plus = [], []
+    for frame, (y1, y2, x1, x2) in zip(frames, raw):
+        lms = landmark_detector.get_landmarks(frame[:, :, ::-1])  # RGB in
+        if not lms:
+            coords.append((x1, y1, x2, y2))
+            continue
+        lm = lms[0].astype(np.int32)
+        half_face = lm[29].copy()
+        ranges_minus.append(int(lm[30, 1] - lm[29, 1]))
+        ranges_plus.append(int(lm[29, 1] - lm[28, 1]))
+        if upperbondrange != 0:
+            half_face[1] += upperbondrange
+        half_face_dist = int(lm[:, 1].max()) - int(half_face[1])
+        upper_bond = int(half_face[1]) - half_face_dist
+        box = (int(lm[:, 0].min()), upper_bond,
+               int(lm[:, 0].max()), int(lm[:, 1].max()))
+        if box[3] - box[1] <= 0 or box[2] - box[0] <= 0 or box[0] < 0:
+            coords.append((x1, y1, x2, y2))  # reuse the detector bbox
+        else:
+            coords.append(box)
+    if ranges_minus:
+        print(f"[muse-prep] bbox_shift adjust range: "
+              f"[-{int(np.mean(ranges_minus))}~{int(np.mean(ranges_plus))}], "
+              f"current {upperbondrange}")
+    return coords
+
+
 def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
-                       models, bbox_shift: int = 0, face_parser=None) -> str:
+                       models, bbox_shift: int = 0, face_parser=None,
+                       landmark_detector=None) -> str:
     """Write a musetalk avatar bundle (full_imgs/, coords.pkl, latents.npy,
     mask/, mask_coords.pkl, avator_info.json).
 
     face_parser: optional mere_fusion_tpu.models.bisenet.FaceParsing — when
     given, blend masks come from BiSeNet parsing like the reference
-    (mere_musetalk.py:210-233); otherwise feathered boxes."""
+    (mere_musetalk.py:210-233); otherwise feathered boxes.
+    landmark_detector: optional mere_fusion_tpu.models.fan.LandmarkDetector
+    for the reference's landmark-refined boxes (preprocessing.py:84-137)."""
     import jax.numpy as jnp
 
     from mere_fusion_tpu.engines.muse import preprocess_face
 
-    raw = detect_face_boxes(frames, detector, pads=(0, 0, 0, 0))
+    if landmark_detector is not None:
+        fused = get_landmark_and_bbox(frames, detector, landmark_detector,
+                                      upperbondrange=bbox_shift)
+        # downstream loop consumes (y1, y2, x1, x2) raw order with
+        # bbox_shift already applied through the landmark path
+        raw = [(y1, y2, x1, x2) for (x1, y1, x2, y2) in fused]
+        bbox_shift = 0
+    else:
+        raw = detect_face_boxes(frames, detector, pads=(0, 0, 0, 0))
     full_dir = os.path.join(out_dir, "full_imgs")
     mask_dir = os.path.join(out_dir, "mask")
     os.makedirs(full_dir, exist_ok=True)

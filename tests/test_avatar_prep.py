@@ -47,3 +47,52 @@ def test_muse_avatar_roundtrip(tmp_path):
     x1, y1, x2, y2 = avatar.coords[0]
     xs, ys, xe, ye = avatar.mask_coords[0]
     assert xs <= x1 and ys <= y1 and xe >= x2 and ye >= y2
+
+
+def test_get_landmark_and_bbox_fusion():
+    """Landmark-refined boxes match the reference formula
+    (musetalk/utils/preprocessing.py:113-132); degenerate landmark boxes
+    fall back to the detector bbox."""
+    from mere_fusion_tpu.tools.genavatar import get_landmark_and_bbox
+
+    H = W = 100
+    frames = [np.full((H, W, 3), 128, np.uint8)]
+
+    class StubDet:
+        def detect_batch(self, imgs, **kw):
+            # asymmetric box so (x, y) order mistakes can't cancel out
+            return [np.array([[20, 10, 80, 90, 0.99]], np.float32)
+                    for _ in imgs]
+
+    class StubLms:
+        def __init__(self, lm):
+            self.lm = lm
+
+        def get_landmarks(self, img):
+            return [self.lm]
+
+    lm = np.zeros((68, 2), np.float32)
+    lm[:, 0] = np.linspace(25, 75, 68)          # x range 25..75
+    lm[:, 1] = np.linspace(30, 90, 68)          # y max 90
+    lm[28] = [50, 40]
+    lm[29] = [50, 50]
+    lm[30] = [50, 57]
+    coords = get_landmark_and_bbox(frames, StubDet(), StubLms(lm))
+    # half_face y=50, dist = 90-50 = 40 → upper_bond 10
+    assert coords == [(25, 10, 75, 90)]
+
+    # bbox_shift moves the half-face anchor down
+    coords = get_landmark_and_bbox(frames, StubDet(), StubLms(lm),
+                                   upperbondrange=10)
+    # half_face y=60, dist=30 → upper 30
+    assert coords == [(25, 30, 75, 90)]
+
+    # degenerate (x1<0) → detector bbox fallback
+    bad = lm.copy()
+    bad[:, 0] = np.linspace(-5, 75, 68)
+    coords = get_landmark_and_bbox(frames, StubDet(), StubLms(bad))
+    assert coords == [(20, 10, 80, 90)]
+
+    # no landmark detector → raw boxes pass through (x1, y1, x2, y2)
+    coords = get_landmark_and_bbox(frames, StubDet(), None)
+    assert coords == [(20, 10, 80, 90)]
