@@ -175,9 +175,35 @@ class NeRFTrainDataset:
     intrinsics: tuple
     H: int
     W: int
+    torso_imgs: np.ndarray | None = None  # [N, H, W, 4] RGBA in [0,1]
 
     def __len__(self) -> int:
         return len(self.poses)
+
+    def sample_torso_rays(self, index: int, num_rays: int,
+                          rng: np.random.Generator) -> dict:
+        """Batch for the torso fine-tune stage (reference provider's
+        bg_torso_color path, provider.py:180-194 + utils.py:750): pixel
+        centers in [−1,1]² and the torso image alpha-composited over the
+        background as the target."""
+        import jax.numpy as jnp
+
+        assert self.torso_imgs is not None, "dataset has no torso_imgs/"
+        sel = rng.integers(0, self.H * self.W, size=num_rays)
+        ys, xs = sel // self.W, sel % self.W
+        coords = np.stack(
+            [(xs + 0.5) / self.W * 2 - 1, (ys + 0.5) / self.H * 2 - 1], -1
+        ).astype(np.float32)
+        torso = self.torso_imgs[index].reshape(-1, 4)[sel]
+        bg = self.bg_img.reshape(-1, 3)[sel]
+        gt = torso[:, :3] * torso[:, 3:] + bg * (1 - torso[:, 3:])
+        return {
+            "coords": jnp.asarray(coords),
+            "bg_torso_color": jnp.asarray(gt.astype(np.float32)),
+            "bg_color": jnp.asarray(bg.astype(np.float32)),
+            "pose": jnp.asarray(self.poses[index]),
+            "index": jnp.asarray(index, np.int32),
+        }
 
     def sample_rays(self, index: int, num_rays: int, rng: np.random.Generator,
                     att_window: int = 8, patch_size: int | None = None) -> dict:
@@ -279,8 +305,22 @@ class NeRFTrainDataset:
         else:
             bg = cv2.cvtColor(cv2.imread(bg_img), cv2.COLOR_BGR2RGB).astype(np.float32) / 255
 
+        torso = None
+        torso_dir = os.path.join(root, "torso_imgs")
+        if os.path.isdir(torso_dir):
+            torso = []
+            for f in transform["frames"]:
+                tp = os.path.join(torso_dir, f"{f['img_id']}.png")
+                timg = cv2.imread(tp, cv2.IMREAD_UNCHANGED)  # BGRA
+                torso.append(
+                    cv2.cvtColor(timg, cv2.COLOR_BGRA2RGBA).astype(np.float32)
+                    / 255
+                )
+            torso = np.stack(torso)
+
         fl = transform["focal_len"]
         return cls(
+            torso_imgs=torso,
             poses=np.stack(poses),
             images=np.stack(images),
             auds=np.stack(auds).astype(np.float32),

@@ -30,6 +30,12 @@ def main(argv=None) -> None:
                    help="torchvision alexnet .pth for the LPIPS backbone")
     p.add_argument("--lpips_lins", default=None,
                    help="lpips package lin-head .pth (alex.pth)")
+    p.add_argument("--torso", action="store_true",
+                   help="torso fine-tune stage: train only the 2-D torso "
+                        "nets against torso_imgs/ with the head frozen "
+                        "(reference main.py:154-171)")
+    p.add_argument("--head_ckpt", default="",
+                   help="workspace of the trained head stage to load+freeze")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +56,8 @@ def main(argv=None) -> None:
     print(f"[train] {len(dataset)} frames, {dataset.H}x{dataset.W}")
 
     net_cfg = NeRFNetConfig(
-        audio_in_dim=args.audio_dim, num_train_frames=len(dataset)
+        audio_in_dim=args.audio_dim, num_train_frames=len(dataset),
+        torso=args.torso,
     )
     network = NeRFNetwork(net_cfg)
     variables = jax.jit(network.init, static_argnames="method")(
@@ -64,6 +71,51 @@ def main(argv=None) -> None:
         grid_size=args.grid_size, iters=args.iters, lr=args.lr,
         lr_net=args.lr_net,
     )
+    if args.torso:
+        from mere_fusion_tpu.train.ernerf_train import (
+            init_torso_train,
+            make_torso_train_step,
+        )
+
+        head_params = None
+        if args.head_ckpt:
+            head_ckpt = Checkpointer(args.head_ckpt)
+            # the head stage trained a torso-less network; restore against a
+            # torso-less template and merge (strict=False semantics)
+            head_net = NeRFNetwork(NeRFNetConfig(
+                audio_in_dim=args.audio_dim, num_train_frames=len(dataset),
+            ))
+            head_vars = jax.jit(head_net.init, static_argnames="method")(
+                jax.random.key(args.seed),
+                jnp.zeros((8, args.audio_dim, 16)), jnp.zeros((4, 3)),
+                jnp.ones((4, 3)) / np.sqrt(3.0),
+                jnp.zeros((1, net_cfg.individual_dim)), jnp.zeros((1, 1)),
+                method=NeRFNetwork.full_init,
+            )
+            h_tx, h_state = init_nerf_train(head_net, head_vars, tcfg)
+            head_params = head_ckpt.restore(h_state).params
+            head_ckpt.close()
+        tx, state = init_torso_train(network, variables, tcfg,
+                                     head_params=head_params)
+        step = make_torso_train_step(network, tx, tcfg)
+        ckpt = Checkpointer(args.workspace)
+        rng = np.random.default_rng(args.seed)
+        t0 = time.time()
+        for it in range(args.iters):
+            frame = int(rng.integers(0, len(dataset)))
+            batch = dataset.sample_torso_rays(frame, args.num_rays, rng)
+            state, metrics = step(state, batch, jax.random.key(it))
+            if it % 100 == 0:
+                rate = (it + 1) / (time.time() - t0)
+                print(f"[torso] it {it}  loss {float(metrics['loss']):.5f}"
+                      f"  {rate:.1f} it/s")
+            if it > 0 and it % args.ckpt_every == 0:
+                ckpt.save(it, state, {"loss": float(metrics["loss"])})
+        ckpt.save(args.iters, state, {"loss": float(metrics["loss"])})
+        ckpt.close()
+        print("[torso] done")
+        return
+
     tx, state = init_nerf_train(network, variables, tcfg)
     lpips_fn = None
     patch_hw = None

@@ -227,3 +227,94 @@ def refresh_density_grid(network: NeRFNetwork, state: NeRFTrainState,
         density_thresh=tcfg.density_thresh,
     )
     return state._replace(density=new_density)
+
+
+# ---------------------------------------------------------------------------
+# Torso fine-tune stage (reference main.py:154-171 + utils.py:747-848 torso
+# branch): train ONLY the 2-D torso nets against torso-over-background
+# targets, with every head parameter loaded from the head checkpoint and
+# frozen (requires_grad=False in torch → optax.set_to_zero here).
+# ---------------------------------------------------------------------------
+
+TORSO_PARAMS = frozenset({
+    "torso_grid", "torso_deform_net", "torso_net",
+    "individual_codes_torso", "anchor_points",
+})
+
+
+def init_torso_train(network: NeRFNetwork, variables,
+                     tcfg: NeRFTrainConfig, head_params=None):
+    """Optimizer + state for the torso stage. head_params: params tree from
+    the trained head checkpoint — merged in (non-strict, like the
+    reference's load_state_dict(strict=False)) and frozen."""
+    params = dict(variables["params"])
+    if head_params is not None:
+        for k, v in head_params.items():
+            if k in params and k not in TORSO_PARAMS:
+                params[k] = v
+
+    def label(path, _):
+        name = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "torso" if name in TORSO_PARAMS else "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    tx = optax.multi_transform(
+        {
+            "torso": optax.adam(tcfg.lr, b1=0.9, b2=0.99, eps=1e-15),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    state = NeRFTrainState(
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=params,
+        density=DensityGrid.create(tcfg.grid_size),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return tx, state
+
+
+def make_torso_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig):
+    """step(state, batch, rng) → (state, metrics).
+
+    batch: coords [N,2] pixel centers in [−1,1]², bg_torso_color [N,3]
+    (torso composited over background — the gt), bg_color [N,3], pose [4,4],
+    index int32. Loss = MSE + anchor-visibility regularizer
+    ((1−anchor_w)², utils.py:781) + 1e-4 × torso-alpha entropy
+    (utils.py:840-843)."""
+
+    def loss_fn(params, batch):
+        variables = {"params": params}
+        c = None
+        if network.cfg.individual_dim_torso > 0:
+            c = params["individual_codes_torso"][batch["index"]][None]
+        alpha, color, _dx = network.apply(
+            variables, batch["coords"], batch["pose"], c,
+            method=NeRFNetwork.forward_torso,
+        )
+        pred = color * alpha + batch["bg_color"] * (1 - alpha)
+        mse = ((pred - batch["bg_torso_color"]) ** 2).mean()
+        loss = mse + ((1 - params["anchor_points"][:, 3]) ** 2).mean()
+        a = jnp.clip(alpha, 1e-5, 1 - 1e-5)
+        entropy = -(a * jnp.log2(a) + (1 - a) * jnp.log2(1 - a))
+        loss = loss + 1e-4 * entropy.mean()
+        return loss, {"loss": loss, "mse": mse,
+                      "torso_alpha": alpha.mean()}
+
+    def train_step(state: NeRFTrainState, batch, rng):
+        (loss, metrics_out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        d = 0.95
+        new_ema = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params
+        )
+        return (
+            NeRFTrainState(new_params, new_opt, new_ema, state.density,
+                           state.step + 1),
+            metrics_out,
+        )
+
+    return jax.jit(train_step)
