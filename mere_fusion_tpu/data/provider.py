@@ -176,9 +176,52 @@ class NeRFTrainDataset:
     H: int
     W: int
     torso_imgs: np.ndarray | None = None  # [N, H, W, 4] RGBA in [0,1]
+    lips_rects: np.ndarray | None = None  # [N, 4] (rmin, rmax, cmin, cmax)
 
     def __len__(self) -> int:
         return len(self.poses)
+
+    def sample_lips_rays(self, index: int, rng: np.random.Generator,
+                         size: int = 64, att_window: int = 8) -> dict:
+        """Fixed-size lips window for the lips-finetune stage.
+
+        The reference samples exactly the per-frame squared lips rect
+        (provider.py:549-564, utils.py:824-831), whose size varies by frame
+        — a dynamic shape. On TPU the window is a static size×size crop
+        centered on the lips rect and clamped in-bounds, so one compiled
+        step serves every frame. Returns the standard ray-batch keys.
+        """
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.ernerf.renderer import get_rays
+
+        assert self.lips_rects is not None, "dataset has no lips rects (.lms)"
+        rmin, rmax, cmin, cmax = self.lips_rects[index]
+        cy, cx = (rmin + rmax) // 2, (cmin + cmax) // 2
+        half = size // 2
+        r0 = int(np.clip(cy - half, 0, self.H - size))
+        c0 = int(np.clip(cx - half, 0, self.W - size))
+        dy, dx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        sel = ((r0 + dy) * self.W + (c0 + dx)).reshape(-1)
+
+        pose = jnp.asarray(self.poses[index])
+        rays_o, rays_d = get_rays(pose, self.intrinsics, self.H, self.W)
+        img = self.images[index].reshape(-1, 3)
+        mask = self.face_masks[index].reshape(-1)
+        idx = np.clip(
+            np.arange(index - att_window // 2, index + att_window // 2),
+            0, len(self) - 1,
+        )
+        return {
+            "rays_o": jnp.asarray(np.asarray(rays_o)[sel]),
+            "rays_d": jnp.asarray(np.asarray(rays_d)[sel]),
+            "rgb": jnp.asarray(img[sel]),
+            "bg_color": jnp.asarray(self.bg_img.reshape(-1, 3)[sel]),
+            "auds": jnp.asarray(self.auds[idx]),
+            "eye": jnp.asarray([[self.eye_area[index]]], np.float32),
+            "index": jnp.asarray(index, np.int32),
+            "face_mask": jnp.asarray(mask[sel]),
+        }
 
     def sample_torso_rays(self, index: int, num_rays: int,
                           rng: np.random.Generator) -> dict:
@@ -305,6 +348,28 @@ class NeRFTrainDataset:
         else:
             bg = cv2.cvtColor(cv2.imread(bg_img), cv2.COLOR_BGR2RGB).astype(np.float32) / 255
 
+        lips = None
+        lms_dirs = [os.path.join(root, d) for d in ("ori_imgs", "gt_imgs")]
+        if any(os.path.exists(os.path.join(d,
+                                           f"{transform['frames'][0]['img_id']}.lms"))
+               for d in lms_dirs if os.path.isdir(d)):
+            lips = []
+            for f in transform["frames"]:
+                lp = next(p for d in lms_dirs
+                          for p in [os.path.join(d, f"{f['img_id']}.lms")]
+                          if os.path.exists(p))
+                lms = np.loadtxt(lp)  # [68, 2] (x, y) pixels
+                sl = slice(48, 60)
+                # squared lips rect (reference provider.py:549-564; their
+                # "x" is the row axis = lms[:, 1])
+                rmin, rmax = int(lms[sl, 1].min()), int(lms[sl, 1].max())
+                cmin, cmax = int(lms[sl, 0].min()), int(lms[sl, 0].max())
+                cy, cx = (rmin + rmax) // 2, (cmin + cmax) // 2
+                half = max(rmax - rmin, cmax - cmin) // 2
+                lips.append([max(0, cy - half), min(H, cy + half),
+                             max(0, cx - half), min(W, cx + half)])
+            lips = np.asarray(lips, np.int32)
+
         torso = None
         torso_dir = os.path.join(root, "torso_imgs")
         if os.path.isdir(torso_dir):
@@ -321,6 +386,7 @@ class NeRFTrainDataset:
         fl = transform["focal_len"]
         return cls(
             torso_imgs=torso,
+            lips_rects=lips,
             poses=np.stack(poses),
             images=np.stack(images),
             auds=np.stack(auds).astype(np.float32),

@@ -30,6 +30,13 @@ def main(argv=None) -> None:
                    help="torchvision alexnet .pth for the LPIPS backbone")
     p.add_argument("--lpips_lins", default=None,
                    help="lpips package lin-head .pth (alex.pth)")
+    p.add_argument("--finetune_lips", action="store_true",
+                   help="lips fine-tune: alternate normal steps with a "
+                        "static lips-window step carrying a 0.01×LPIPS loss "
+                        "(reference --finetune_lips, utils.py:824-837)")
+    p.add_argument("--lips_size", type=int, default=64,
+                   help="static lips window side (TPU replaces the "
+                        "reference's per-frame dynamic rect)")
     p.add_argument("--torso", action="store_true",
                    help="torso fine-tune stage: train only the 2-D torso "
                         "nets against torso_imgs/ with the head frozen "
@@ -127,22 +134,51 @@ def main(argv=None) -> None:
         patch_hw = (patch_size, patch_size)
     step = make_nerf_train_step(network, tx, tcfg, lpips_fn=lpips_fn,
                                 patch_hw=patch_hw)
+    lips_step = None
+    if args.finetune_lips:
+        from dataclasses import replace as _replace
+
+        from mere_fusion_tpu.models.lpips import make_lpips_fn
+
+        if lpips_fn is None:
+            lpips_fn = make_lpips_fn(args.lpips_alex, args.lpips_lins)
+        # flip mode disables the uncertainty loss (utils.py:789)
+        lips_step = make_nerf_train_step(
+            network, tx, _replace(tcfg, unc_loss=False), lpips_fn=lpips_fn,
+            patch_hw=(args.lips_size, args.lips_size), lpips_weight=0.01,
+        )
     ckpt = Checkpointer(args.workspace)
+    it0 = 0
+    if ckpt.latest_step() is not None:
+        # resume (the reference's --ckpt latest continuation used by the
+        # 2-stage train_obama.sh recipe)
+        state = ckpt.restore(state)
+        it0 = int(state.step)
+        print(f"[train] resumed from step {it0}")
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
-    for it in range(args.iters):
+    for it in range(it0, args.iters):
         frame = int(rng.integers(0, len(dataset)))
-        batch = dataset.sample_rays(frame, args.num_rays, rng,
-                                    patch_size=patch_size)
-        state, metrics = step(state, batch, jax.random.key(it))
+        if lips_step is not None and it % 2 == 1:
+            # flip every step, like the reference's flip_finetune_lips
+            batch = dataset.sample_lips_rays(frame, rng, size=args.lips_size)
+            state, metrics = lips_step(state, batch, jax.random.key(it))
+        else:
+            batch = dataset.sample_rays(frame, args.num_rays, rng,
+                                        patch_size=patch_size)
+            state, metrics = step(state, batch, jax.random.key(it))
         if it % 16 == 0:
             state = refresh_density_grid(
-                network, state, jnp.asarray(dataset.auds[:8]), tcfg
+                network, state,
+                jnp.asarray(dataset.auds[
+                    np.clip(np.arange(8), 0, len(dataset) - 1)
+                ]),
+                tcfg
             )
         if it % 100 == 0:
             loss = float(metrics["loss"])
-            rate = (it + 1) / (time.time() - t0)
+            rate = (it - it0 + 1) / (time.time() - t0)
             print(f"[train] it {it}  loss {loss:.5f}  {rate:.1f} it/s")
         if it > 0 and it % args.ckpt_every == 0:
             ckpt.save(it, state, {"loss": float(metrics["loss"])})

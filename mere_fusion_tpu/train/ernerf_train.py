@@ -90,15 +90,18 @@ def init_nerf_train(network: NeRFNetwork, variables, tcfg: NeRFTrainConfig):
 
 def make_nerf_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig,
                          lpips_fn: Optional[Callable] = None,
-                         patch_hw: Optional[tuple] = None):
+                         patch_hw: Optional[tuple] = None,
+                         lpips_weight: float = 0.1):
     """step(state, batch, rng) → (state, metrics).
 
     batch: rays_o/rays_d/rgb [N,3], bg_color [N,3] or [3], auds [W,A,16],
     eye [1,1], index int32, face_mask [N] bool.
 
     patch_hw: static (ph, pw) when the ray batch is patch-sampled
-    (provider.sample_rays(patch_size=...)); with lpips_fn set this enables
-    the reference's 0.1×LPIPS patch loss (utils.py:816-818).
+    (provider.sample_rays(patch_size=...) or sample_lips_rays); with
+    lpips_fn set this enables the reference's LPIPS patch loss —
+    lpips_weight 0.1 for random patches (utils.py:816-818), 0.01 for the
+    lips-finetune rect (utils.py:824-831).
     """
 
     def loss_fn(params, state: NeRFTrainState, batch, rng):
@@ -153,7 +156,7 @@ def make_nerf_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig,
 
         if lpips_fn is not None and patch_hw is not None:
             ph, pw = patch_hw
-            loss = loss + 0.1 * lpips_fn(
+            loss = loss + lpips_weight * lpips_fn(
                 pred.reshape(-1, ph, pw, 3), rgb.reshape(-1, ph, pw, 3)
             )
 

@@ -110,3 +110,54 @@ def test_sample_torso_rays():
     lower = coords[:, 1] > 0
     np.testing.assert_allclose(gt[lower], 0.3, atol=1e-6)
     np.testing.assert_allclose(gt[~lower], 1.0, atol=1e-6)
+
+
+def test_sample_lips_rays_static_window():
+    from mere_fusion_tpu.data.provider import NeRFTrainDataset
+
+    H = W = 64
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+    # lips rect rows 40..48, cols 20..36
+    ds = NeRFTrainDataset(
+        poses=np.eye(4, dtype=np.float32)[None],
+        images=img,
+        auds=np.zeros((1, 44, 16), np.float32),
+        eye_area=np.zeros(1, np.float32),
+        face_masks=np.ones((1, H, W), bool),
+        bg_img=np.zeros((H, W, 3), np.float32),
+        intrinsics=(60.0, 60.0, W / 2, H / 2),
+        H=H, W=W,
+        lips_rects=np.array([[40, 48, 20, 36]], np.int32),
+    )
+    batch = ds.sample_lips_rays(0, rng, size=16)
+    rgb = np.asarray(batch["rgb"]).reshape(16, 16, 3)
+    # window is centered on (44, 28) → rows 36..52, cols 20..36
+    np.testing.assert_allclose(rgb, img[0, 36:52, 20:36])
+    # clamped at the border for a rect near the edge
+    ds.lips_rects = np.array([[0, 4, 60, 64]], np.int32)
+    batch = ds.sample_lips_rays(0, rng, size=16)
+    rgb = np.asarray(batch["rgb"]).reshape(16, 16, 3)
+    np.testing.assert_allclose(rgb, img[0, 0:16, 48:64])
+
+
+def test_lips_rect_loading(tmp_path):
+    from mere_fusion_tpu.data.provider import (
+        NeRFTrainDataset,
+        synthesize_nerf_train_data,
+    )
+
+    root = synthesize_nerf_train_data(str(tmp_path), n_frames=2, hw=64)
+    base = root if isinstance(root, str) else str(tmp_path)
+    import os
+
+    lms = np.zeros((68, 2))
+    lms[48:60, 0] = np.linspace(20, 36, 12)  # cols
+    lms[48:60, 1] = np.linspace(40, 48, 12)  # rows
+    os.makedirs(os.path.join(base, "ori_imgs"), exist_ok=True)
+    for i in range(2):
+        np.savetxt(os.path.join(base, "ori_imgs", f"{i}.lms"), lms, "%f")
+    ds = NeRFTrainDataset.load(base)
+    assert ds.lips_rects is not None and ds.lips_rects.shape == (2, 4)
+    # squared: rows 40..48 center 44, cols 20..36 center 28, half=8
+    np.testing.assert_array_equal(ds.lips_rects[0], [36, 52, 20, 36])
