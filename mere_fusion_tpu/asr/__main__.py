@@ -4,7 +4,8 @@
         --backend jax-whisper --mode online
 
 Modes: offline (whole file at once), unaware (chunked, instant compute),
-online (chunked, wall-clock accounted).
+online (chunked, wall-clock accounted), batch (30 s windows decoded in
+device batches — the reference's InsanelyFastWhisper chunked mode).
 """
 from __future__ import annotations
 
@@ -32,7 +33,8 @@ def main(argv=None) -> None:
     p.add_argument("--backend", default="jax-whisper")
     p.add_argument("--min-chunk-size", type=float, default=1.0)
     p.add_argument("--mode", default="online",
-                   choices=["offline", "unaware", "online"])
+                   choices=["offline", "unaware", "online", "batch"])
+    p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--buffer-trim", type=float, default=15.0)
     args = p.parse_args(argv)
 
@@ -41,6 +43,18 @@ def main(argv=None) -> None:
 
     audio = load_wav_16k(args.audio)
     backend = make_backend(args.backend)
+
+    if args.mode == "batch":
+        import time
+
+        t0 = time.time()
+        res = backend.transcribe_long(audio, batch_size=args.batch_size)
+        dt = time.time() - t0
+        for ch in res["chunks"]:
+            print(f"[{ch['start']:7.1f}-{ch['end']:7.1f}] {ch['text']}")
+        print(f"-- {res['duration']:.1f} s audio in {dt:.1f} s "
+              f"({res['duration']/max(dt,1e-9):.1f}x realtime)")
+        return
 
     if args.mode == "offline":
         res = backend.transcribe(audio)

@@ -195,6 +195,60 @@ class JaxWhisperBackend:
         starts = token_times(attn, n_prompt, n_frames)
         return starts[:n_text]
 
+    def transcribe_long(self, audio: np.ndarray, batch_size: int = 24) -> dict:
+        """Offline long-file transcription: split into 30 s windows and
+        decode them in device batches — the reference's active backend's
+        chunked mode (InsanelyFastWhisperASR, whisper_online.py:254-302:
+        chunk_length_s=30, batch_size=24).
+
+        Returns {"chunks": [{start, end, tokens, text}...], "text", "duration"}.
+        """
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.whisper import EOT
+        from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
+
+        window = self.dims.n_audio_ctx * 2 * 160
+        duration = len(audio) / SAMPLE_RATE
+        n_chunks = max(1, -(-len(audio) // window))
+        mels = []
+        for c in range(n_chunks):
+            padded = np.zeros(window, dtype=np.float32)
+            part = audio[c * window:(c + 1) * window]
+            padded[: len(part)] = part
+            mels.append(melspectrogram(jnp.asarray(padded), WHISPER_MEL))
+        mels = jnp.stack(mels)
+
+        prompt_one = jnp.asarray([self._sot], jnp.int32)
+        all_tokens = []
+        for i in range(0, n_chunks, batch_size):
+            group = mels[i:i + batch_size]
+            real = group.shape[0]
+            if real < batch_size and n_chunks > batch_size:
+                # keep a single compiled shape across groups
+                group = jnp.concatenate(
+                    [group, jnp.tile(group[-1:], (batch_size - real, 1, 1))]
+                )
+            xa = self._encode(group)
+            prompts = jnp.tile(prompt_one, (group.shape[0], 1))
+            toks = np.asarray(self._decode(xa, prompts, len(self._sot)))
+            all_tokens.extend(toks[:real])
+
+        window_s = window / SAMPLE_RATE
+        chunks = []
+        for c, toks in enumerate(all_tokens):
+            text_toks = [int(t) for t in toks[len(self._sot):] if t != EOT]
+            text = "".join(self._token_text(t) for t in text_toks)
+            chunks.append({
+                "start": c * window_s,
+                "end": min((c + 1) * window_s, duration),
+                "tokens": text_toks,
+                "text": text,
+            })
+        return {"chunks": chunks,
+                "text": "".join(ch["text"] for ch in chunks),
+                "duration": duration}
+
     def _token_text(self, tok: int) -> str:
         if self.tokenizer is not None:
             return self.tokenizer.decode([tok])

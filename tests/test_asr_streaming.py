@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from mere_fusion_tpu.asr import FakeBackend, HypothesisBuffer, StreamingTranscriber, Word
 from mere_fusion_tpu.asr.simulate import simulate_streaming
@@ -143,3 +144,25 @@ def test_openai_api_backend_in_streaming_transcriber():
     beg, end, text = st.process_iter()
     assert "stable" in text and " words" in text
     assert len(calls) == 2
+
+
+def test_transcribe_long_batched_chunks():
+    """Chunked batch transcription (InsanelyFastWhisper mode): window
+    splitting, batch padding, per-chunk timestamps."""
+    from tests.test_whisper import SMALL
+    from mere_fusion_tpu.asr.backends import JaxWhisperBackend
+
+    be = JaxWhisperBackend(dims=SMALL, word_timestamps=False)
+    be._sot = (1, 2)  # ids valid for the tiny test vocab
+    window_s = SMALL.n_audio_ctx * 2 * 160 / 16000  # 0.96 s
+    audio = np.random.default_rng(0).uniform(
+        -0.1, 0.1, int(16000 * 2.5)).astype(np.float32)
+    res = be.transcribe_long(audio, batch_size=2)
+    assert len(res["chunks"]) == 3  # ceil(2.5 / 0.96)
+    assert res["chunks"][0]["start"] == 0.0
+    assert res["chunks"][1]["start"] == pytest.approx(window_s)
+    assert res["chunks"][-1]["end"] == pytest.approx(2.5)
+    assert res["duration"] == pytest.approx(2.5)
+    for ch in res["chunks"]:
+        assert all(isinstance(t, int) for t in ch["tokens"])
+    assert res["text"] == "".join(c["text"] for c in res["chunks"])
