@@ -175,6 +175,25 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
     async def health(request: web.Request) -> web.Response:
         return json_ok(status="healthy", sessions=len(manager.sessions))
 
+    async def profile(request: web.Request) -> web.Response:
+        """Capture a JAX profiler trace of the live device pipeline
+        (SURVEY §5: structured traces replace the reference's scattered
+        prints). GET /profile?seconds=2&dir=/tmp/mf_trace — view with
+        tensorboard or xprof."""
+        import asyncio as _asyncio
+
+        import jax
+
+        seconds = float(request.query.get("seconds", 2.0))
+        trace_dir = request.query.get("dir", "/tmp/mf_trace")
+        try:
+            jax.profiler.start_trace(trace_dir)
+            await _asyncio.sleep(min(seconds, 30.0))
+            jax.profiler.stop_trace()
+        except Exception as exc:  # profiling is best-effort per backend
+            return json_err(f"profiler unavailable: {exc}", status=503)
+        return json_ok(data={"trace_dir": trace_dir, "seconds": seconds})
+
     app.router.add_post("/start_session", start_session)
     app.router.add_post("/stop_session", stop_session)
     app.router.add_post("/interrupt", interrupt)
@@ -185,6 +204,7 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
     app.router.add_post("/camera", camera)
     app.router.add_get("/metrics", get_metrics)
     app.router.add_get("/health", health)
+    app.router.add_get("/profile", profile)
 
     async def on_shutdown(app):
         await manager.close_all()

@@ -108,3 +108,26 @@ def test_server_camera_route():
             await client.close()
 
     asyncio.run(main())
+
+
+def test_server_profile_route():
+    import asyncio
+
+    from tests.test_server import make_client
+
+    async def main():
+        client = make_client()
+        await client.start_server()
+        try:
+            r = await client.get("/profile?seconds=0.2&dir=/tmp/mf_test_trace")
+            body = await r.json()
+            # either a trace was captured or the backend lacks profiling —
+            # both are valid states, but the route must answer coherently
+            if body["code"] == 0:
+                assert body["data"]["trace_dir"] == "/tmp/mf_test_trace"
+            else:
+                assert "profiler" in body["message"]
+        finally:
+            await client.close()
+
+    asyncio.run(main())
