@@ -119,6 +119,7 @@ class NeRFConfig:
     pallas_window_v: int = 32         # texture window, lateral axis
     pallas_depth_groups: int = 4      # depth groups per ray (even, divides K)
     texture_dtype: str = "bfloat16"   # baked-texture storage dtype
+    shade_dtype: str = "bfloat16"     # head-MLP compute dtype at inference
     probe_block: int = 8              # pixels per shared occupancy probe (0 = per-ray)
     smooth_path_window: int = 7
     torso: bool = False

@@ -144,6 +144,11 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         )
         return enc_a, ind
 
+    # head MLPs in bf16 at inference (sigma/color are 64-wide matmuls; the
+    # fp32 path is identical math at ~2x the MXU cost)
+    shade_net = (NeRFNetwork(network.cfg, dtype=jnp.bfloat16)
+                 if nc.shade_dtype == "bfloat16" else network)
+
     @jax.jit
     def stage_shade(variables, plan, enc, pose, auds, eye, bg_color):
         enc_a, ind = conditions(variables, auds)
@@ -160,10 +165,12 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         dirs = jnp.broadcast_to(
             plan["dirs"][:, :, None, :], (budget, rpt, k, 3)
         ).reshape(-1, 3)
-        sigma, color, amb_aud, amb_eye, unc = network.apply(
+        sigma, color, amb_aud, amb_eye, unc = shade_net.apply(
             variables, enc.reshape(-1, 3 * channels), dirs, enc_a, ind, eye,
             training=False, method=NeRFNetwork.forward_with_enc,
         )
+        sigma = sigma.astype(jnp.float32)
+        color = color.astype(jnp.float32)
         bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
         out = composite(
             sigma.reshape(m, k), color.reshape(m, k, 3),

@@ -132,11 +132,12 @@ class NeRFNetwork(nn.Module):
         self.audio_att_net = AudioAttNet(cfg.audio_dim, cfg.att_window,
                                          name="audio_att_net")
         eye_dim = 1 if cfg.exp_eye else 0
-        self.eye_att_net = MLP(1, 16, 2, name="eye_att_net")
-        self.sigma_net = MLP(1 + 64, 64, 3, name="sigma_net")
-        self.color_net = MLP(3, 64, 2, name="color_net")
-        self.unc_net = MLP(1, 32, 2, name="unc_net")
-        self.aud_ch_att_net = MLP(cfg.audio_dim, 64, 2, name="aud_ch_att_net")
+        self.eye_att_net = MLP(1, 16, 2, dtype=self.dtype, name="eye_att_net")
+        self.sigma_net = MLP(1 + 64, 64, 3, dtype=self.dtype, name="sigma_net")
+        self.color_net = MLP(3, 64, 2, dtype=self.dtype, name="color_net")
+        self.unc_net = MLP(1, 32, 2, dtype=self.dtype, name="unc_net")
+        self.aud_ch_att_net = MLP(cfg.audio_dim, 64, 2, dtype=self.dtype,
+                                  name="aud_ch_att_net")
         if cfg.individual_dim > 0:
             self.individual_codes = self.param(
                 "individual_codes",
