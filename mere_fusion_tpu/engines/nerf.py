@@ -216,15 +216,23 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
         probe_block=probe_block, image_hw=(H, W),
     )
 
+    # head MLPs in bf16 at inference (same speedup as the Pallas path's
+    # shade stage; sigma/color are cast back to f32 by the composite math)
+    shade_net = (NeRFNetwork(network.cfg, dtype=jnp.bfloat16)
+                 if nerf_cfg.shade_dtype == "bfloat16" else network)
+
     def make_apply_fn(variables, enc_a, ind, eye, baked_mode: bool):
         def apply_fn(pos, dirs, training):
             if baked_mode:
-                return network.apply(
+                out = shade_net.apply(
                     variables, pos, dirs, enc_a, ind, eye, training=training,
                     method=NeRFNetwork.forward_with_enc,
                 )
-            return network.apply(variables, pos, dirs, enc_a, ind, eye,
-                                 training=training)
+            else:
+                out = shade_net.apply(variables, pos, dirs, enc_a, ind, eye,
+                                      training=training)
+            return tuple(o.astype(jnp.float32) if o is not None else o
+                         for o in out)
         return apply_fn
 
     def conditions(variables, auds):
