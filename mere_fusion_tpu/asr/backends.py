@@ -123,6 +123,7 @@ class JaxWhisperBackend:
             from mere_fusion_tpu.models.whisper import non_speech_token_ids
 
             suppress = non_speech_token_ids(self.tokenizer)
+        self.beam_size = beam_size
         if beam_size > 1:
             # reference runs beam 5 ("b5 is faster and better than b1",
             # whisper_online.py:137); ours defaults greedy for latency
@@ -220,6 +221,10 @@ class JaxWhisperBackend:
         mels = jnp.stack(mels)
 
         prompt_one = jnp.asarray([self._sot], jnp.int32)
+        if self.beam_size > 1:
+            # the beam decoder uses the batch dim as the beam dim — decode
+            # chunks one at a time
+            batch_size = 1
         all_tokens = []
         for i in range(0, n_chunks, batch_size):
             group = mels[i:i + batch_size]

@@ -355,9 +355,15 @@ class NeRFTrainDataset:
                for d in lms_dirs if os.path.isdir(d)):
             lips = []
             for f in transform["frames"]:
-                lp = next(p for d in lms_dirs
-                          for p in [os.path.join(d, f"{f['img_id']}.lms")]
-                          if os.path.exists(p))
+                lp = next((p for d in lms_dirs
+                           for p in [os.path.join(d, f"{f['img_id']}.lms")]
+                           if os.path.exists(p)), None)
+                if lp is None:
+                    raise FileNotFoundError(
+                        f"frame {f['img_id']} has no .lms landmark file "
+                        f"(searched {lms_dirs}); run nerf_data.landmarks "
+                        "over the full frame set first"
+                    )
                 lms = np.loadtxt(lp)  # [68, 2] (x, y) pixels
                 sl = slice(48, 60)
                 # squared lips rect (reference provider.py:549-564; their

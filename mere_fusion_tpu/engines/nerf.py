@@ -393,10 +393,12 @@ class NeRFReal(BaseReal):
         data = next(self.loader)
         if self.orbit is not None:
             # free camera: override the dataset pose; spans must be planned
-            # fresh (pose-keyed cache entries are only valid for path poses)
+            # fresh (pose-keyed cache entries are only valid for path poses).
+            # data["index"] stays numeric so fullbody compositing keeps a
+            # constant output frame size mid-stream.
             data = dict(data)
             data["pose"] = jnp.asarray(self.orbit.pose)
-            data["index"] = None
+            data["span_key"] = None
         auds = self.asr.get_next_feat()
 
         audio_frames = [self.asr.get_audio_out() for _ in range(2)]
@@ -432,7 +434,7 @@ class NeRFReal(BaseReal):
                 rgb, n_active, n_overflow = self._render_step(
                     data["pose"], jnp.asarray(auds), jnp.asarray(data["eye"]),
                     self.density, jnp.asarray(data["bg_color"]),
-                    pose_key=data.get("index"),
+                    pose_key=data.get("span_key", data.get("index")),
                 )
                 rgb = np.asarray(rgb)
                 metrics.gauge("nerf.active_tiles", int(n_active))

@@ -262,17 +262,24 @@ class LandmarkDetector:
         scale = (d[2] - d[0] + d[3] - d[1]) / LandmarkDetector.REFERENCE_SCALE
         return center, float(scale)
 
-    def get_landmarks(self, image_rgb: np.ndarray) -> list[np.ndarray]:
-        """One RGB uint8 image -> list of [68, 2] arrays (one per face)."""
-        dets = self.detector.detect_batch(
-            image_rgb[None, :, :, ::-1].copy()  # S3FD wants BGR
-        )[0]
+    def landmarks_from_boxes(self, image_rgb: np.ndarray,
+                             boxes) -> list[np.ndarray]:
+        """[68, 2] landmarks for each given (x1, y1, x2, y2) face box —
+        skips detection when boxes are already known (e.g. the avatar-prep
+        pipeline has its own smoothed S3FD pass)."""
         results = []
-        for d in dets:
-            d = np.clip(d, 0, None)
+        for d in boxes:
+            d = np.clip(np.asarray(d, np.float32), 0, None)
             center, scale = self.box_to_center_scale(d)
             crop = crop_face(image_rgb, center, scale, self.RESOLUTION)
             hm = self.heatmaps(crop[None].astype(np.float32) / 255.0)
             pts = heatmaps_to_landmarks(hm, [center], [scale])
             results.append(pts[0].astype(np.float32))
         return results
+
+    def get_landmarks(self, image_rgb: np.ndarray) -> list[np.ndarray]:
+        """One RGB uint8 image -> list of [68, 2] arrays (one per face)."""
+        dets = self.detector.detect_batch(
+            image_rgb[None, :, :, ::-1].copy()  # S3FD wants BGR
+        )[0]
+        return self.landmarks_from_boxes(image_rgb, dets)

@@ -188,10 +188,17 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
         trace_dir = request.query.get("dir", "/tmp/mf_trace")
         try:
             jax.profiler.start_trace(trace_dir)
-            await _asyncio.sleep(min(seconds, 30.0))
-            jax.profiler.stop_trace()
         except Exception as exc:  # profiling is best-effort per backend
             return json_err(f"profiler unavailable: {exc}", status=503)
+        try:
+            await _asyncio.sleep(min(seconds, 30.0))
+        finally:
+            # stop even on client-disconnect cancellation, or the trace
+            # stays active and every later /profile 503s
+            try:
+                jax.profiler.stop_trace()
+            except Exception as exc:
+                return json_err(f"profiler stop failed: {exc}", status=503)
         return json_ok(data={"trace_dir": trace_dir, "seconds": seconds})
 
     app.router.add_post("/start_session", start_session)

@@ -127,7 +127,10 @@ def get_landmark_and_bbox(frames: list[np.ndarray], detector,
     coords = []
     ranges_minus, ranges_plus = [], []
     for frame, (y1, y2, x1, x2) in zip(frames, raw):
-        lms = landmark_detector.get_landmarks(frame[:, :, ::-1])  # RGB in
+        # landmarks from the already-detected box (no second S3FD pass)
+        lms = landmark_detector.landmarks_from_boxes(
+            frame[:, :, ::-1], [np.array([x1, y1, x2, y2], np.float32)]
+        )
         if not lms:
             coords.append((x1, y1, x2, y2))
             continue
@@ -167,13 +170,15 @@ def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
 
     from mere_fusion_tpu.engines.muse import preprocess_face
 
+    loop_shift = bbox_shift  # what the crop loop still needs to apply
     if landmark_detector is not None:
         fused = get_landmark_and_bbox(frames, detector, landmark_detector,
                                       upperbondrange=bbox_shift)
-        # downstream loop consumes (y1, y2, x1, x2) raw order with
-        # bbox_shift already applied through the landmark path
+        # downstream loop consumes (y1, y2, x1, x2) raw order; the shift is
+        # already folded into the landmark boxes (bbox_shift itself stays
+        # intact for the avator_info.json metadata)
         raw = [(y1, y2, x1, x2) for (x1, y1, x2, y2) in fused]
-        bbox_shift = 0
+        loop_shift = 0
     else:
         raw = detect_face_boxes(frames, detector, pads=(0, 0, 0, 0))
     full_dir = os.path.join(out_dir, "full_imgs")
@@ -183,7 +188,7 @@ def create_muse_avatar(frames: list[np.ndarray], out_dir: str, detector,
 
     coords, faces, masks, mask_coords = [], [], [], []
     for i, (frame, (y1, y2, x1, x2)) in enumerate(zip(frames, raw)):
-        y1 = max(0, y1 + bbox_shift)
+        y1 = max(0, y1 + loop_shift)
         box = (x1, y1, x2, y2)  # musetalk coord order (musereal.py:247)
         coords.append(box)
         cv2.imwrite(os.path.join(full_dir, f"{i}.png"), frame)

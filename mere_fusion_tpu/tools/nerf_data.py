@@ -198,7 +198,7 @@ def landmarks(ori_imgs_dir: str, detector=None, fan_path: str | None = None,
                            cv2.COLOR_BGR2RGB)
         preds = detector.get_landmarks(img)
         if preds:
-            lms_path = image_path.replace("jpg", "lms")
+            lms_path = os.path.splitext(image_path)[0] + ".lms"
             np.savetxt(lms_path, preds[0].reshape(-1, 2)[:, :2], "%f")
             written.append(lms_path)
     return written

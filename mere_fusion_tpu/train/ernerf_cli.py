@@ -108,6 +108,7 @@ def main(argv=None) -> None:
         ckpt = Checkpointer(args.workspace)
         rng = np.random.default_rng(args.seed)
         t0 = time.time()
+        metrics = {"loss": float("nan")}
         for it in range(args.iters):
             frame = int(rng.integers(0, len(dataset)))
             batch = dataset.sample_torso_rays(frame, args.num_rays, rng)
@@ -155,9 +156,15 @@ def main(argv=None) -> None:
         state = ckpt.restore(state)
         it0 = int(state.step)
         print(f"[train] resumed from step {it0}")
+    if it0 >= args.iters:
+        print(f"[train] checkpoint step {it0} >= --iters {args.iters}; "
+              "nothing to do (pass a larger total step target)")
+        ckpt.close()
+        return
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
+    metrics = {"loss": float("nan")}
     for it in range(it0, args.iters):
         frame = int(rng.integers(0, len(dataset)))
         if lips_step is not None and it % 2 == 1:

@@ -16,8 +16,10 @@ python -m mere_fusion_tpu.train.ernerf_cli "$DATA" \
 
 cp -r "$WS" "${WS}_head"
 
+# resumes from step 100000 in the same workspace; --iters is the TOTAL
+# step target (reference: second stage trains 100000 -> 125000)
 python -m mere_fusion_tpu.train.ernerf_cli "$DATA" \
-    --workspace "$WS" --iters 25000 \
+    --workspace "$WS" --iters 125000 \
     --finetune_lips --lips_size 64 --patch_size 32
 
 # torso stage (uncomment once torso_imgs/ exist):

@@ -68,8 +68,8 @@ def test_get_landmark_and_bbox_fusion():
         def __init__(self, lm):
             self.lm = lm
 
-        def get_landmarks(self, img):
-            return [self.lm]
+        def landmarks_from_boxes(self, img, boxes):
+            return [self.lm for _ in boxes]
 
     lm = np.zeros((68, 2), np.float32)
     lm[:, 0] = np.linspace(25, 75, 68)          # x range 25..75
