@@ -106,9 +106,14 @@ def main(argv=None) -> None:
                                      head_params=head_params)
         step = make_torso_train_step(network, tx, tcfg)
         ckpt = Checkpointer(args.workspace)
+        from mere_fusion_tpu.train.logger import ScalarLogger, StopFlag
+
+        slog = ScalarLogger(args.workspace)
+        stop = StopFlag.install()
         rng = np.random.default_rng(args.seed)
         t0 = time.time()
         metrics = {"loss": float("nan")}
+        it = 0
         for it in range(args.iters):
             frame = int(rng.integers(0, len(dataset)))
             batch = dataset.sample_torso_rays(frame, args.num_rays, rng)
@@ -117,9 +122,17 @@ def main(argv=None) -> None:
                 rate = (it + 1) / (time.time() - t0)
                 print(f"[torso] it {it}  loss {float(metrics['loss']):.5f}"
                       f"  {rate:.1f} it/s")
+                slog.log(it, loss=metrics["loss"], mse=metrics["mse"],
+                         it_per_s=rate)
             if it > 0 and it % args.ckpt_every == 0:
                 ckpt.save(it, state, {"loss": float(metrics["loss"])})
-        ckpt.save(args.iters, state, {"loss": float(metrics["loss"])})
+            if stop:
+                print(f"[torso] stop signal — checkpointing at it {it}")
+                break
+        ckpt.save(it + 1 if stop else args.iters, state,
+                  {"loss": float(metrics["loss"])})
+        stop.uninstall()
+        slog.close()
         ckpt.close()
         print("[torso] done")
         return
@@ -150,7 +163,7 @@ def main(argv=None) -> None:
         )
     ckpt = Checkpointer(args.workspace)
     it0 = 0
-    if ckpt.latest_step() is not None:
+    if ckpt.latest_step is not None:
         # resume (the reference's --ckpt latest continuation used by the
         # 2-stage train_obama.sh recipe)
         state = ckpt.restore(state)
@@ -162,9 +175,14 @@ def main(argv=None) -> None:
         ckpt.close()
         return
 
+    from mere_fusion_tpu.train.logger import ScalarLogger, StopFlag
+
+    slog = ScalarLogger(args.workspace)
+    stop = StopFlag.install()
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     metrics = {"loss": float("nan")}
+    it = it0
     for it in range(it0, args.iters):
         frame = int(rng.integers(0, len(dataset)))
         if lips_step is not None and it % 2 == 1:
@@ -187,9 +205,17 @@ def main(argv=None) -> None:
             loss = float(metrics["loss"])
             rate = (it - it0 + 1) / (time.time() - t0)
             print(f"[train] it {it}  loss {loss:.5f}  {rate:.1f} it/s")
+            slog.log(it, loss=metrics["loss"], mse=metrics["mse"],
+                     it_per_s=rate)
         if it > 0 and it % args.ckpt_every == 0:
             ckpt.save(it, state, {"loss": float(metrics["loss"])})
-    ckpt.save(args.iters, state, {"loss": float(metrics["loss"])})
+        if stop:
+            print(f"[train] stop signal — checkpointing at it {it}")
+            break
+    ckpt.save(it + 1 if stop else args.iters, state,
+              {"loss": float(metrics["loss"])})
+    stop.uninstall()
+    slog.close()
     ckpt.close()
     print("[train] done")
 
