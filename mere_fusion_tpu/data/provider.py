@@ -336,8 +336,9 @@ class NeRFTrainDataset:
             mp = os.path.join(root, "parsing", f"{img_id}.png")
             if os.path.exists(mp):
                 parsing = cv2.imread(mp)
-                # reference parsing: face = red-ish pixels (provider.py:540)
-                masks.append((parsing[..., 2] > 200) & (parsing[..., 0] < 100))
+                # semantic maps: head is BGR (255,0,0) (face_parsing task,
+                # reference test.py:32-44 colors)
+                masks.append((parsing[..., 0] > 200) & (parsing[..., 2] < 100))
             else:
                 m = np.zeros((H, W), bool)
                 m[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = True

@@ -236,14 +236,33 @@ class FaceParsing:
 
         return cls(variables=convert_bisenet(load_torch_checkpoint(path)), **kw)
 
-    def __call__(self, image_bgr: np.ndarray, size=(512, 512)) -> np.ndarray:
+    def _classes(self, image_bgr: np.ndarray, size=(512, 512)) -> np.ndarray:
         import cv2
 
-        h, w = image_bgr.shape[:2]
         img = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
         x = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-        parsing = np.array(self._fn(jnp.asarray(x[None])))[0]
+        return np.array(self._fn(jnp.asarray(x[None])))[0].astype(np.uint8)
+
+    def __call__(self, image_bgr: np.ndarray, size=(512, 512)) -> np.ndarray:
+        parsing = self._classes(image_bgr, size)
         parsing[parsing > 13] = 0
         parsing[parsing >= 1] = 255
         return parsing.astype(np.uint8)
+
+    def semantic_map(self, image_bgr: np.ndarray) -> np.ndarray:
+        """Color-coded semantics at the input resolution, the ER-NeRF data
+        pipeline's parsing format (reference data_utils/face_parsing/
+        test.py:27-48): head (classes 1-13, 17+) BGR (255,0,0), neck
+        (14-15) (0,255,0), torso (16) (0,0,255), background white."""
+        import cv2
+
+        h, w = image_bgr.shape[:2]
+        parsing = self._classes(image_bgr)
+        parsing = cv2.resize(parsing, (w, h), interpolation=cv2.INTER_NEAREST)
+        out = np.full((h, w, 3), 255, np.uint8)
+        head = ((parsing >= 1) & (parsing <= 13)) | (parsing >= 17)
+        out[head] = (255, 0, 0)
+        out[(parsing >= 14) & (parsing <= 15)] = (0, 255, 0)
+        out[parsing == 16] = (0, 0, 255)
+        return out

@@ -86,18 +86,134 @@ def audio_features(wav_path: str, out_npy: str, logits_fn=None,
 
 
 def face_parsing(frames_dir: str, out_dir: str, parser) -> int:
-    """Per-frame BiSeNet face masks (process.py task 4)."""
+    """Per-frame BiSeNet semantics (process.py task 4): color-coded
+    head/neck/torso/background maps (the format tasks 5/6 consume).
+
+    parser: models/bisenet.FaceParsing (uses its semantic_map when
+    available; a plain face-mask callable falls back to head-only maps)."""
     os.makedirs(out_dir, exist_ok=True)
     names = sorted(os.listdir(frames_dir), key=lambda x: int(x.split(".")[0]))
     for name in names:
         img = cv2.imread(os.path.join(frames_dir, name))
-        mask = parser(img, size=(512, 512))
-        mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
-                          interpolation=cv2.INTER_NEAREST)
-        out = np.zeros((*mask.shape, 3), np.uint8)
-        out[mask > 0] = (255, 0, 0)  # face in blue ch.. reference uses colors
+        if hasattr(parser, "semantic_map"):
+            out = parser.semantic_map(img)
+        else:
+            mask = parser(img, size=(512, 512))
+            mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
+                              interpolation=cv2.INTER_NEAREST)
+            out = np.full((*mask.shape, 3), 255, np.uint8)
+            out[mask > 0] = (255, 0, 0)  # head in blue (reference colors)
         cv2.imwrite(os.path.join(out_dir, name.split(".")[0] + ".png"), out)
     return len(names)
+
+
+def _inpaint_down_from(top_coords: np.ndarray, colors: np.ndarray,
+                       length: int, image: np.ndarray):
+    """Paint `length` rows upward from each top pixel with its color darkened
+    by 0.98 per row (the reference's vertical inpainting,
+    process.py:152-220). Returns the painted coords mask."""
+    h = image.shape[0]
+    coords = top_coords[None].repeat(length, 0)  # [L, m, 2]
+    offsets = np.stack([-np.arange(length),
+                        np.zeros(length, dtype=np.int64)], -1)[:, None]
+    coords = (coords + offsets).reshape(-1, 2)
+    cols = colors[None].repeat(length, 0)
+    darken = 0.98 ** np.arange(length).reshape(length, 1, 1)
+    cols = (cols * darken).reshape(-1, 3)
+    keep = (coords[:, 0] >= 0) & (coords[:, 0] < h)
+    coords, cols = coords[keep], cols[keep]
+    image[tuple(coords.T)] = cols
+    mask = np.zeros(image.shape[:2], bool)
+    mask[tuple(coords.T)] = True
+    return mask
+
+
+def _top_of_columns(part: np.ndarray):
+    """Top-most pixel of each column of a boolean region; returns coords
+    [m, 2] and per-column counts."""
+    coords = np.stack(np.nonzero(part), axis=-1)
+    if len(coords) == 0:
+        return np.zeros((0, 2), np.int64), np.zeros(0, np.int64)
+    coords = coords[np.lexsort((coords[:, 0], coords[:, 1]))]
+    _, uid, ucnt = np.unique(coords[:, 1], return_index=True,
+                             return_counts=True)
+    return coords[uid], ucnt
+
+
+def extract_torso_and_gt(base_dir: str, ori_imgs_dir: str) -> int:
+    """gt_imgs (head over clean background) + torso_imgs (RGBA torso with
+    the reference's vertical inpainting under the chin) — process.py task 6
+    (extract_torso_and_gt, process.py:120-240).
+
+    Needs bc.jpg (task 5) and parsing/ semantic maps (task 4)."""
+    import glob
+
+    from scipy.ndimage import binary_dilation
+
+    bg_image = cv2.imread(os.path.join(base_dir, "bc.jpg"),
+                          cv2.IMREAD_UNCHANGED)
+    gt_dir = os.path.join(base_dir, "gt_imgs")
+    torso_dir = os.path.join(base_dir, "torso_imgs")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(torso_dir, exist_ok=True)
+
+    image_paths = sorted(glob.glob(os.path.join(ori_imgs_dir, "*.jpg")))
+    for image_path in image_paths:
+        ori = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
+        stem = os.path.splitext(os.path.basename(image_path))[0]
+        seg = cv2.imread(os.path.join(base_dir, "parsing", f"{stem}.png"))
+        head = (seg[..., 0] == 255) & (seg[..., 1] == 0) & (seg[..., 2] == 0)
+        neck = (seg[..., 0] == 0) & (seg[..., 1] == 255) & (seg[..., 2] == 0)
+        torso = (seg[..., 0] == 0) & (seg[..., 1] == 0) & (seg[..., 2] == 255)
+        bg = (seg[..., 0] == 255) & (seg[..., 1] == 255) & (seg[..., 2] == 255)
+
+        gt = ori.copy()
+        gt[bg] = bg_image[bg]
+        cv2.imwrite(os.path.join(gt_dir, f"{stem}.jpg"), gt)
+
+        torso_img = gt.copy()
+        torso_img[head] = bg_image[head]
+        alpha = np.full((*gt.shape[:2], 1), 255, np.uint8)
+
+        # torso top rows whose upper neighbor is head → paint 9 rows up
+        top, _ = _top_of_columns(torso)
+        inpaint_torso_mask = None
+        if len(top):
+            up = top - np.array([1, 0])
+            keep = head[tuple(up.T)]
+            if keep.any():
+                top = top[keep]
+                inpaint_torso_mask = _inpaint_down_from(
+                    top, gt[tuple(top.T)], 8 + 1, torso_img)
+
+        # dilated-neck top rows, pushed down 4 px, painted 53 rows up
+        push_down = 4
+        neck_d = binary_dilation(
+            neck, structure=np.array([[0, 1, 0], [0, 1, 0], [0, 1, 0]], bool),
+            iterations=3)
+        top, ucnt = _top_of_columns(neck_d)
+        inpaint_mask = np.zeros(gt.shape[:2], bool)
+        if len(top):
+            up = top - np.array([1, 0])
+            keep = head[tuple(up.T)]
+            top, ucnt = top[keep], ucnt[keep]
+            if len(top):
+                down = np.minimum(ucnt - 1, push_down)
+                top = top + np.stack([down, np.zeros_like(down)], -1)
+                inpaint_mask = _inpaint_down_from(
+                    top, gt[tuple(top.T)], 48 + push_down + 1, torso_img)
+                # blur the painted strip to soften vertical-line artifacts
+                blur = cv2.GaussianBlur(torso_img, (5, 5), cv2.BORDER_DEFAULT)
+                torso_img[inpaint_mask] = blur[inpaint_mask]
+
+        mask = neck_d | torso | inpaint_mask
+        if inpaint_torso_mask is not None:
+            mask = mask | inpaint_torso_mask
+        torso_img[~mask] = 0
+        alpha[~mask] = 0
+        cv2.imwrite(os.path.join(torso_dir, f"{stem}.png"),
+                    np.concatenate([torso_img, alpha], axis=-1))
+    return len(image_paths)
 
 
 def extract_background(frames_dir: str, parsing_dir: str, out_path: str,
@@ -109,8 +225,10 @@ def extract_background(frames_dir: str, parsing_dir: str, out_path: str,
         img = cv2.imread(os.path.join(frames_dir, name)).astype(np.float32)
         ppath = os.path.join(parsing_dir, name.split(".")[0] + ".png")
         if os.path.exists(ppath):
-            mask = cv2.imread(ppath).sum(-1) > 0
-            img[mask] = np.nan
+            seg = cv2.imread(ppath)
+            # semantic maps label background white; everything else is person
+            person = ~((seg == 255).all(-1))
+            img[person] = np.nan
         stack.append(img)
     bg = np.nanmedian(np.stack(stack), axis=0)
     bg = np.nan_to_num(bg, nan=255.0)
@@ -202,3 +320,104 @@ def landmarks(ori_imgs_dir: str, detector=None, fan_path: str | None = None,
             np.savetxt(lms_path, preds[0].reshape(-1, 2)[:, :2], "%f")
             written.append(lms_path)
     return written
+
+
+def main(argv=None) -> None:
+    """Operator CLI mirroring the reference's task runner
+    (process.py:368-400): ``python -m mere_fusion_tpu.tools.nerf_data
+    <video-or-datadir> --task N`` (0 = all feasible tasks in order)."""
+    import argparse
+
+    p = argparse.ArgumentParser("nerf-data")
+    p.add_argument("path", help="input video (tasks 1,3) or data dir")
+    p.add_argument("--task", type=int, default=0, choices=range(0, 10))
+    p.add_argument("--bisenet_ckpt", default=None,
+                   help="torch 79999_iter.pth for tasks 4-6")
+    p.add_argument("--fan_ckpt", default=None,
+                   help="torch 2DFAN4 .pth for task 7")
+    p.add_argument("--s3fd_ckpt", default=None)
+    p.add_argument("--bfm_dir", default=None,
+                   help="converted BFM assets (3DMM_info.npy) for tasks 8-9")
+    p.add_argument("--asr_model",
+                   default="cpierse/wav2vec2-large-xlsr-53-esperanto")
+    p.add_argument("--deepspeech_pb", default=None,
+                   help="use DeepSpeech features (frozen .pb) for task 2")
+    args = p.parse_args(argv)
+
+    if os.path.isfile(args.path):
+        base = os.path.splitext(args.path)[0]
+        os.makedirs(base, exist_ok=True)
+        video = args.path
+    else:
+        base = args.path
+        video = None
+    ori = os.path.join(base, "ori_imgs")
+    wav = os.path.join(base, "aud.wav")
+
+    def want(n):
+        return args.task in (0, n)
+
+    if want(1) and video:
+        print("[task 1] extract_audio")
+        extract_audio(video, wav)
+    if want(2) and os.path.exists(wav):
+        print("[task 2] audio_features")
+        logits_fn = None
+        if args.deepspeech_pb:
+            from mere_fusion_tpu.audio.deepspeech import deepspeech_logits_fn
+
+            logits_fn = deepspeech_logits_fn(args.deepspeech_pb)
+        audio_features(wav, os.path.join(base, "aud.npy"),
+                       logits_fn=logits_fn, model_name=args.asr_model)
+    if want(3) and video:
+        print("[task 3] extract_frames")
+        extract_frames(video, ori)
+    if want(4):
+        if args.bisenet_ckpt:
+            print("[task 4] face_parsing")
+            from mere_fusion_tpu.models.bisenet import FaceParsing
+
+            parser = FaceParsing.from_checkpoint(args.bisenet_ckpt)
+            face_parsing(ori, os.path.join(base, "parsing"), parser)
+        elif args.task == 4:
+            raise SystemExit("task 4 needs --bisenet_ckpt")
+    if want(5) and os.path.isdir(os.path.join(base, "parsing")):
+        print("[task 5] extract_background")
+        extract_background(ori, os.path.join(base, "parsing"),
+                           os.path.join(base, "bc.jpg"))
+    if want(6) and os.path.exists(os.path.join(base, "bc.jpg")):
+        print("[task 6] extract_torso_and_gt")
+        extract_torso_and_gt(base, ori)
+    if want(7):
+        if args.fan_ckpt:
+            print("[task 7] landmarks")
+            landmarks(ori, fan_path=args.fan_ckpt, s3fd_path=args.s3fd_ckpt)
+        elif args.task == 7:
+            raise SystemExit("task 7 needs --fan_ckpt")
+    if want(8) or want(9):
+        if args.bfm_dir:
+            import glob as _glob
+
+            print("[task 8] face_tracking")
+            lms_paths = sorted(
+                _glob.glob(os.path.join(ori, "*.lms")),
+                key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
+            )
+            lms = np.stack([np.loadtxt(p) for p in lms_paths])
+            sample = cv2.imread(os.path.join(
+                ori, os.path.basename(lms_paths[0]).replace(".lms", ".jpg")))
+            poses, focal, _fit = face_tracking(
+                lms.astype(np.float32), sample.shape[:2],
+                model_path=args.bfm_dir,
+            )
+            print("[task 9] export_transforms")
+            h, w = sample.shape[:2]
+            export_transforms(poses, float(focal), w / 2, h / 2,
+                              os.path.join(base, "transforms.json"))
+        elif args.task in (8, 9):
+            raise SystemExit("tasks 8-9 need --bfm_dir")
+    print("[nerf-data] done")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,8 @@ def test_background_and_transforms(tmp_path):
         img = np.full((32, 32, 3), 100, np.uint8)
         img[8:24, 8:24] = 200  # "face"
         cv2.imwrite(str(frames_dir / f"{i}.jpg"), img)
-        mask = np.zeros((32, 32, 3), np.uint8)
-        mask[8:24, 8:24] = (255, 0, 0)
+        mask = np.full((32, 32, 3), 255, np.uint8)  # semantic maps: bg white
+        mask[8:24, 8:24] = (255, 0, 0)              # head blue
         cv2.imwrite(str(parsing_dir / f"{i}.png"), mask)
     bg_path = nerf_data.extract_background(
         str(frames_dir), str(parsing_dir), str(tmp_path / "bg.jpg"), sample_every=1
@@ -83,3 +83,98 @@ def test_face_tracking_task_runs_with_explicit_model():
     )
     assert poses.shape == (2, 4, 4)
     assert fit["pixel_rmse"] < 3.0
+
+
+def test_extract_torso_and_gt(tmp_path):
+    """Task 6 composites (reference process.py:120-240): gt over clean bg,
+    RGBA torso with vertical inpainting above the neck/torso tops."""
+    import cv2
+
+    base = str(tmp_path)
+    ori = os.path.join(base, "ori_imgs")
+    parsing = os.path.join(base, "parsing")
+    os.makedirs(ori); os.makedirs(parsing)
+
+    H = W = 80
+    img = np.full((H, W, 3), 200, np.uint8)
+    img[:, :, 0] = 50  # distinctive person color
+    cv2.imwrite(os.path.join(ori, "0.jpg"), img)
+
+    seg = np.full((H, W, 3), 255, np.uint8)       # bg white
+    seg[10:40, 20:60] = (255, 0, 0)               # head (blue)
+    seg[40:46, 30:50] = (0, 255, 0)               # neck (green)
+    seg[46:78, 25:55] = (0, 0, 255)               # torso (red)
+    cv2.imwrite(os.path.join(parsing, "0.png"), seg)
+
+    bg = np.zeros((H, W, 3), np.uint8)
+    bg[..., 2] = 255                              # red background
+    cv2.imwrite(os.path.join(base, "bc.jpg"), bg)
+
+    from mere_fusion_tpu.tools import nerf_data
+
+    n = nerf_data.extract_torso_and_gt(base, ori)
+    assert n == 1
+    gt = cv2.imread(os.path.join(base, "gt_imgs", "0.jpg"))
+    # background replaced by bc.jpg, person kept
+    assert gt[0, 0, 2] > 200 and gt[0, 0, 0] < 60
+    assert gt[20, 30, 0] == 50
+
+    torso = cv2.imread(os.path.join(base, "torso_imgs", "0.png"),
+                       cv2.IMREAD_UNCHANGED)
+    assert torso.shape == (H, W, 4)
+    alpha = torso[..., 3]
+    assert alpha[50, 40] == 255        # torso body opaque
+    assert alpha[5, 5] == 0            # background transparent
+    assert alpha[20, 25] == 0          # head region transparent
+    # inpainted strip extends upward from the neck top (row 40) into the
+    # head region for those columns
+    assert alpha[39, 40] == 255
+
+
+def test_face_parsing_semantic_map_fallback(tmp_path):
+    """face_parsing task writes reference-colored maps from a mask-only
+    parser; provider.load reads the head mask back."""
+    import cv2
+
+    from mere_fusion_tpu.tools import nerf_data
+
+    frames = os.path.join(str(tmp_path), "frames")
+    out = os.path.join(str(tmp_path), "parsing")
+    os.makedirs(frames)
+    cv2.imwrite(os.path.join(frames, "0.jpg"), np.zeros((32, 32, 3), np.uint8))
+
+    def parser(img, size=(512, 512)):
+        m = np.zeros(size, np.uint8)
+        m[:256] = 255
+        return m
+
+    nerf_data.face_parsing(frames, out, parser)
+    seg = cv2.imread(os.path.join(out, "0.png"))
+    assert tuple(seg[0, 0]) == (255, 0, 0)    # head blue
+    assert tuple(seg[31, 0]) == (255, 255, 255)  # bg white
+
+
+def test_pipeline_cli_tasks_5_6(tmp_path):
+    """The task-runner CLI executes the feasible tasks over a prepared dir."""
+    import cv2
+
+    from mere_fusion_tpu.tools.nerf_data import main
+
+    base = str(tmp_path)
+    ori = os.path.join(base, "ori_imgs")
+    parsing = os.path.join(base, "parsing")
+    os.makedirs(ori); os.makedirs(parsing)
+    img = np.full((64, 64, 3), 128, np.uint8)
+    seg = np.full((64, 64, 3), 255, np.uint8)
+    seg[10:30, 20:44] = (255, 0, 0)
+    seg[30:34, 26:38] = (0, 255, 0)
+    seg[34:60, 22:42] = (0, 0, 255)
+    for i in range(2):
+        cv2.imwrite(os.path.join(ori, f"{i}.jpg"), img)
+        cv2.imwrite(os.path.join(parsing, f"{i}.png"), seg)
+
+    main([base, "--task", "5"])
+    assert os.path.exists(os.path.join(base, "bc.jpg"))
+    main([base, "--task", "6"])
+    assert os.path.exists(os.path.join(base, "gt_imgs", "0.jpg"))
+    assert os.path.exists(os.path.join(base, "torso_imgs", "1.png"))
