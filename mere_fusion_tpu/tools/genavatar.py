@@ -232,3 +232,75 @@ class FixedBoxDetector:
     def detect_batch(self, imgs: np.ndarray, **kw):
         det = np.asarray([[*self.box, self.score]], np.float32)
         return [det.copy() for _ in range(len(imgs))]
+
+
+def main(argv=None) -> None:
+    """Avatar-prep CLI, mirroring the reference's genavatar.py /
+    mere_musetalk.py entry points:
+
+        python -m mere_fusion_tpu.tools.genavatar video.mp4 \\
+            --kind wav2lip --out data/avatars/wav2lip_avatar1 \\
+            --s3fd_ckpt s3fd.pth
+    """
+    import argparse
+
+    p = argparse.ArgumentParser("genavatar")
+    p.add_argument("video")
+    p.add_argument("--kind", default="wav2lip",
+                   choices=["wav2lip", "musetalk"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--img_size", type=int, default=96)
+    p.add_argument("--bbox_shift", type=int, default=0)
+    p.add_argument("--s3fd_ckpt", default=None,
+                   help="torch S3FD .pth (random weights without it — "
+                        "only useful for smoke runs)")
+    p.add_argument("--fan_ckpt", default=None,
+                   help="2DFAN4 .pth for landmark-refined musetalk boxes")
+    p.add_argument("--bisenet_ckpt", default=None,
+                   help="79999_iter.pth for parsing-based blend masks")
+    p.add_argument("--vae_ckpt", default=None,
+                   help="diffusers sd-vae checkpoint dir for musetalk "
+                        "latents (random VAE without it)")
+    args = p.parse_args(argv)
+
+    from mere_fusion_tpu.models.s3fd import FaceDetector
+
+    detector = (FaceDetector.from_checkpoint(args.s3fd_ckpt)
+                if args.s3fd_ckpt else FaceDetector())
+    frames = video_to_frames(args.video)
+    print(f"[genavatar] {len(frames)} frames")
+
+    if args.kind == "wav2lip":
+        create_lip_avatar(frames, args.out, detector, img_size=args.img_size)
+    else:
+        from mere_fusion_tpu.engines.muse import MuseModels
+
+        models = MuseModels()
+        if args.vae_ckpt:
+            from mere_fusion_tpu.utils.diffusers_convert import convert_vae
+            from mere_fusion_tpu.utils.torch_convert import (
+                load_torch_checkpoint,
+            )
+
+            models = MuseModels(
+                vae_vars=convert_vae(load_torch_checkpoint(args.vae_ckpt)))
+        landmark_detector = None
+        if args.fan_ckpt:
+            from mere_fusion_tpu.models.fan import LandmarkDetector
+
+            landmark_detector = LandmarkDetector.from_checkpoints(
+                args.fan_ckpt, args.s3fd_ckpt)
+        face_parser = None
+        if args.bisenet_ckpt:
+            from mere_fusion_tpu.models.bisenet import FaceParsing
+
+            face_parser = FaceParsing.from_checkpoint(args.bisenet_ckpt)
+        create_muse_avatar(frames, args.out, detector, models,
+                           bbox_shift=args.bbox_shift,
+                           face_parser=face_parser,
+                           landmark_detector=landmark_detector)
+    print(f"[genavatar] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

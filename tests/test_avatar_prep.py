@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -96,3 +98,38 @@ def test_get_landmark_and_bbox_fusion():
     # no landmark detector → raw boxes pass through (x1, y1, x2, y2)
     coords = get_landmark_and_bbox(frames, StubDet(), None)
     assert coords == [(20, 10, 80, 90)]
+
+
+def test_genavatar_cli_wav2lip(tmp_path):
+    """The avatar-prep CLI builds a wav2lip bundle from a synthetic video."""
+    import cv2
+
+    from mere_fusion_tpu.tools import genavatar
+
+    video = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    for _ in range(4):
+        w.write(np.full((64, 64, 3), 128, np.uint8))
+    w.release()
+
+    out = str(tmp_path / "avatar")
+    # patch in a deterministic detector (random S3FD finds nothing useful)
+    orig = genavatar.FaceDetector if hasattr(genavatar, "FaceDetector") else None
+    import mere_fusion_tpu.models.s3fd as s3fd_mod
+
+    class Fixed(s3fd_mod.FaceDetector):
+        def __init__(self, *a, **kw):
+            pass
+
+        def detect_batch(self, imgs, **kw):
+            return [np.array([[10, 10, 50, 50, 0.9]], np.float32)
+                    for _ in imgs]
+
+    real = s3fd_mod.FaceDetector
+    s3fd_mod.FaceDetector = Fixed
+    try:
+        genavatar.main([video, "--kind", "wav2lip", "--out", out])
+    finally:
+        s3fd_mod.FaceDetector = real
+    assert os.path.exists(os.path.join(out, "coords.pkl"))
+    assert os.path.exists(os.path.join(out, "face_imgs", "0.png"))
