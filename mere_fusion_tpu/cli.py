@@ -30,6 +30,13 @@ _FLAG_TO_KEY = {
     "pull_url": "transport.pull_url",
     "max_session": "server.max_sessions",
     "listenport": "server.listen_port",
+    "pose": "nerf.pose_path",
+    "au": "nerf.au_path",
+    "bg_img": "nerf.bg_img",
+    "fix_eye": "nerf.fix_eye",
+    "fullbody_img": "nerf.fullbody_imgs",
+    "torso": "nerf.torso",
+    "nerf_ckpt": "nerf.ckpt",
 }
 
 
@@ -57,6 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_session", type=int, default=10)
     p.add_argument("--listenport", type=int, default=8010)
     p.add_argument("--customopt", default="", help="path to custom idle-track json")
+    # ER-NeRF serving flags (reference app.py:550-707)
+    p.add_argument("--pose", default="data/transforms.json")
+    p.add_argument("--au", default="data/au.csv")
+    p.add_argument("--bg_img", default="white")
+    p.add_argument("--fix_eye", type=float, default=-1.0)
+    p.add_argument("--torso", action="store_true")
+    p.add_argument("--nerf_ckpt", default="")
+    p.add_argument("--fullbody", action="store_true")
+    p.add_argument("--fullbody_img", default="")
+    p.add_argument("--fullbody_offset_x", type=int, default=0)
+    p.add_argument("--fullbody_offset_y", type=int, default=0)
     p.add_argument("--llm", default="", help="llm backend (openai|vllm|qwen|echo)")
     p.add_argument("--llm_url", default="")
     p.add_argument("--llm_model", default="gpt-3.5-turbo")
@@ -69,6 +87,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
         for flag, key in _FLAG_TO_KEY.items()
         if getattr(args, flag, None) is not None
     }
+    if getattr(args, "fullbody", False) and not args.fullbody_img:
+        raise SystemExit("--fullbody needs --fullbody_img <dir>")
+    if getattr(args, "fullbody_img", ""):
+        overrides["nerf.fullbody_offset"] = (
+            args.fullbody_offset_x, args.fullbody_offset_y,
+        )
     return Config().override(**overrides)
 
 

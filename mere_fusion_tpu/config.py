@@ -127,6 +127,11 @@ class NeRFConfig:
     pose_path: str = "data/transforms.json"
     au_path: str = "data/au.csv"
     bg_img: str = "white"
+    data_range: tuple = (0, -1)       # frame range of the pose loop
+    smooth_path: bool = True
+    fix_eye: float = -1.0             # >=0 forces a constant blink area
+    fullbody_imgs: str = ""           # dir of full-body frames to paste into
+    fullbody_offset: tuple = (0, 0)   # (x, y) of the head crop in the body
     ckpt: str = ""                    # orbax checkpoint dir with variables
 
 

@@ -30,7 +30,23 @@ def make_engine(cfg: Config, **kw):
             kw["dataset"] = NeRFTestDataset.load(
                 cfg.nerf.pose_path, cfg.nerf.au_path, bg_img=cfg.nerf.bg_img,
                 scale=cfg.nerf.scale, offset=tuple(cfg.nerf.offset),
-                smooth_path=True, smooth_path_window=cfg.nerf.smooth_path_window,
+                smooth_path=cfg.nerf.smooth_path,
+                smooth_path_window=cfg.nerf.smooth_path_window,
+                data_range=tuple(cfg.nerf.data_range),
             )
+        if cfg.nerf.fix_eye >= 0:
+            kw["dataset"].eye_area[:] = cfg.nerf.fix_eye
+        if cfg.nerf.fullbody_imgs and "fullbody_frames" not in kw:
+            import os
+
+            import cv2
+
+            d = cfg.nerf.fullbody_imgs
+            names = sorted(os.listdir(d),
+                           key=lambda x: int(x.split(".")[0]))
+            kw["fullbody_frames"] = [
+                cv2.imread(os.path.join(d, n)) for n in names
+            ]
+            kw["fullbody_offset"] = tuple(cfg.nerf.fullbody_offset)
         return NeRFReal(cfg, **kw)
     raise ValueError(f"unknown avatar kind {kind!r}")

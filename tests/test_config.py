@@ -26,3 +26,27 @@ def test_round_trip_dict():
     cfg = Config().override(**{"server.max_sessions": 4})
     again = Config.from_dict(cfg.to_dict())
     assert again.server.max_sessions == 4
+
+
+def test_nerf_serving_flags_mapping():
+    """CLI maps the reference's ER-NeRF serving flags (pose/au/fullbody/
+    fix_eye, app.py:550-707) onto nerf.* config fields."""
+    from mere_fusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        "--model", "ernerf", "--pose", "/d/t.json", "--au", "/d/au.csv",
+        "--fix_eye", "0.3", "--fullbody", "--fullbody_img", "/d/full",
+        "--fullbody_offset_x", "40", "--fullbody_offset_y", "60",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.nerf.pose_path == "/d/t.json"
+    assert cfg.nerf.au_path == "/d/au.csv"
+    assert cfg.nerf.fix_eye == 0.3
+    assert cfg.nerf.fullbody_imgs == "/d/full"
+    assert cfg.nerf.fullbody_offset == (40, 60)
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        config_from_args(build_parser().parse_args(
+            ["--model", "ernerf", "--fullbody"]))
