@@ -50,6 +50,16 @@ def convert(family: str, in_path: str, unet_config: str | None = None) -> dict:
         return tc.convert_s3fd(sd)
     if family == "bisenet":
         return tc.convert_bisenet(sd)
+    if family == "fan":
+        return tc.convert_fan(sd)
+    if family == "ernerf":
+        # Trainer checkpoints wrap the network under 'model' and carry the
+        # density grid beside it (utils.py:1418-1477)
+        model_sd = sd.get("model", sd)
+        out = tc.convert_ernerf(model_sd)
+        if "density_grid" in model_sd:
+            out["density"] = tc.density_from_ernerf(model_sd)
+        return out
     raise ValueError(f"unknown family {family!r}")
 
 
@@ -57,7 +67,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser("convert-ckpt")
     p.add_argument("family",
                    choices=["wav2lip", "wav2lip-disc", "syncnet", "whisper",
-                            "vae", "musetalk-unet", "s3fd", "bisenet"])
+                            "vae", "musetalk-unet", "s3fd", "bisenet",
+                            "fan", "ernerf"])
     p.add_argument("input")
     p.add_argument("out_dir")
     p.add_argument("--unet-config", default=None)

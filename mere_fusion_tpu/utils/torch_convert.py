@@ -284,6 +284,120 @@ def convert_fan(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _linear_nobias(sd: Mapping, key: str) -> dict:
+    return {"kernel": _np(sd[key]).T}
+
+
+def _mlp(sd: Mapping, base: str, num_layers: int) -> dict:
+    """Reference MLP (network.py:70-91): bias-free Linear net.{l} →
+    our MLP net_{l}."""
+    return {f"net_{l}": _linear_nobias(sd, f"{base}.net.{l}.weight")
+            for l in range(num_layers)}
+
+
+def _conv1d(sd: Mapping, base: str) -> dict:
+    # torch conv1d [out, in, k] → flax [k, in, out]
+    return {"kernel": _np(sd[f"{base}.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[f"{base}.bias"])}
+
+
+def convert_ernerf(state_dict: Mapping[str, Any]) -> dict:
+    """Map a trained reference ER-NeRF checkpoint (the ``ngp_kf.pth`` /
+    Trainer ``ckpt['model']`` state dict, ernerf/nerf_triplane/network.py)
+    onto our flax NeRFNetwork params.
+
+    Hash tables convert 1:1 — our level offset/size math replicates the
+    CUDA gridencoder layout ([total_params, level_dim], grid.py:24-31) —
+    and the MLP / audio-net weights transpose into flax conventions.
+    Training-only modules (reference 'embedding' audio id-emb) are skipped.
+    """
+    sd = strip_prefix(state_dict)
+    params: dict = {}
+
+    for plane in ("xy", "yz", "xz"):
+        params[f"plane_{plane}"] = _np(sd[f"encoder_{plane}.embeddings"])
+
+    an = {}
+    for i, j in enumerate((0, 2, 4, 6)):
+        an[f"conv_{i}"] = _conv1d(sd, f"audio_net.encoder_conv.{j}")
+    an["fc_0"] = {"kernel": _np(sd["audio_net.encoder_fc1.0.weight"]).T,
+                  "bias": _np(sd["audio_net.encoder_fc1.0.bias"])}
+    an["fc_1"] = {"kernel": _np(sd["audio_net.encoder_fc1.2.weight"]).T,
+                  "bias": _np(sd["audio_net.encoder_fc1.2.bias"])}
+    params["audio_net"] = an
+
+    if any(k.startswith("audio_att_net.") for k in sd):
+        att = {}
+        for i, j in enumerate((0, 2, 4, 6, 8)):
+            att[f"conv_{i}"] = _conv1d(
+                sd, f"audio_att_net.attentionConvNet.{j}")
+        att["att"] = {
+            "kernel": _np(sd["audio_att_net.attentionNet.0.weight"]).T,
+            "bias": _np(sd["audio_att_net.attentionNet.0.bias"]),
+        }
+        params["audio_att_net"] = att
+
+    params["eye_att_net"] = _mlp(sd, "eye_att_net", 2)
+    params["sigma_net"] = _mlp(sd, "sigma_net", 3)
+    params["color_net"] = _mlp(sd, "color_net", 2)
+    params["unc_net"] = _mlp(sd, "unc_net", 2)
+    params["aud_ch_att_net"] = _mlp(sd, "aud_ch_att_net", 2)
+
+    if "individual_codes" in sd:
+        params["individual_codes"] = _np(sd["individual_codes"])
+    if "anchor_points" in sd:  # torso stage
+        params["anchor_points"] = _np(sd["anchor_points"])
+        params["torso_grid"] = _np(sd["torso_encoder.embeddings"])
+        params["torso_deform_net"] = _mlp(sd, "torso_deform_net", 3)
+        params["torso_net"] = _mlp(sd, "torso_net", 3)
+        if "individual_codes_torso" in sd:
+            params["individual_codes_torso"] = _np(
+                sd["individual_codes_torso"])
+    return {"params": params}
+
+
+def _morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """CUDA __morton3D (raymarching.cu:56-71): interleave bits, x lowest."""
+
+    def expand(v):
+        v = v.astype(np.uint32)
+        v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+        v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+        v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+        v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+        return v
+
+    return expand(x) | (expand(y) << np.uint32(1)) | (expand(z) << np.uint32(2))
+
+
+def density_from_ernerf(ckpt: Mapping[str, Any], grid_size: int = 128,
+                        density_thresh: float = 10.0):
+    """Build our raster-order DensityGrid from a reference Trainer
+    checkpoint: density_grid is [CAS, H^3] in Morton order
+    (renderer.py:112, update_extra_state packs by morton3D indices);
+    cascade 0 is the bound=1 grid our renderer uses."""
+    import jax.numpy as jnp
+
+    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
+
+    dg = _np(ckpt["density_grid"])
+    if dg.ndim == 2:
+        dg = dg[0]
+    g = grid_size
+    assert dg.size == g ** 3, f"density_grid has {dg.size} cells, want {g**3}"
+    idx = np.arange(g ** 3)
+    x, y, z = idx // (g * g), (idx // g) % g, idx % g
+    raster = dg[_morton3d(x, y, z)]
+    mean_density = float(ckpt.get("mean_density",
+                                  np.maximum(raster, 0).mean()))
+    thresh = min(mean_density, density_thresh)
+    return DensityGrid(
+        grid=jnp.asarray(raster, jnp.float32),
+        occupancy=jnp.asarray(raster > thresh),
+        mean_density=jnp.asarray(mean_density, jnp.float32),
+    )
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file on host (CPU) and return its state dict."""
     import torch
