@@ -36,6 +36,13 @@ def make_engine(cfg: Config, **kw):
             )
         if cfg.nerf.fix_eye >= 0:
             kw["dataset"].eye_area[:] = cfg.nerf.fix_eye
+        if cfg.nerf.ckpt and "variables" not in kw:
+            from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
+
+            variables, density = load_nerf_checkpoint(cfg)
+            kw["variables"] = variables
+            if density is not None:
+                kw["density"] = density
         if cfg.nerf.fullbody_imgs and "fullbody_frames" not in kw:
             import os
 

@@ -471,3 +471,70 @@ class NeRFReal(BaseReal):
             self.test_step(loop, audio_track, video_track)
             if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
                 time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+
+
+def load_nerf_checkpoint(cfg: Config):
+    """Load serving weights named by cfg.nerf.ckpt.
+
+    ``*.pth``: a reference Trainer checkpoint (ngp_kf.pth) converted on the
+    fly (torch_convert.convert_ernerf + the morton density grid).
+    Otherwise: an orbax checkpoint dir — either a converted tree written by
+    tools/convert_ckpt or our own training workspace (NeRFTrainState, whose
+    EMA params + density grid are used, like the reference's EMA-aware
+    load_checkpoint, utils.py:1479-1538).
+
+    Returns (variables, density_or_None).
+    """
+    path = cfg.nerf.ckpt
+    nc = cfg.nerf
+    if path.endswith(".pth"):
+        from mere_fusion_tpu.utils.torch_convert import (
+            convert_ernerf,
+            density_from_ernerf,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(path)
+        model_sd = ckpt.get("model", ckpt)
+        variables = convert_ernerf(model_sd)
+        density = (density_from_ernerf(model_sd, nc.grid_size,
+                                       nc.density_thresh)
+                   if "density_grid" in model_sd else None)
+        return variables, density
+
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+    network = NeRFNetwork(NeRFNetConfig(
+        bound=nc.bound, audio_in_dim=nc.audio_in_dim, audio_dim=nc.audio_dim,
+        exp_eye=nc.exp_eye, num_levels=nc.num_levels,
+        base_resolution=nc.base_resolution,
+        log2_hashmap_size=nc.log2_hashmap_size,
+        desired_resolution=nc.desired_resolution, torso=nc.torso,
+    ))
+    variables = jax.jit(network.init, static_argnames="method")(
+        jax.random.key(0),
+        jnp.zeros((8, network.cfg.audio_in_dim, 16)),
+        jnp.zeros((4, 3)), jnp.ones((4, 3)) / np.sqrt(3.0),
+        jnp.zeros((1, network.cfg.individual_dim))
+        if network.cfg.individual_dim else None,
+        jnp.zeros((1, 1)),
+        method=NeRFNetwork.full_init,
+    )
+    ckpt = Checkpointer(path)
+    try:
+        # training workspace: restore a full train state, serve EMA params
+        from mere_fusion_tpu.train.ernerf_train import (
+            NeRFTrainConfig,
+            init_nerf_train,
+        )
+
+        tcfg = NeRFTrainConfig(grid_size=nc.grid_size)
+        _tx, state = init_nerf_train(network, variables, tcfg)
+        state = ckpt.restore(state)
+        return {"params": state.ema_params}, state.density
+    except Exception:
+        # converted-variables dir (tools/convert_ckpt layout)
+        restored = ckpt.restore(variables)
+        return restored, None
+    finally:
+        ckpt.close()

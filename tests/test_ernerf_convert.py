@@ -183,3 +183,68 @@ def test_morton_density_conversion():
     )
     np.testing.assert_array_equal(np.asarray(dens.grid), raster_truth)
     assert float(dens.mean_density) == 1.0
+
+
+def test_load_nerf_checkpoint_from_training_workspace(tmp_path):
+    """Serving loads a training workspace: EMA params + density grid."""
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
+    from mere_fusion_tpu.train.ernerf_train import (
+        NeRFTrainConfig,
+        init_nerf_train,
+    )
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+    cfg = Config().override(**{
+        "nerf.num_levels": 4, "nerf.base_resolution": 16,
+        "nerf.desired_resolution": 64, "nerf.log2_hashmap_size": 10,
+        "nerf.grid_size": 16, "nerf.ckpt": str(tmp_path / "ws"),
+    })
+    nc = cfg.nerf
+    network = NeRFNetwork(NeRFNetConfig(
+        audio_in_dim=nc.audio_in_dim, num_levels=nc.num_levels,
+        base_resolution=nc.base_resolution,
+        log2_hashmap_size=nc.log2_hashmap_size,
+        desired_resolution=nc.desired_resolution,
+    ))
+    variables = network.init(
+        jax.random.key(3), jnp.zeros((8, 44, 16)), jnp.zeros((4, 3)),
+        jnp.ones((4, 3)) / np.sqrt(3.0), jnp.zeros((1, 4)),
+        jnp.zeros((1, 1)), method=NeRFNetwork.full_init,
+    )
+    tcfg = NeRFTrainConfig(grid_size=16)
+    _tx, state = init_nerf_train(network, variables, tcfg)
+    state = state._replace(
+        ema_params=jax.tree.map(lambda x: x + 1.0, state.params))
+    ckpt = Checkpointer(str(tmp_path / "ws"))
+    ckpt.save(5, state)
+    ckpt.close()
+
+    loaded, density = load_nerf_checkpoint(cfg)
+    # EMA params (params + 1), not raw params
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["sigma_net"]["net_0"]["kernel"]),
+        np.asarray(state.params["sigma_net"]["net_0"]["kernel"]) + 1.0,
+    )
+    assert density is not None
+    assert np.asarray(density.grid).shape == (16 ** 3,)
+
+
+def test_load_nerf_checkpoint_from_pth(tmp_path):
+    """Serving converts a reference .pth on the fly, incl. density grid."""
+    torch = pytest.importorskip("torch")
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
+
+    mods = _torch_reference_modules(torch)
+    sd = _state_dict(torch, mods)
+    g = 16
+    sd["density_grid"] = torch.zeros((1, g ** 3))
+    sd["mean_density"] = 0.5
+    path = str(tmp_path / "ngp_kf.pth")
+    torch.save({"model": sd}, path)
+
+    cfg = Config().override(**{"nerf.ckpt": path, "nerf.grid_size": g})
+    variables, density = load_nerf_checkpoint(cfg)
+    assert "sigma_net" in variables["params"]
+    assert density is not None and float(density.mean_density) == 0.5
