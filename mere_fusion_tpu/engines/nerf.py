@@ -286,8 +286,7 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
                               nerf_cfg.sample_mode)
 
     @jax.jit
-    def stage_shade(variables, plan, enc_x, pose, auds, eye, bg_color):
-        enc_a, ind = conditions(variables, auds)
+    def stage_shade(variables, plan, enc_x, pose, enc_a, ind, eye, bg_color):
         bg_color = background(variables, jnp.asarray(pose), bg_color)
         out = shade(
             make_apply_fn(variables, enc_a, ind, eye, True),
@@ -296,10 +295,21 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
         img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
         return (img * 255).astype(jnp.uint8)
 
+    jit_conditions = jax.jit(conditions)
+    # smooth_lips: exponential decay of the audio code across frames
+    # (reference renderer.py:190-194; part of the -O serving preset)
+    smooth_state = {"enc_a": None}
+
     def step(pose, auds, eye, density, bg):
         plan = stage_plan(pose, density)
         enc_x = stage_encode(baked, plan["xyz"])
-        return stage_shade(variables, plan, enc_x, pose, auds, eye, bg)
+        enc_a, ind = jit_conditions(variables, auds)
+        if nerf_cfg.smooth_lips:
+            prev = smooth_state["enc_a"]
+            if prev is not None:
+                enc_a = 0.35 * prev + 0.65 * enc_a
+            smooth_state["enc_a"] = enc_a
+        return stage_shade(variables, plan, enc_x, pose, enc_a, ind, eye, bg)
 
     return step
 

@@ -136,6 +136,7 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
                              interpret=interpret)
         return regroup_features(feats, spec)          # [B, rpt, k, 3C]
 
+    @jax.jit
     def conditions(variables, auds):
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         ind = (
@@ -144,14 +145,18 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         )
         return enc_a, ind
 
+    # smooth_lips: exponential decay over the audio code across frames
+    # (reference renderer.py:190-194, enabled by the -O serving preset)
+    smooth_lips = getattr(nc, "smooth_lips", False)
+    smooth_state = {"enc_a": None}
+
     # head MLPs in bf16 at inference (sigma/color are 64-wide matmuls; the
     # fp32 path is identical math at ~2x the MXU cost)
     shade_net = (NeRFNetwork(network.cfg, dtype=jnp.bfloat16)
                  if nc.shade_dtype == "bfloat16" else network)
 
     @jax.jit
-    def stage_shade(variables, plan, enc, pose, auds, eye, bg_color):
-        enc_a, ind = conditions(variables, auds)
+    def stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg_color):
         if network.cfg.torso:
             def torso_fn(x, p):
                 return network.apply(variables, x, p,
@@ -193,7 +198,13 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
                 span_cache[pose_key] = (spans, valid)
         plan = stage_plan(pose, spans, valid)
         enc = stage_encode(planes_major, plan["scalars"], plan["uv"])
-        img = stage_shade(variables, plan, enc, pose, auds, eye, bg)
+        enc_a, ind = conditions(variables, auds)
+        if smooth_lips:
+            prev = smooth_state["enc_a"]
+            if prev is not None:
+                enc_a = 0.35 * prev + 0.65 * enc_a
+            smooth_state["enc_a"] = enc_a
+        img = stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg)
         return img, plan["n_active"], plan["n_overflow"]
 
     return step

@@ -144,3 +144,44 @@ def test_nerf_engine_pallas_mode_matches_xla(dataset):
         jnp.asarray(data["bg_color"]), pose_key=0,
     )
     np.testing.assert_array_equal(np.asarray(img_p2), img_p)
+
+
+def test_smooth_lips_ema_on_audio_code(dataset):
+    """nerf.smooth_lips EMAs the audio code across frames
+    (reference renderer.py:190-194, lambda=0.35)."""
+    cfg = CFG.override(**{"nerf.smooth_lips": True})
+    engine = NeRFReal(cfg, dataset=dataset)
+    step = engine._render_step
+    frees = dict(zip(step.__code__.co_freevars,
+                     [c.cell_contents for c in step.__closure__]))
+    state = frees["smooth_state"]
+    assert state["enc_a"] is None
+
+    data = dataset.collate(0)
+    rng = np.random.default_rng(0)
+    auds_a = rng.normal(0, 0.3, (8, 44, 16)).astype(np.float32)
+    auds_b = rng.normal(0, 0.3, (8, 44, 16)).astype(np.float32)
+
+    def call(auds):
+        if engine._pallas_mode:
+            engine._render_step(data["pose"], jnp.asarray(auds),
+                                jnp.asarray(data["eye"]), engine.density,
+                                jnp.asarray(data["bg_color"]), pose_key=None)
+        else:
+            engine._render_step(data["pose"], jnp.asarray(auds),
+                                jnp.asarray(data["eye"]), engine.density,
+                                jnp.asarray(data["bg_color"]))
+
+    call(auds_a)
+    first = np.asarray(state["enc_a"]).copy()
+    enc_a_raw = np.asarray(engine.network.apply(
+        engine.variables, jnp.asarray(auds_a),
+        method=engine.network.encode_audio))
+    np.testing.assert_allclose(first, enc_a_raw, atol=1e-6)
+
+    call(auds_b)
+    enc_b_raw = np.asarray(engine.network.apply(
+        engine.variables, jnp.asarray(auds_b),
+        method=engine.network.encode_audio))
+    want = 0.35 * first + 0.65 * enc_b_raw
+    np.testing.assert_allclose(np.asarray(state["enc_a"]), want, atol=1e-5)
