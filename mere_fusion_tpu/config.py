@@ -129,7 +129,9 @@ class NeRFConfig:
     bg_img: str = "white"
     data_range: tuple = (0, -1)       # frame range of the pose loop
     smooth_path: bool = True
-    smooth_lips: bool = False         # EMA the audio code across frames
+    smooth_eye: bool = True           # 3-frame blink smoothing
+    smooth_lips: bool = True          # EMA the audio code across frames
+                                      # (serving preset, app.py:355-371)
     fix_eye: float = -1.0             # >=0 forces a constant blink area
     fullbody_imgs: str = ""           # dir of full-body frames to paste into
     fullbody_offset: tuple = (0, 0)   # (x, y) of the head crop in the body

@@ -32,6 +32,7 @@ def make_engine(cfg: Config, **kw):
                 scale=cfg.nerf.scale, offset=tuple(cfg.nerf.offset),
                 smooth_path=cfg.nerf.smooth_path,
                 smooth_path_window=cfg.nerf.smooth_path_window,
+                smooth_eye=cfg.nerf.smooth_eye,
                 data_range=tuple(cfg.nerf.data_range),
             )
         if cfg.nerf.fix_eye >= 0:
