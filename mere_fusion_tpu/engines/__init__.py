@@ -45,16 +45,10 @@ def make_engine(cfg: Config, **kw):
             if density is not None:
                 kw["density"] = density
         if cfg.nerf.fullbody_imgs and "fullbody_frames" not in kw:
-            import os
+            from mere_fusion_tpu.engines.base import _sorted_imgs, read_imgs
 
-            import cv2
-
-            d = cfg.nerf.fullbody_imgs
-            names = sorted(os.listdir(d),
-                           key=lambda x: int(x.split(".")[0]))
-            kw["fullbody_frames"] = [
-                cv2.imread(os.path.join(d, n)) for n in names
-            ]
+            kw["fullbody_frames"] = read_imgs(
+                _sorted_imgs(cfg.nerf.fullbody_imgs))
             kw["fullbody_offset"] = tuple(cfg.nerf.fullbody_offset)
         return NeRFReal(cfg, **kw)
     raise ValueError(f"unknown avatar kind {kind!r}")

@@ -257,10 +257,10 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
 
     if baked is None:
         @jax.jit
-        def step(variables, pose, auds, eye, density: DensityGrid, bg_color):
+        def step(variables, pose, enc_a, ind, eye, density: DensityGrid,
+                 bg_color):
             pose = jnp.asarray(pose)
             rays_o, rays_d = get_rays(pose, intrinsics, H, W)
-            enc_a, ind = conditions(variables, auds)
             bg_color = background(variables, pose, bg_color)
             out = render_rays(
                 make_apply_fn(variables, enc_a, ind, eye, False),
@@ -269,9 +269,19 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
             img = jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
             return (img * 255).astype(jnp.uint8)
 
-        return lambda pose, auds, eye, density, bg: step(
-            variables, pose, auds, eye, density, bg
-        )
+        jit_cond_plain = jax.jit(conditions)
+        plain_smooth = {"enc_a": None}
+
+        def plain_step(pose, auds, eye, density, bg):
+            enc_a, ind = jit_cond_plain(variables, auds)
+            if nerf_cfg.smooth_lips:
+                prev = plain_smooth["enc_a"]
+                if prev is not None:
+                    enc_a = 0.35 * prev + 0.65 * enc_a
+                plain_smooth["enc_a"] = enc_a
+            return step(variables, pose, enc_a, ind, eye, density, bg)
+
+        return plain_step
 
     baked = jax.device_put(baked)
 
@@ -507,44 +517,37 @@ def load_nerf_checkpoint(cfg: Config):
         ckpt = load_torch_checkpoint(path)
         model_sd = ckpt.get("model", ckpt)
         variables = convert_ernerf(model_sd)
-        density = (density_from_ernerf(model_sd, nc.grid_size,
-                                       nc.density_thresh)
+        density = (density_from_ernerf(
+                       model_sd, nc.grid_size, nc.density_thresh,
+                       mean_density=ckpt.get("mean_density"))
                    if "density_grid" in model_sd else None)
         return variables, density
 
+    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid as _DG
     from mere_fusion_tpu.utils.checkpoint import Checkpointer
 
-    network = NeRFNetwork(NeRFNetConfig(
-        bound=nc.bound, audio_in_dim=nc.audio_in_dim, audio_dim=nc.audio_dim,
-        exp_eye=nc.exp_eye, num_levels=nc.num_levels,
-        base_resolution=nc.base_resolution,
-        log2_hashmap_size=nc.log2_hashmap_size,
-        desired_resolution=nc.desired_resolution, torso=nc.torso,
-    ))
-    variables = jax.jit(network.init, static_argnames="method")(
-        jax.random.key(0),
-        jnp.zeros((8, network.cfg.audio_in_dim, 16)),
-        jnp.zeros((4, 3)), jnp.ones((4, 3)) / np.sqrt(3.0),
-        jnp.zeros((1, network.cfg.individual_dim))
-        if network.cfg.individual_dim else None,
-        jnp.zeros((1, 1)),
-        method=NeRFNetwork.full_init,
-    )
     ckpt = Checkpointer(path)
     try:
-        # training workspace: restore a full train state, serve EMA params
-        from mere_fusion_tpu.train.ernerf_train import (
-            NeRFTrainConfig,
-            init_nerf_train,
-        )
-
-        tcfg = NeRFTrainConfig(grid_size=nc.grid_size)
-        _tx, state = init_nerf_train(network, variables, tcfg)
-        state = ckpt.restore(state)
-        return {"params": state.ema_params}, state.density
-    except Exception:
-        # converted-variables dir (tools/convert_ckpt layout)
-        restored = ckpt.restore(variables)
-        return restored, None
+        raw = ckpt.restore_raw()
     finally:
         ckpt.close()
+
+    def as_density(d) -> DensityGrid:
+        return _DG(
+            grid=jnp.asarray(d["grid"], jnp.float32),
+            occupancy=jnp.asarray(d["occupancy"]),
+            mean_density=jnp.asarray(d["mean_density"], jnp.float32),
+        )
+
+    if isinstance(raw, dict) and "ema_params" in raw:
+        # training workspace (NeRFTrainState): serve the EMA params, like
+        # the reference's EMA-aware load_checkpoint (utils.py:1479-1538)
+        return {"params": raw["ema_params"]}, as_density(raw["density"])
+    if isinstance(raw, dict) and "params" in raw:
+        # converted-variables dir (tools/convert_ckpt)
+        density = as_density(raw["density"]) if "density" in raw else None
+        return {"params": raw["params"]}, density
+    raise ValueError(
+        f"unrecognized checkpoint layout in {path}: top-level keys "
+        f"{list(raw) if isinstance(raw, dict) else type(raw)}"
+    )

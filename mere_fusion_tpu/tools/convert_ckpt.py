@@ -58,7 +58,8 @@ def convert(family: str, in_path: str, unet_config: str | None = None) -> dict:
         model_sd = sd.get("model", sd)
         out = tc.convert_ernerf(model_sd)
         if "density_grid" in model_sd:
-            out["density"] = tc.density_from_ernerf(model_sd)
+            out = {**out, "density": tc.density_from_ernerf(
+                model_sd, mean_density=sd.get("mean_density"))}
         return out
     raise ValueError(f"unknown family {family!r}")
 

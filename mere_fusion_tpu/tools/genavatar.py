@@ -275,7 +275,6 @@ def main(argv=None) -> None:
     else:
         from mere_fusion_tpu.engines.muse import MuseModels
 
-        models = MuseModels()
         if args.vae_ckpt:
             from mere_fusion_tpu.utils.diffusers_convert import convert_vae
             from mere_fusion_tpu.utils.torch_convert import (
@@ -284,6 +283,8 @@ def main(argv=None) -> None:
 
             models = MuseModels(
                 vae_vars=convert_vae(load_torch_checkpoint(args.vae_ckpt)))
+        else:
+            models = MuseModels()
         landmark_detector = None
         if args.fan_ckpt:
             from mere_fusion_tpu.models.fan import LandmarkDetector

@@ -381,13 +381,19 @@ def main(argv=None) -> None:
             face_parsing(ori, os.path.join(base, "parsing"), parser)
         elif args.task == 4:
             raise SystemExit("task 4 needs --bisenet_ckpt")
-    if want(5) and os.path.isdir(os.path.join(base, "parsing")):
-        print("[task 5] extract_background")
-        extract_background(ori, os.path.join(base, "parsing"),
-                           os.path.join(base, "bc.jpg"))
-    if want(6) and os.path.exists(os.path.join(base, "bc.jpg")):
-        print("[task 6] extract_torso_and_gt")
-        extract_torso_and_gt(base, ori)
+    if want(5):
+        if os.path.isdir(os.path.join(base, "parsing")):
+            print("[task 5] extract_background")
+            extract_background(ori, os.path.join(base, "parsing"),
+                               os.path.join(base, "bc.jpg"))
+        elif args.task == 5:
+            raise SystemExit("task 5 needs parsing/ (run task 4 first)")
+    if want(6):
+        if os.path.exists(os.path.join(base, "bc.jpg")):
+            print("[task 6] extract_torso_and_gt")
+            extract_torso_and_gt(base, ori)
+        elif args.task == 6:
+            raise SystemExit("task 6 needs bc.jpg (run task 5 first)")
     if want(7):
         if args.fan_ckpt:
             print("[task 7] landmarks")
@@ -403,6 +409,11 @@ def main(argv=None) -> None:
                 _glob.glob(os.path.join(ori, "*.lms")),
                 key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
             )
+            if not lms_paths:
+                raise SystemExit(
+                    "tasks 8-9 need .lms landmark files in ori_imgs/ — "
+                    "run task 7 (requires --fan_ckpt) first"
+                )
             lms = np.stack([np.loadtxt(p) for p in lms_paths])
             sample = cv2.imread(os.path.join(
                 ori, os.path.basename(lms_paths[0]).replace(".lms", ".jpg")))

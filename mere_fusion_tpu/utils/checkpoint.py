@@ -54,6 +54,17 @@ class Checkpointer:
             step, args=self._ocp.args.StandardRestore(abstract)
         )
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a template: returns the checkpoint's own tree
+        structure (NamedTuples and dataclasses come back as dicts keyed by
+        field name). Use when the caller can't reconstruct exact shapes
+        (e.g. serving a workspace trained with a different frame count)."""
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self.manager.restore(step)
+
     @property
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -371,7 +371,8 @@ def _morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
 
 
 def density_from_ernerf(ckpt: Mapping[str, Any], grid_size: int = 128,
-                        density_thresh: float = 10.0):
+                        density_thresh: float = 10.0,
+                        mean_density: float | None = None):
     """Build our raster-order DensityGrid from a reference Trainer
     checkpoint: density_grid is [CAS, H^3] in Morton order
     (renderer.py:112, update_extra_state packs by morton3D indices);
@@ -388,8 +389,13 @@ def density_from_ernerf(ckpt: Mapping[str, Any], grid_size: int = 128,
     idx = np.arange(g ** 3)
     x, y, z = idx // (g * g), (idx // g) % g, idx % g
     raster = dg[_morton3d(x, y, z)]
-    mean_density = float(ckpt.get("mean_density",
-                                  np.maximum(raster, 0).mean()))
+    if mean_density is None:
+        # the Trainer stores mean_density at the checkpoint top level, a
+        # sibling of 'model' (utils.py:1431) — callers should pass it; the
+        # recompute fallback covers bare state dicts
+        mean_density = float(ckpt.get("mean_density",
+                                      np.maximum(raster, 0).mean()))
+    mean_density = float(mean_density)
     thresh = min(mean_density, density_thresh)
     return DensityGrid(
         grid=jnp.asarray(raster, jnp.float32),

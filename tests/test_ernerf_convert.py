@@ -201,17 +201,21 @@ def test_load_nerf_checkpoint_from_training_workspace(tmp_path):
         "nerf.grid_size": 16, "nerf.ckpt": str(tmp_path / "ws"),
     })
     nc = cfg.nerf
+    # trained with a frame count the server can't know (the restore must be
+    # template-free — a default-config template would shape-mismatch)
     network = NeRFNetwork(NeRFNetConfig(
         audio_in_dim=nc.audio_in_dim, num_levels=nc.num_levels,
         base_resolution=nc.base_resolution,
         log2_hashmap_size=nc.log2_hashmap_size,
         desired_resolution=nc.desired_resolution,
+        individual_dim=4, num_train_frames=7,
     ))
     variables = network.init(
         jax.random.key(3), jnp.zeros((8, 44, 16)), jnp.zeros((4, 3)),
         jnp.ones((4, 3)) / np.sqrt(3.0), jnp.zeros((1, 4)),
         jnp.zeros((1, 1)), method=NeRFNetwork.full_init,
     )
+    assert variables["params"]["individual_codes"].shape == (7, 4)
     tcfg = NeRFTrainConfig(grid_size=16)
     _tx, state = init_nerf_train(network, variables, tcfg)
     state = state._replace(
