@@ -97,6 +97,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 
 def main(argv=None) -> None:
+    import os
+
+    # persistent XLA compilation cache: session N+1 and server restarts skip
+    # the multi-minute first-compile of the engine step functions
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/mere_fusion_jax"))
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

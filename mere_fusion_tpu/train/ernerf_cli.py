@@ -45,6 +45,11 @@ def main(argv=None) -> None:
                    help="workspace of the trained head stage to load+freeze")
     args = p.parse_args(argv)
 
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/mere_fusion_jax"))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
