@@ -249,7 +249,9 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
             return bg_color
 
         def torso_fn(x, p):
-            return network.apply(variables, x, p,
+            c = (variables["params"]["individual_codes_torso"][:1]
+                 if network.cfg.individual_dim_torso > 0 else None)
+            return network.apply(variables, x, p, c,
                                  method=NeRFNetwork.forward_torso)
 
         bg, _ = render_torso_background(torso_fn, H, W, pose, bg_color)

@@ -159,7 +159,9 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     def stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg_color):
         if network.cfg.torso:
             def torso_fn(x, p):
-                return network.apply(variables, x, p,
+                c = (variables["params"]["individual_codes_torso"][:1]
+                     if network.cfg.individual_dim_torso > 0 else None)
+                return network.apply(variables, x, p, c,
                                      method=NeRFNetwork.forward_torso)
 
             bg_color, _ = render_torso_background(

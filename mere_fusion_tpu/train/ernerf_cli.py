@@ -21,6 +21,10 @@ def main(argv=None) -> None:
     p.add_argument("--lr_net", type=float, default=5e-4)
     p.add_argument("--grid_size", type=int, default=128)
     p.add_argument("--audio_dim", type=int, default=44)
+    p.add_argument("--num_levels", type=int, default=12)
+    p.add_argument("--base_resolution", type=int, default=64)
+    p.add_argument("--desired_resolution", type=int, default=512)
+    p.add_argument("--log2_hashmap_size", type=int, default=14)
     p.add_argument("--ckpt_every", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--patch_size", type=int, default=0,
@@ -69,7 +73,10 @@ def main(argv=None) -> None:
 
     net_cfg = NeRFNetConfig(
         audio_in_dim=args.audio_dim, num_train_frames=len(dataset),
-        torso=args.torso,
+        torso=args.torso, num_levels=args.num_levels,
+        base_resolution=args.base_resolution,
+        desired_resolution=args.desired_resolution,
+        log2_hashmap_size=args.log2_hashmap_size,
     )
     network = NeRFNetwork(net_cfg)
     variables = jax.jit(network.init, static_argnames="method")(
@@ -96,6 +103,10 @@ def main(argv=None) -> None:
             # torso-less template and merge (strict=False semantics)
             head_net = NeRFNetwork(NeRFNetConfig(
                 audio_in_dim=args.audio_dim, num_train_frames=len(dataset),
+                num_levels=args.num_levels,
+                base_resolution=args.base_resolution,
+                desired_resolution=args.desired_resolution,
+                log2_hashmap_size=args.log2_hashmap_size,
             ))
             head_vars = jax.jit(head_net.init, static_argnames="method")(
                 jax.random.key(args.seed),
