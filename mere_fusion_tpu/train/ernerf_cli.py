@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--lips_size", type=int, default=64,
                    help="static lips window side (TPU replaces the "
                         "reference's per-frame dynamic rect)")
+    p.add_argument("--test", action="store_true",
+                   help="evaluation mode: render every training frame from "
+                        "the workspace's EMA params and report PSNR/SSIM "
+                        "(reference main.py --test / Trainer.evaluate)")
     p.add_argument("--torso", action="store_true",
                    help="torso fine-tune stage: train only the 2-D torso "
                         "nets against torso_imgs/ with the head frozen "
@@ -90,6 +94,9 @@ def main(argv=None) -> None:
         grid_size=args.grid_size, iters=args.iters, lr=args.lr,
         lr_net=args.lr_net,
     )
+    if args.test:
+        _evaluate(args, dataset, net_cfg, tcfg)
+        return
     if args.torso:
         from mere_fusion_tpu.train.ernerf_train import (
             init_torso_train,
@@ -238,3 +245,80 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _evaluate(args, dataset, net_cfg, tcfg) -> None:
+    """Render every frame from the workspace checkpoint and report
+    PSNR/SSIM (the reference's --test flow, main.py:184-215 +
+    Trainer.evaluate metrics, utils.py:410-580)."""
+    import json as _json
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mere_fusion_tpu.models.ernerf.network import NeRFNetwork
+    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
+    from mere_fusion_tpu.train.ernerf_train import (
+        init_nerf_train,
+    )
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+    from mere_fusion_tpu.train.metrics import MetricMeter, psnr, ssim
+    from mere_fusion_tpu.models.ernerf.renderer import get_rays, render_rays
+
+    network = NeRFNetwork(net_cfg)
+    ckpt = Checkpointer(args.workspace)
+    raw = ckpt.restore_raw()
+    ckpt.close()
+    params = raw["ema_params"] if "ema_params" in raw else raw["params"]
+    d = raw["density"]
+    density = DensityGrid(
+        grid=jnp.asarray(d["grid"], jnp.float32),
+        occupancy=jnp.asarray(d["occupancy"]),
+        mean_density=jnp.asarray(d["mean_density"], jnp.float32),
+    )
+    variables = {"params": params}
+
+    H, W = dataset.H, dataset.W
+
+    @jax.jit
+    def render(pose, auds, eye):
+        enc_a = network.apply(variables, auds,
+                              method=NeRFNetwork.encode_audio)
+        ind = (network.apply(variables, 0,
+                             method=NeRFNetwork.individual_code)
+               if net_cfg.individual_dim > 0 else None)
+        rays_o, rays_d = get_rays(jnp.asarray(pose), dataset.intrinsics, H, W)
+
+        def apply_fn(xyz, dirs, training):
+            return network.apply(variables, xyz, dirs, enc_a, ind, eye,
+                                 training=training)
+
+        out = render_rays(
+            apply_fn, rays_o, rays_d, density, bound=tcfg.bound,
+            grid_size=tcfg.grid_size, bg_color=jnp.ones(3),
+            n_candidates=tcfg.n_candidates, n_steps=tcfg.n_steps,
+        )
+        return jnp.clip(out["image"].reshape(H, W, 3), 0.0, 1.0)
+
+    m_psnr = MetricMeter(psnr, "PSNR")
+    m_ssim = MetricMeter(ssim, "SSIM")
+    att = 8
+    t0 = time.time()
+    for i in range(len(dataset)):
+        idx = np.clip(np.arange(i - att // 2, i + att // 2), 0,
+                      len(dataset) - 1)
+        img = render(dataset.poses[i], jnp.asarray(dataset.auds[idx]),
+                     jnp.asarray([[dataset.eye_area[i]]], np.float32))
+        gt = jnp.asarray(dataset.images[i])
+        m_psnr.update(img, gt)
+        m_ssim.update(img, gt)
+    dt = time.time() - t0
+    report = {"frames": len(dataset), "psnr": m_psnr.mean,
+              "ssim": float(m_ssim.mean), "seconds": round(dt, 1)}
+    with open(os.path.join(args.workspace, "eval.json"), "w") as f:
+        _json.dump(report, f)
+    print(f"[test] {m_psnr.report()}  {m_ssim.report()}  "
+          f"({len(dataset)} frames in {dt:.1f} s)")

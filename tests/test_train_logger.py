@@ -49,3 +49,24 @@ def test_training_cli_writes_scalars_and_final_ckpt(tmp_path):
           "--workspace", ws, "--ckpt_every", "1000"])
     lines = [json.loads(l) for l in open(os.path.join(ws, "scalars.jsonl"))]
     assert lines and lines[0]["step"] == 0 and "loss" in lines[0]
+
+
+def test_training_cli_test_mode(tmp_path):
+    """--test renders the workspace's EMA params and writes eval.json."""
+    import json
+
+    from mere_fusion_tpu.data.provider import synthesize_nerf_train_data
+    from mere_fusion_tpu.train.ernerf_cli import main
+
+    root = synthesize_nerf_train_data(str(tmp_path), n_frames=2, hw=48)
+    base = root if isinstance(root, str) else str(tmp_path)
+    ws = os.path.join(base, "ws")
+    flags = ["--num_rays", "256", "--grid_size", "16",
+             "--num_levels", "4", "--base_resolution", "16",
+             "--desired_resolution", "64", "--log2_hashmap_size", "10",
+             "--workspace", ws, "--ckpt_every", "1000"]
+    main([base, "--iters", "4"] + flags)
+    main([base, "--test"] + flags)
+    report = json.load(open(os.path.join(ws, "eval.json")))
+    assert report["frames"] == 2
+    assert np.isfinite(report["psnr"]) and np.isfinite(report["ssim"])
