@@ -100,7 +100,7 @@ class NeRFConfig:
     base_resolution: int = 64
     desired_resolution: int = 512
     log2_hashmap_size: int = 14
-    level_dim: int = 2                # features per hash level
+    level_dim: int = 1                # features per hash level (reference network.py:123)
     audio_in_dim: int = 44            # esperanto CTC logits (29 for deepspeech)
     audio_dim: int = 32
     eye_dim: int = 1                  # AU45 blink scalar

@@ -344,6 +344,7 @@ class NeRFReal(BaseReal):
                 num_levels=nc.num_levels, base_resolution=nc.base_resolution,
                 log2_hashmap_size=nc.log2_hashmap_size,
                 desired_resolution=nc.desired_resolution, torso=nc.torso,
+                level_dim=nc.level_dim,
             ))
         self.network = network
         if variables is None:
