@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref_text", default="")
     p.add_argument("--asr_backend", default="jax-whisper")
     p.add_argument("--transport", default="webrtc",
-                   choices=["webrtc", "loopback"])
+                   choices=["webrtc", "rtmp", "loopback"])
     p.add_argument("--push_url", default="http://localhost:1985/rtc/v1/publish/")
     p.add_argument("--pull_url", default="http://localhost:1985/rtc/v1/play/")
     p.add_argument("--max_session", type=int, default=10)
@@ -99,10 +99,16 @@ def config_from_args(args: argparse.Namespace) -> Config:
 def main(argv=None) -> None:
     import os
 
+    import jax
+
     # persistent XLA compilation cache: session N+1 and server restarts skip
-    # the multi-minute first-compile of the engine step functions
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/mere_fusion_jax"))
+    # the multi-minute first-compile of the engine step functions. jax may
+    # already be imported (sitecustomize), so set the config directly — the
+    # env var alone is frozen at import time.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/mere_fusion_jax")))
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

@@ -184,6 +184,25 @@ class NerfASR(BaseASR):
             self.run_step()
 
 
+def make_enc_a_smoother(enabled: bool):
+    """Per-pipeline audio-code EMA (reference renderer.py:190-194,
+    lambda=0.35). Returns smooth(enc_a) holding its own state; identity
+    when disabled."""
+    state = {"enc_a": None}
+
+    def smooth(enc_a):
+        if not enabled:
+            return enc_a
+        prev = state["enc_a"]
+        if prev is not None:
+            enc_a = 0.35 * prev + 0.65 * enc_a
+        state["enc_a"] = enc_a
+        return enc_a
+
+    smooth.state = state
+    return smooth
+
+
 def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestDataset,
                           cfg: Config, baked: dict | None = None):
     """(pose, aud_window [8,A,16], eye [1,1], density grid, bg) → RGB u8.
@@ -272,15 +291,11 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
             return (img * 255).astype(jnp.uint8)
 
         jit_cond_plain = jax.jit(conditions)
-        plain_smooth = {"enc_a": None}
+        smooth_plain = make_enc_a_smoother(nerf_cfg.smooth_lips)
 
         def plain_step(pose, auds, eye, density, bg):
             enc_a, ind = jit_cond_plain(variables, auds)
-            if nerf_cfg.smooth_lips:
-                prev = plain_smooth["enc_a"]
-                if prev is not None:
-                    enc_a = 0.35 * prev + 0.65 * enc_a
-                plain_smooth["enc_a"] = enc_a
+            enc_a = smooth_plain(enc_a)
             return step(variables, pose, enc_a, ind, eye, density, bg)
 
         return plain_step
@@ -308,19 +323,14 @@ def make_nerf_render_step(network: NeRFNetwork, variables, dataset: NeRFTestData
         return (img * 255).astype(jnp.uint8)
 
     jit_conditions = jax.jit(conditions)
-    # smooth_lips: exponential decay of the audio code across frames
-    # (reference renderer.py:190-194; part of the -O serving preset)
-    smooth_state = {"enc_a": None}
+    smooth_baked = make_enc_a_smoother(nerf_cfg.smooth_lips)
+    smooth_state = smooth_baked.state  # introspectable for tests
 
     def step(pose, auds, eye, density, bg):
         plan = stage_plan(pose, density)
         enc_x = stage_encode(baked, plan["xyz"])
         enc_a, ind = jit_conditions(variables, auds)
-        if nerf_cfg.smooth_lips:
-            prev = smooth_state["enc_a"]
-            if prev is not None:
-                enc_a = 0.35 * prev + 0.65 * enc_a
-            smooth_state["enc_a"] = enc_a
+        enc_a = smooth_baked(enc_a)
         return stage_shade(variables, plan, enc_x, pose, enc_a, ind, eye, bg)
 
     return step
@@ -526,7 +536,6 @@ def load_nerf_checkpoint(cfg: Config):
                    if "density_grid" in model_sd else None)
         return variables, density
 
-    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid as _DG
     from mere_fusion_tpu.utils.checkpoint import Checkpointer
 
     ckpt = Checkpointer(path)
@@ -534,23 +543,57 @@ def load_nerf_checkpoint(cfg: Config):
         raw = ckpt.restore_raw()
     finally:
         ckpt.close()
+    params, density = split_checkpoint_tree(raw)
+
+    # restore_raw skips orbax's template shape check — validate the restored
+    # tree against the serving config so mismatches fail loudly at load time
+    spec = NeRFNetConfig(
+        num_levels=nc.num_levels, level_dim=nc.level_dim,
+        base_resolution=nc.base_resolution,
+        log2_hashmap_size=nc.log2_hashmap_size,
+        desired_resolution=nc.desired_resolution, bound=nc.bound,
+    ).plane_spec
+    got = tuple(np.asarray(params["plane_xy"]).shape)
+    want = (spec.total_params, nc.level_dim)
+    if got != want:
+        raise ValueError(
+            f"checkpoint hash tables are {got} but the serving config "
+            f"expects {want} — pass the training run's --num_levels/"
+            f"--base_resolution/--desired_resolution/--log2_hashmap_size "
+            f"via the matching nerf.* fields"
+        )
+    aud_in = np.asarray(params["audio_net"]["conv_0"]["kernel"]).shape[1]
+    if aud_in != nc.audio_in_dim:
+        raise ValueError(
+            f"checkpoint audio_in_dim {aud_in} != nerf.audio_in_dim "
+            f"{nc.audio_in_dim}")
+    if density is not None and int(np.asarray(density.grid).size) != nc.grid_size ** 3:
+        raise ValueError(
+            f"checkpoint density grid has {np.asarray(density.grid).size} "
+            f"cells but nerf.grid_size={nc.grid_size} expects "
+            f"{nc.grid_size ** 3}")
+    return {"params": params}, density
+
+
+def split_checkpoint_tree(raw):
+    """(params, DensityGrid|None) from a template-free restored tree —
+    either a NeRFTrainState workspace (EMA params are served, like the
+    reference's EMA-aware load, utils.py:1479-1538) or a converted
+    variables dir (tools/convert_ckpt)."""
 
     def as_density(d) -> DensityGrid:
-        return _DG(
+        return DensityGrid(
             grid=jnp.asarray(d["grid"], jnp.float32),
             occupancy=jnp.asarray(d["occupancy"]),
             mean_density=jnp.asarray(d["mean_density"], jnp.float32),
         )
 
     if isinstance(raw, dict) and "ema_params" in raw:
-        # training workspace (NeRFTrainState): serve the EMA params, like
-        # the reference's EMA-aware load_checkpoint (utils.py:1479-1538)
-        return {"params": raw["ema_params"]}, as_density(raw["density"])
+        return raw["ema_params"], as_density(raw["density"])
     if isinstance(raw, dict) and "params" in raw:
-        # converted-variables dir (tools/convert_ckpt)
         density = as_density(raw["density"]) if "density" in raw else None
-        return {"params": raw["params"]}, density
+        return raw["params"], density
     raise ValueError(
-        f"unrecognized checkpoint layout in {path}: top-level keys "
+        f"unrecognized checkpoint layout: top-level "
         f"{list(raw) if isinstance(raw, dict) else type(raw)}"
     )

@@ -145,10 +145,10 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         )
         return enc_a, ind
 
-    # smooth_lips: exponential decay over the audio code across frames
-    # (reference renderer.py:190-194, enabled by the -O serving preset)
-    smooth_lips = getattr(nc, "smooth_lips", False)
-    smooth_state = {"enc_a": None}
+    from mere_fusion_tpu.engines.nerf import make_enc_a_smoother
+
+    smooth_enc_a = make_enc_a_smoother(getattr(nc, "smooth_lips", False))
+    smooth_state = smooth_enc_a.state  # introspectable for tests
 
     # head MLPs in bf16 at inference (sigma/color are 64-wide matmuls; the
     # fp32 path is identical math at ~2x the MXU cost)
@@ -201,11 +201,7 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         plan = stage_plan(pose, spans, valid)
         enc = stage_encode(planes_major, plan["scalars"], plan["uv"])
         enc_a, ind = conditions(variables, auds)
-        if smooth_lips:
-            prev = smooth_state["enc_a"]
-            if prev is not None:
-                enc_a = 0.35 * prev + 0.65 * enc_a
-            smooth_state["enc_a"] = enc_a
+        enc_a = smooth_enc_a(enc_a)
         img = stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg)
         return img, plan["n_active"], plan["n_overflow"]
 

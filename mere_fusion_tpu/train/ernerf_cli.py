@@ -55,10 +55,14 @@ def main(argv=None) -> None:
 
     import os
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/mere_fusion_jax"))
-
     import jax
+
+    # jax is already imported by sitecustomize on this image, so the env var
+    # alone is ignored — set the config directly
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/mere_fusion_jax")))
     import jax.numpy as jnp
     import numpy as np
 
@@ -104,29 +108,23 @@ def main(argv=None) -> None:
         )
 
         head_params = None
+        head_density = None
         if args.head_ckpt:
+            from mere_fusion_tpu.engines.nerf import split_checkpoint_tree
+
             head_ckpt = Checkpointer(args.head_ckpt)
-            # the head stage trained a torso-less network; restore against a
-            # torso-less template and merge (strict=False semantics)
-            head_net = NeRFNetwork(NeRFNetConfig(
-                audio_in_dim=args.audio_dim, num_train_frames=len(dataset),
-                num_levels=args.num_levels,
-                base_resolution=args.base_resolution,
-                desired_resolution=args.desired_resolution,
-                log2_hashmap_size=args.log2_hashmap_size,
-            ))
-            head_vars = jax.jit(head_net.init, static_argnames="method")(
-                jax.random.key(args.seed),
-                jnp.zeros((8, args.audio_dim, 16)), jnp.zeros((4, 3)),
-                jnp.ones((4, 3)) / np.sqrt(3.0),
-                jnp.zeros((1, net_cfg.individual_dim)), jnp.zeros((1, 1)),
-                method=NeRFNetwork.full_init,
-            )
-            h_tx, h_state = init_nerf_train(head_net, head_vars, tcfg)
-            head_params = head_ckpt.restore(h_state).params
+            head_raw = head_ckpt.restore_raw()
             head_ckpt.close()
+            # non-strict merge of the head state dict, like the reference's
+            # load_state_dict(strict=False); the head's trained density grid
+            # rides along (it is a model buffer there)
+            head_params = (head_raw["params"]
+                           if "params" in head_raw else None)
+            _, head_density = split_checkpoint_tree(head_raw)
         tx, state = init_torso_train(network, variables, tcfg,
                                      head_params=head_params)
+        if head_density is not None:
+            state = state._replace(density=head_density)
         step = make_torso_train_step(network, tx, tcfg)
         ckpt = Checkpointer(args.workspace)
         from mere_fusion_tpu.train.logger import ScalarLogger, StopFlag
@@ -243,10 +241,6 @@ def main(argv=None) -> None:
     print("[train] done")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _evaluate(args, dataset, net_cfg, tcfg) -> None:
     """Render every frame from the workspace checkpoint and report
     PSNR/SSIM (the reference's --test flow, main.py:184-215 +
@@ -259,11 +253,8 @@ def _evaluate(args, dataset, net_cfg, tcfg) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from mere_fusion_tpu.engines.nerf import split_checkpoint_tree
     from mere_fusion_tpu.models.ernerf.network import NeRFNetwork
-    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
-    from mere_fusion_tpu.train.ernerf_train import (
-        init_nerf_train,
-    )
     from mere_fusion_tpu.utils.checkpoint import Checkpointer
     from mere_fusion_tpu.train.metrics import MetricMeter, psnr, ssim
     from mere_fusion_tpu.models.ernerf.renderer import get_rays, render_rays
@@ -272,13 +263,7 @@ def _evaluate(args, dataset, net_cfg, tcfg) -> None:
     ckpt = Checkpointer(args.workspace)
     raw = ckpt.restore_raw()
     ckpt.close()
-    params = raw["ema_params"] if "ema_params" in raw else raw["params"]
-    d = raw["density"]
-    density = DensityGrid(
-        grid=jnp.asarray(d["grid"], jnp.float32),
-        occupancy=jnp.asarray(d["occupancy"]),
-        mean_density=jnp.asarray(d["mean_density"], jnp.float32),
-    )
+    params, density = split_checkpoint_tree(raw)
     variables = {"params": params}
 
     H, W = dataset.H, dataset.W
@@ -322,3 +307,7 @@ def _evaluate(args, dataset, net_cfg, tcfg) -> None:
         _json.dump(report, f)
     print(f"[test] {m_psnr.report()}  {m_ssim.report()}  "
           f"({len(dataset)} frames in {dt:.1f} s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,7 +154,9 @@ def test_smooth_lips_ema_on_audio_code(dataset):
     step = engine._render_step
     frees = dict(zip(step.__code__.co_freevars,
                      [c.cell_contents for c in step.__closure__]))
-    state = frees["smooth_state"]
+    smoother = frees.get("smooth_enc_a") or frees.get("smooth_baked") \
+        or frees.get("smooth_plain")
+    state = smoother.state
     assert state["enc_a"] is None
 
     data = dataset.collate(0)
