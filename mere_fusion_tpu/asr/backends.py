@@ -221,10 +221,19 @@ class JaxWhisperBackend:
         mels = jnp.stack(mels)
 
         prompt_one = jnp.asarray([self._sot], jnp.int32)
+        decode_batch = self._decode
         if self.beam_size > 1:
-            # the beam decoder uses the batch dim as the beam dim — decode
-            # chunks one at a time
-            batch_size = 1
+            # the beam decoder's batch dim is the beam dim; vmap it over the
+            # chunk batch (each element runs its own 5-beam search)
+            if getattr(self, "_beam_batched", None) is None:
+                import jax
+
+                base = self._decode
+                plen = len(self._sot)
+                self._beam_batched = jax.jit(jax.vmap(
+                    lambda xa1, p1: base(xa1[None], p1[None], plen)[0]))
+            decode_batch = (lambda xa, prompts, _plen:
+                            self._beam_batched(xa, prompts))
         all_tokens = []
         for i in range(0, n_chunks, batch_size):
             group = mels[i:i + batch_size]
@@ -236,7 +245,7 @@ class JaxWhisperBackend:
                 )
             xa = self._encode(group)
             prompts = jnp.tile(prompt_one, (group.shape[0], 1))
-            toks = np.asarray(self._decode(xa, prompts, len(self._sot)))
+            toks = np.asarray(decode_batch(xa, prompts, len(self._sot)))
             all_tokens.extend(toks[:real])
 
         window_s = window / SAMPLE_RATE

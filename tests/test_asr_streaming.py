@@ -166,3 +166,23 @@ def test_transcribe_long_batched_chunks():
     for ch in res["chunks"]:
         assert all(isinstance(t, int) for t in ch["tokens"])
     assert res["text"] == "".join(c["text"] for c in res["chunks"])
+
+
+def test_transcribe_long_beam_batched():
+    """Beam-configured backends batch chunked decoding via vmap (each
+    element runs its own beam search)."""
+    from tests.test_whisper import SMALL
+    from mere_fusion_tpu.asr.backends import JaxWhisperBackend
+
+    be = JaxWhisperBackend(dims=SMALL, word_timestamps=False, beam_size=3)
+    be._sot = (1, 2)
+    audio = np.random.default_rng(1).uniform(
+        -0.1, 0.1, int(16000 * 2.0)).astype(np.float32)
+    res = be.transcribe_long(audio, batch_size=2)
+    assert len(res["chunks"]) == 3  # ceil(2.0/0.96)
+    for ch in res["chunks"]:
+        assert all(isinstance(t, int) for t in ch["tokens"])
+    # the beam path must agree with itself on identical chunks
+    same = be.transcribe_long(audio[:15360], batch_size=2)
+    again = be.transcribe_long(audio[:15360], batch_size=2)
+    assert same["chunks"][0]["tokens"] == again["chunks"][0]["tokens"]
