@@ -252,3 +252,54 @@ def test_load_nerf_checkpoint_from_pth(tmp_path):
     variables, density = load_nerf_checkpoint(cfg)
     assert "sigma_net" in variables["params"]
     assert density is not None and float(density.mean_density) == 0.5
+
+
+def test_load_nerf_checkpoint_validates_config_mismatch(tmp_path):
+    """A serving config that disagrees with the trained workspace fails
+    loudly at load time (restore_raw skips orbax's template check)."""
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
+    from mere_fusion_tpu.train.ernerf_train import (
+        NeRFTrainConfig,
+        init_nerf_train,
+    )
+    from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+    # train tiny
+    network = NeRFNetwork(NeRFNetConfig(
+        num_levels=4, base_resolution=16, desired_resolution=64,
+        log2_hashmap_size=10, individual_dim=4, num_train_frames=2,
+    ))
+    variables = network.init(
+        jax.random.key(0), jnp.zeros((8, 44, 16)), jnp.zeros((4, 3)),
+        jnp.ones((4, 3)) / np.sqrt(3.0), jnp.zeros((1, 4)),
+        jnp.zeros((1, 1)), method=NeRFNetwork.full_init,
+    )
+    _tx, state = init_nerf_train(network, variables,
+                                 NeRFTrainConfig(grid_size=16))
+    ckpt = Checkpointer(str(tmp_path / "ws"))
+    ckpt.save(1, state)
+    ckpt.close()
+
+    # serve with DEFAULT (big) net config → clear error naming the knobs
+    cfg = Config().override(**{"nerf.ckpt": str(tmp_path / "ws")})
+    with pytest.raises(ValueError, match="hash tables"):
+        load_nerf_checkpoint(cfg)
+
+    # matching config loads
+    cfg_ok = Config().override(**{
+        "nerf.ckpt": str(tmp_path / "ws"), "nerf.num_levels": 4,
+        "nerf.base_resolution": 16, "nerf.desired_resolution": 64,
+        "nerf.log2_hashmap_size": 10, "nerf.grid_size": 16,
+    })
+    variables2, density = load_nerf_checkpoint(cfg_ok)
+    assert density is not None
+
+    # wrong grid size → named error
+    cfg_bad_grid = Config().override(**{
+        "nerf.ckpt": str(tmp_path / "ws"), "nerf.num_levels": 4,
+        "nerf.base_resolution": 16, "nerf.desired_resolution": 64,
+        "nerf.log2_hashmap_size": 10, "nerf.grid_size": 32,
+    })
+    with pytest.raises(ValueError, match="density grid"):
+        load_nerf_checkpoint(cfg_bad_grid)
