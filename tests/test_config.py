@@ -50,3 +50,15 @@ def test_nerf_serving_flags_mapping():
     with pytest.raises(SystemExit):
         config_from_args(build_parser().parse_args(
             ["--model", "ernerf", "--fullbody"]))
+
+
+def test_transport_rtmp_choice_reachable():
+    """MIGRATION.md promises --transport rtmp; the CLI must accept it and
+    map it onto transport.mode (sessions.py implements the mode)."""
+    from mere_fusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--transport", "rtmp", "--push_url", "rtmp://srs/live/x"])
+    cfg = config_from_args(args)
+    assert cfg.transport.mode == "rtmp"
+    assert cfg.transport.push_url == "rtmp://srs/live/x"
