@@ -193,6 +193,7 @@ def make_nerf_train_step(network: NeRFNetwork, tx, tcfg: NeRFTrainConfig,
         (loss, metrics_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, rng
         )
+        metrics_out = dict(metrics_out, grad_norm=optax.global_norm(grads))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         d = 0.95
