@@ -98,16 +98,17 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, self.dtype, name=f"down_{i}_res_{j}")(h)
+                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups,
+                                name=f"down_{i}_res_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
                 # diffusers uses asymmetric (0,1) padding on stride-2 downsample
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name=f"down_{i}_downsample")(h)
         ch = cfg.block_out_channels[-1]
-        h = ResnetBlock(ch, self.dtype, name="mid_res_0")(h)
-        h = AttnBlock(ch, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(ch, self.dtype, name="mid_res_1")(h)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_0")(h)
+        h = AttnBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_attn")(h)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_1")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -124,13 +125,14 @@ class Decoder(nn.Module):
         ch = cfg.block_out_channels[-1]
         h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv_in")(z)
-        h = ResnetBlock(ch, self.dtype, name="mid_res_0")(h)
-        h = AttnBlock(ch, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(ch, self.dtype, name="mid_res_1")(h)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_0")(h)
+        h = AttnBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_attn")(h)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_1")(h)
         up_channels = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(up_channels):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(ch, self.dtype, name=f"up_{i}_res_{j}")(h)
+                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups,
+                                name=f"up_{i}_res_{j}")(h)
             if i < len(up_channels) - 1:
                 h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
