@@ -36,6 +36,9 @@ def main(argv=None) -> None:
                    choices=["offline", "unaware", "online", "batch"])
     p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--buffer-trim", type=float, default=15.0)
+    p.add_argument("--vad", action="store_true", default=False,
+                   help="voice activity detection on the backend "
+                        "(reference whisper_online.py:628-629)")
     args = p.parse_args(argv)
 
     from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
@@ -43,6 +46,8 @@ def main(argv=None) -> None:
 
     audio = load_wav_16k(args.audio)
     backend = make_backend(args.backend)
+    if args.vad:
+        backend.use_vad()
 
     if args.mode == "batch":
         import time

@@ -87,7 +87,7 @@ class JaxWhisperBackend:
 
     def __init__(self, variables=None, dims=None, tokenizer=None,
                  language_index: int = 0, beam_size: int = 1,
-                 word_timestamps: bool = True):
+                 word_timestamps: bool = True, use_vad: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -150,6 +150,14 @@ class JaxWhisperBackend:
                                method=Whisper.cross_attentions)
 
         self._cross_attn = lambda tokens, xa: cross_attn(dev_vars, tokens, xa)
+        self.use_vad_opt = use_vad
+
+    def use_vad(self) -> None:
+        """Energy-gate VAD (reference whisper_online.py:663-665 enables VAD
+        on the chosen backend; silero is absent here — see asr/vad.py).
+        Silence-only buffers skip the encode/decode entirely and words with
+        no speech overlap are dropped."""
+        self.use_vad_opt = True
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "JaxWhisperBackend":
@@ -171,6 +179,14 @@ class JaxWhisperBackend:
         from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
 
         duration = len(audio) / SAMPLE_RATE
+        speech = None
+        if self.use_vad_opt:
+            from mere_fusion_tpu.asr.vad import speech_segments
+
+            speech = speech_segments(audio)
+            if not speech:  # pure silence/noise: skip the device round-trip
+                return {"tokens": [], "duration": duration, "starts": None,
+                        "speech": speech}
         window = self.dims.n_audio_ctx * 2 * 160  # 30 s for the tiny config
         padded = np.zeros(window, dtype=np.float32)
         padded[: min(len(audio), window)] = audio[:window]
@@ -188,7 +204,8 @@ class JaxWhisperBackend:
             n_frames = int(duration / 0.02)
             starts = self._align_starts(attn, len(self._sot), n_frames,
                                         len(text_tokens))
-        return {"tokens": text_tokens, "duration": duration, "starts": starts}
+        return {"tokens": text_tokens, "duration": duration, "starts": starts,
+                "speech": speech}
 
     def _align_starts(self, attn, n_prompt, n_frames, n_text):
         from mere_fusion_tpu.asr.align import token_times
@@ -277,11 +294,18 @@ class JaxWhisperBackend:
 
             triples = words_with_times(toks, res["starts"], self.tokenizer,
                                        res["duration"])
-            return [Word(s, e, " " + t) for s, e, t in triples]
-        dt = res["duration"] / len(toks)
-        return [
-            Word(i * dt, (i + 1) * dt, self._token_text(t)) for i, t in enumerate(toks)
-        ]
+            words = [Word(s, e, " " + t) for s, e, t in triples]
+        else:
+            dt = res["duration"] / len(toks)
+            words = [
+                Word(i * dt, (i + 1) * dt, self._token_text(t))
+                for i, t in enumerate(toks)
+            ]
+        if self.use_vad_opt:
+            from mere_fusion_tpu.asr.vad import filter_words
+
+            words = filter_words(words, res.get("speech"))
+        return words
 
     def segments_end_ts(self, res: dict) -> list[float]:
         return [res["duration"]]
@@ -296,7 +320,12 @@ class FasterWhisperBackend:
         from faster_whisper import WhisperModel
 
         self.language = language
+        self.transcribe_kargs: dict = {}
         self.model = WhisperModel(model_size, device="cpu", compute_type="int8", **kw)
+
+    def use_vad(self) -> None:
+        # faster-whisper ships its own VAD (reference whisper_online.py:158-159)
+        self.transcribe_kargs["vad_filter"] = True
 
     def transcribe(self, audio: np.ndarray, init_prompt: str = ""):
         segments, _info = self.model.transcribe(
@@ -306,6 +335,7 @@ class FasterWhisperBackend:
             beam_size=5,
             word_timestamps=True,
             condition_on_previous_text=True,
+            **self.transcribe_kargs,
         )
         return list(segments)
 

@@ -186,3 +186,83 @@ def test_transcribe_long_beam_batched():
     same = be.transcribe_long(audio[:15360], batch_size=2)
     again = be.transcribe_long(audio[:15360], batch_size=2)
     assert same["chunks"][0]["tokens"] == again["chunks"][0]["tokens"]
+
+
+def test_vad_speech_segments_on_synthetic_audio():
+    """Energy gate finds the tone burst inside silence, with hangover."""
+    from mere_fusion_tpu.asr.vad import has_speech, speech_segments
+
+    sr = 16000
+    audio = np.zeros(3 * sr, np.float32)
+    t = np.arange(sr) / sr
+    audio[sr : 2 * sr] = 0.3 * np.sin(2 * np.pi * 440 * t)
+    segs = speech_segments(audio)
+    assert len(segs) == 1
+    beg, end = segs[0]
+    assert beg == pytest.approx(1.0, abs=0.15)
+    assert end == pytest.approx(2.0, abs=0.15)
+    assert not has_speech(np.zeros(sr, np.float32))
+    # low-level broadband noise stays below the absolute floor
+    noise = np.random.default_rng(0).normal(0, 1e-4, sr).astype(np.float32)
+    assert not has_speech(noise)
+
+
+def test_vad_word_filter():
+    from mere_fusion_tpu.asr.streaming import Word
+    from mere_fusion_tpu.asr.vad import filter_words
+
+    words = [Word(0.1, 0.4, "a"), Word(1.1, 1.4, "b"), Word(2.5, 2.9, "c")]
+    kept = filter_words(words, [(1.0, 2.0)])
+    assert [w.text for w in kept] == ["b"]
+    assert filter_words(words, None) == words
+
+
+def test_jax_backend_vad_skips_silence_and_filters(monkeypatch):
+    """--vad on the local backend: silence buffers skip the device decode
+    entirely; decoded words outside speech spans are dropped."""
+    from tests.test_whisper import SMALL
+    from mere_fusion_tpu.asr.backends import JaxWhisperBackend
+
+    be = JaxWhisperBackend(dims=SMALL, word_timestamps=False)
+    be._sot = (1, 2)
+    be.use_vad()
+    decodes = []
+    orig = be._decode
+    be._decode = lambda *a, **k: (decodes.append(1), orig(*a, **k))[1]
+
+    res = be.transcribe(np.zeros(16000, np.float32))
+    assert res["tokens"] == [] and decodes == []
+    assert be.ts_words(res) == []
+
+    sr = 16000
+    audio = np.zeros(2 * sr, np.float32)
+    t = np.arange(sr) / sr
+    audio[:sr] = 0.3 * np.sin(2 * np.pi * 330 * t)  # speech in first half
+    res = be.transcribe(audio)
+    assert len(decodes) == 1  # speech present -> decoded on device
+    assert res["speech"] and res["speech"][0][0] == pytest.approx(0.0, abs=0.15)
+    # every surviving word overlaps the detected speech span
+    for w in be.ts_words(res):
+        assert any(w.beg < e and w.end > b for b, e in res["speech"])
+
+
+def test_vad_streaming_transcriber_emits_nothing_on_silence():
+    """StreamingTranscriber + VAD-enabled local backend over a silent
+    stream: no words commit and no device decodes run."""
+    from tests.test_whisper import SMALL
+    from mere_fusion_tpu.asr.backends import JaxWhisperBackend
+    from mere_fusion_tpu.asr.streaming import StreamingTranscriber
+
+    be = JaxWhisperBackend(dims=SMALL, word_timestamps=False)
+    be._sot = (1, 2)
+    be.use_vad()
+    decodes = []
+    orig = be._decode
+    be._decode = lambda *a, **k: (decodes.append(1), orig(*a, **k))[1]
+
+    st = StreamingTranscriber(be, buffer_trimming=("segment", 15.0))
+    for _ in range(4):
+        st.insert_audio_chunk(np.zeros(8000, np.float32))
+        beg, end, text = st.process_iter()
+        assert text == ""
+    assert decodes == []
