@@ -108,41 +108,31 @@ class Session:
             pass
 
     # ---- WebRTC against SRS (reference app.py:395-531) -----------------------
-    async def _start_webrtc(self) -> None:
-        from aiortc import RTCPeerConnection, RTCSessionDescription
-        import aiohttp
+    async def _start_webrtc(self, pc_factory=None, post_json=None,
+                            make_answer=None) -> None:
+        """Dual peer connection: pull the caller's stream, push the avatar's.
 
-        async def negotiate(pc, api_url: str, stream_url: str) -> None:
-            """POST the local offer to the SRS HTTP API, 3 retries with
-            exponential backoff (reference app.py:282-291, 434-512)."""
-            offer = await pc.createOffer()
-            await pc.setLocalDescription(offer)
-            last = None
-            for attempt in range(3):
-                try:
-                    async with aiohttp.ClientSession() as http:
-                        async with http.post(
-                            api_url,
-                            json={
-                                "api": api_url,
-                                "streamurl": stream_url,
-                                "sdp": pc.localDescription.sdp,
-                            },
-                            timeout=aiohttp.ClientTimeout(total=15),
-                        ) as resp:
-                            data = await resp.json()
-                    await pc.setRemoteDescription(
-                        RTCSessionDescription(sdp=data["sdp"], type="answer")
-                    )
-                    return
-                except Exception as e:
-                    last = e
-                    await asyncio.sleep(2**attempt)
-            raise ConnectionError(f"SRS signaling failed: {last}")
+        pc_factory/post_json/make_answer are injectable for tests (the
+        signaling state machine is exercised with fakes — aiortc absent);
+        production defaults to aiortc + aiohttp.
+        """
+        from mere_fusion_tpu.server.signaling import (
+            attach_state_watcher,
+            negotiate,
+        )
+
+        if pc_factory is None:
+            from aiortc import RTCPeerConnection
+
+            pc_factory = RTCPeerConnection
 
         sid = self.session_id
+
+        def on_dead(state: str):
+            return self.close()
+
         # pull the caller's stream
-        consume_pc = RTCPeerConnection()
+        consume_pc = pc_factory()
         consume_pc.addTransceiver("audio", direction="recvonly")
         consume_pc.addTransceiver("video", direction="recvonly")
 
@@ -152,23 +142,22 @@ class Session:
 
             attach_upstream_track(self, track)
 
-        @consume_pc.on("connectionstatechange")
-        async def on_state():
-            if consume_pc.connectionState in ("failed", "closed", "disconnected"):
-                logger.warning("consume pc %s: %s", sid, consume_pc.connectionState)
-
+        attach_state_watcher(consume_pc, on_dead, label=f"consume/{sid}")
         await negotiate(
             consume_pc, self.cfg.transport.pull_url,
             f"webrtc://localhost/live/stream_{sid}",
+            post_json=post_json, make_answer=make_answer,
         )
 
         # push the avatar stream
-        produce_pc = RTCPeerConnection()
+        produce_pc = pc_factory()
         produce_pc.addTrack(self.player.audio)
         produce_pc.addTrack(self.player.video)
+        attach_state_watcher(produce_pc, on_dead, label=f"produce/{sid}")
         await negotiate(
             produce_pc, self.cfg.transport.push_url,
             f"webrtc://localhost/live/processed_stream_{sid}",
+            post_json=post_json, make_answer=make_answer,
         )
         self._pcs = [consume_pc, produce_pc]
 

@@ -1,0 +1,101 @@
+"""SRS WHIP-style HTTP signaling, decoupled from aiortc.
+
+The reference negotiates both peer connections against the SRS HTTP API and
+tears sessions down from the connection-state watcher
+(reference: app.py:282-291, 406-478, 434-512). aiortc is absent in this
+environment, so the protocol logic lives here behind narrow interfaces —
+``pc`` is anything with createOffer/setLocalDescription/setRemoteDescription,
+and the HTTP POST + answer construction are injectable — making the
+offer/answer state machine, retry/backoff, timeout, and teardown paths unit
+testable with fakes while production passes real aiortc objects.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Any, Awaitable, Callable, Optional
+
+logger = logging.getLogger(__name__)
+
+PostJson = Callable[[str, dict, float], Awaitable[dict]]
+
+
+async def default_post_json(url: str, payload: dict, timeout: float) -> dict:
+    import aiohttp
+
+    async with aiohttp.ClientSession() as http:
+        async with http.post(
+            url, json=payload, timeout=aiohttp.ClientTimeout(total=timeout)
+        ) as resp:
+            return await resp.json()
+
+
+def default_make_answer(sdp: str):
+    from aiortc import RTCSessionDescription
+
+    return RTCSessionDescription(sdp=sdp, type="answer")
+
+
+async def negotiate(
+    pc,
+    api_url: str,
+    stream_url: str,
+    post_json: Optional[PostJson] = None,
+    make_answer: Optional[Callable[[str], Any]] = None,
+    retries: int = 3,
+    timeout: float = 15.0,
+    sleep: Callable[[float], Awaitable[None]] = asyncio.sleep,
+) -> None:
+    """Create a local offer, POST it to the SRS HTTP API, apply the answer.
+
+    ``retries`` attempts with exponential backoff (1 s, 2 s, ...) around the
+    whole POST+answer exchange (reference app.py:282-291); each POST is
+    bounded by ``timeout`` seconds. Raises ConnectionError after the final
+    attempt, carrying the last failure.
+    """
+    post_json = post_json or default_post_json
+    make_answer = make_answer or default_make_answer
+    offer = await pc.createOffer()
+    await pc.setLocalDescription(offer)
+    last: Optional[Exception] = None
+    for attempt in range(retries):
+        try:
+            data = await post_json(
+                api_url,
+                {
+                    "api": api_url,
+                    "streamurl": stream_url,
+                    "sdp": pc.localDescription.sdp,
+                },
+                timeout,
+            )
+            if "sdp" not in data:
+                raise ValueError(f"SRS answer missing sdp (code="
+                                 f"{data.get('code')!r})")
+            await pc.setRemoteDescription(make_answer(data["sdp"]))
+            return
+        except Exception as e:
+            last = e
+            if attempt + 1 < retries:
+                await sleep(2**attempt)
+    raise ConnectionError(f"SRS signaling failed after {retries} attempts: "
+                          f"{last}")
+
+
+def attach_state_watcher(
+    pc, on_dead: Callable[[str], Any], label: str = "pc"
+) -> None:
+    """Tear the session down when the connection dies (reference
+    app.py:406-478: on 'failed'/'closed' the pc is closed and the session
+    discarded). ``on_dead`` fires at most once; it may be sync or async."""
+    fired = {"done": False}
+
+    @pc.on("connectionstatechange")
+    async def _on_state() -> None:
+        state = pc.connectionState
+        if state in ("failed", "closed", "disconnected") and not fired["done"]:
+            fired["done"] = True
+            logger.warning("%s connection %s — tearing down", label, state)
+            result = on_dead(state)
+            if asyncio.iscoroutine(result):
+                await result
