@@ -10,9 +10,10 @@ over exactly:
   (model.py:143-172, audio2feature.py:16-97);
 - attention scales q and k by (d/h)^-0.25 each and softmaxes in fp32.
 
-Greedy decoding runs fully on device as a lax.while_loop over a static
-token buffer (no KV cache yet — the tiny model is dispatch-bound, not
-FLOP-bound, at streaming chunk sizes).
+Greedy and beam decoding run fully on device as a lax.while_loop over a
+static token buffer with KV caching (step_self/cross_kv below): self-
+attention K/V append into a preallocated cache and cross-attention K/V are
+computed once per segment, so each decode step is O(1) in sequence length.
 """
 from __future__ import annotations
 
