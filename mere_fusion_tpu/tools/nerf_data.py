@@ -256,16 +256,21 @@ def export_transforms(poses: np.ndarray, focal_len: float, cx: float, cy: float,
 
 
 def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
-                  model=None, **fit_kw):
+                  model=None, frames=None, photometric_iters: int = 400,
+                  vertex_stride: int = 8, **fit_kw):
     """3DMM head-pose tracking from 2D landmarks (process.py task 8).
 
     TPU-native re-implementation: batched differentiable landmark fitting in
-    JAX (tools/face_tracking.py) instead of the reference's pytorch3d
-    renderer. The photometric refinement stage needs a rasterizer and is
-    not reproduced. Returns (c2w poses [F,4,4], focal, fit dict).
+    JAX (tools/face_tracking.py), followed — when ``frames`` ([F, H, W, 3]
+    float RGB in [0, 1]) are provided — by photometric pose refinement
+    through the differentiable point-splat renderer (tools/render_3dmm.py,
+    the reference's pytorch3d stage, render_3dmm.py:1-25) with a jointly
+    learned per-vertex albedo. Returns (c2w poses [F,4,4], focal, fit dict).
 
     landmarks_2d: [F, N, 2] pixels; model_path: the reference's converted
-    BFM directory (3DMM_info.npy) — or pass a MorphableModel directly."""
+    BFM directory (3DMM_info.npy) — or pass a MorphableModel directly.
+    vertex_stride subsamples BFM vertices for the photometric stage (the
+    full ~34k-vertex basis is unnecessary for pose)."""
     from mere_fusion_tpu.tools.face_tracking import (
         MorphableModel,
         fit_landmarks,
@@ -281,6 +286,12 @@ def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
             )
         model = MorphableModel.load(model_path)
     fit = fit_landmarks(model, landmarks_2d, image_hw, **fit_kw)
+    if frames is not None:
+        from mere_fusion_tpu.tools.render_3dmm import refine_photometric
+
+        fit = refine_photometric(model, fit, np.asarray(frames),
+                                 iters=photometric_iters,
+                                 vertex_stride=vertex_stride)
     return poses_from_fit(fit), fit["focal"], fit
 
 
@@ -336,6 +347,9 @@ def main(argv=None) -> None:
     p.add_argument("--fan_ckpt", default=None,
                    help="torch 2DFAN4 .pth for task 7")
     p.add_argument("--s3fd_ckpt", default=None)
+    p.add_argument("--photometric", action="store_true",
+                   help="refine task-8 poses photometrically against the "
+                        "frames (reference render_3dmm stage)")
     p.add_argument("--bfm_dir", default=None,
                    help="converted BFM assets (3DMM_info.npy) for tasks 8-9")
     p.add_argument("--asr_model",
@@ -417,10 +431,28 @@ def main(argv=None) -> None:
             lms = np.stack([np.loadtxt(p) for p in lms_paths])
             sample = cv2.imread(os.path.join(
                 ori, os.path.basename(lms_paths[0]).replace(".lms", ".jpg")))
-            poses, focal, _fit = face_tracking(
-                lms.astype(np.float32), sample.shape[:2],
-                model_path=args.bfm_dir,
-            )
+            frames = None
+            if args.photometric:
+                # photometric refinement at quarter resolution — pose
+                # gradients don't need full-res pixels
+                frames = np.stack([
+                    cv2.cvtColor(
+                        cv2.imread(str(pp).replace(".lms", ".jpg")),
+                        cv2.COLOR_BGR2RGB,
+                    ).astype(np.float32) / 255.0
+                    for pp in lms_paths
+                ])[:, ::4, ::4]
+                lms_scaled = lms.astype(np.float32) / 4.0
+                poses, focal, _fit = face_tracking(
+                    lms_scaled, frames.shape[1:3],
+                    model_path=args.bfm_dir, frames=frames,
+                )
+                focal *= 4.0  # back to full-res intrinsics
+            else:
+                poses, focal, _fit = face_tracking(
+                    lms.astype(np.float32), sample.shape[:2],
+                    model_path=args.bfm_dir,
+                )
             print("[task 9] export_transforms")
             h, w = sample.shape[:2]
             export_transforms(poses, float(focal), w / 2, h / 2,
