@@ -19,3 +19,8 @@ from mere_fusion_tpu.asr.backends import (  # noqa: F401
     OpenAIApiBackend,
     make_backend,
 )
+from mere_fusion_tpu.asr.normalizers import (  # noqa: F401
+    BasicTextNormalizer,
+    EnglishTextNormalizer,
+)
+from mere_fusion_tpu.asr.vad import speech_segments, has_speech  # noqa: F401
