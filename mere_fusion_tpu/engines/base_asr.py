@@ -34,6 +34,7 @@ class BaseASR:
         # set on the first speech chunk after silence; engines clear it when
         # the first generated frame ships (audio-to-first-frame latency)
         self.speech_start_ts = None
+        self._in_speech = False
         # Sequence numbers for silence skipping: consumed_seq counts chunks
         # pulled by the featurizer; skip_before_seq marks the consumption
         # point at which real speech entered the queue. Any SILENCE entry
@@ -51,18 +52,33 @@ class BaseASR:
     def put_audio_frame(self, audio_chunk: np.ndarray) -> None:
         import time
 
-        if self.speech_start_ts is None:
-            self.speech_start_ts = time.monotonic()
+        if not self._in_speech:
+            # arm only on the silence→speech transition — chunks arriving
+            # mid-utterance (the TTS streams continuously) must NOT re-arm
+            # after the engine observed and cleared the first-frame latency,
+            # or the metric fills with ~0 ms mid-utterance samples
+            self._in_speech = True
+            if self.speech_start_ts is None:
+                self.speech_start_ts = time.monotonic()
         # everything consumed so far but not yet played is stale silence
         self.skip_before_seq = self.consumed_seq + 1
         self.queue.put(audio_chunk)
 
+    # how long get_audio_frame waits for live speech before synthesizing
+    # silence; None = non-blocking (NerfASR polls at frame rate and must
+    # never stall the render loop)
+    queue_timeout: float | None = 0.01
+
     def get_audio_frame(self) -> tuple[np.ndarray, int]:
         self.consumed_seq += 1
         try:
-            frame = self.queue.get(block=True, timeout=0.01)
+            if self.queue_timeout is None:
+                frame = self.queue.get(block=False)
+            else:
+                frame = self.queue.get(block=True, timeout=self.queue_timeout)
             ftype = 0
         except queue.Empty:
+            self._in_speech = False  # drained: next put is a fresh utterance
             if self.parent and self.parent.curr_state > 1:
                 frame = self.parent.get_audio_stream(self.parent.curr_state)
                 ftype = self.parent.curr_state

@@ -149,12 +149,15 @@ class LipReal(BaseReal):
         dtype = jnp.bfloat16 if cfg.avatar.dtype == "bfloat16" else jnp.float32
         self._device_step = make_lip_device_step(variables, self.img_size, dtype)
         # warm the speech-path jit so the first utterance doesn't stall the
-        # live pipeline behind a compile
-        self._device_step(
+        # live pipeline behind a compile. np.asarray BLOCKS on the result:
+        # on remote-plugin backends (axon) an un-synced dispatch can defer
+        # the actual compile to the first real batch, which puts minutes of
+        # remote-compiler latency on the first utterance instead of init
+        np.asarray(self._device_step(
             jnp.zeros((self.batch_size, 80, 16)),
             jnp.zeros((self.batch_size, self.img_size, self.img_size, 3),
                       jnp.uint8),
-        )
+        ))
 
         self.asr = LipASR(cfg, self)
         self.asr.warm_up()

@@ -259,14 +259,16 @@ class MuseReal(BaseReal):
         self.asr = MuseASR(cfg, self, feature_extractor or WhisperFeatureExtractor())
         self.asr.warm_up()
         # warm the generator jit (matching the extractor's window shape) so
-        # the first utterance doesn't stall behind a compile
+        # the first utterance doesn't stall behind a compile; np.asarray
+        # blocks so the remote compile + executable load land HERE, not on
+        # the first live batch (engines/lip.py has the same contract)
         m = self.models
         seq = 10 * (self.asr.features.dims.n_audio_layer + 1)
-        m.generate(
+        np.asarray(m.generate(
             jnp.zeros((self.batch_size, m.latent_size, m.latent_size,
                        m.unet_cfg.in_channels)),
             jnp.zeros((self.batch_size, seq, m.unet_cfg.cross_attention_dim)),
-        )
+        ))
         self.render_event = Event()
 
     # ---- device inference stage ---------------------------------------------

@@ -162,3 +162,30 @@ def test_first_speech_frame_skips_buffered_silence(avatar):
     assert silence_before_speech <= 2 * cfg.avatar.batch_size, (
         f"{silence_before_speech} buffered silence frames preceded speech"
     )
+
+
+def test_speech_start_ts_arms_only_on_silence_transition():
+    """The audio-to-first-frame clock arms on the silence→speech transition
+    only; mid-utterance TTS chunks must not re-arm it after the engine
+    observed and cleared it (that filled the latency metric with ~0 ms
+    mid-utterance samples)."""
+    from mere_fusion_tpu.engines.base_asr import BaseASR
+
+    asr = BaseASR(Config())
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    assert asr.speech_start_ts is not None
+    # engine ships the first frame and clears the clock
+    asr.speech_start_ts = None
+    # the TTS keeps streaming the same utterance: no re-arm
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    assert asr.speech_start_ts is None
+    # drain the utterance; the queue-empty silence ends the speech run
+    for _ in range(3):
+        frame, ftype = asr.get_audio_frame()
+        assert ftype == 0
+    frame, ftype = asr.get_audio_frame()
+    assert ftype == 1  # silence synthesized
+    # next utterance arms a fresh clock
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    assert asr.speech_start_ts is not None
