@@ -185,25 +185,86 @@ def deepspeech_apply(params: dict, x):
     return h @ params["h6"] + params["b6"]
 
 
+def _lstm_scan_np(kernel, bias, xs, reverse: bool = False):
+    units = kernel.shape[1] // 4
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+    c = np.zeros(units, xs.dtype)
+    h = np.zeros(units, xs.dtype)
+    out = np.empty((len(xs), units), xs.dtype)
+    order = range(len(xs) - 1, -1, -1) if reverse else range(len(xs))
+    for t in order:
+        z = np.concatenate([xs[t], h]) @ kernel + bias
+        i, j, f, o = np.split(z, 4)
+        c = c * sig(f + FORGET_BIAS) + sig(i) * np.tanh(j)
+        h = np.tanh(c) * sig(o)
+        out[t] = h
+    return out
+
+
+def deepspeech_apply_np(params: dict, x: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of deepspeech_apply: a dependency-free host fallback.
+    NOT fast — the bidirectional LSTM is 2048 wide (~1.9 GFLOP per 27-step
+    window, ~1 s single-threaded), so this path is for environments without
+    a usable accelerator, not for live serving (which uses the jitted path
+    with return_device=True to keep logits in HBM)."""
+    clip = lambda h: np.clip(h, 0.0, RELU_CLIP)
+    h = clip(x @ params["h1"] + params["b1"])
+    h = clip(h @ params["h2"] + params["b2"])
+    h = clip(h @ params["h3"] + params["b3"])
+    fw = _lstm_scan_np(params["lstm_fw_kernel"], params["lstm_fw_bias"], h)
+    bw = _lstm_scan_np(params["lstm_bw_kernel"], params["lstm_bw_bias"], h,
+                       reverse=True)
+    h = np.concatenate([fw, bw], -1)
+    h = clip(h @ params["h5"] + params["b5"])
+    return h @ params["h6"] + params["b6"]
+
+
 def deepspeech_logits_fn(pb_path: Optional[str] = None,
-                         params: Optional[dict] = None) -> Callable:
+                         params: Optional[dict] = None,
+                         device: Optional[str] = None,
+                         return_device: bool = False) -> Callable:
     """Returns fn(pcm_float32_16k) -> [T50, 29] logits at 50 Hz — plugs
-    straight into tools/nerf_data.audio_features(logits_fn=...)."""
-    import jax
-    import jax.numpy as jnp
+    straight into tools/nerf_data.audio_features(logits_fn=...).
+
+    device: None (default) uses the jitted accelerator path — the right
+    choice for both offline feature extraction over whole tracks
+    (tools/nerf_data.py) and live serving. "host" runs in pure numpy
+    (dependency-free fallback; the DeepSpeech LSTM is 2048 wide — ~1 s per
+    window single-threaded, so never use it for long tracks or live paths).
+
+    return_device: skip the host readback and return the logits as a DEVICE
+    array — the live-serving path: NerfASR flushes these straight into its
+    device feature ring, so audio features never cross back to the host
+    (through the remote TPU tunnel a per-window readback is a blocking
+    round-trip). Implies the accelerator path."""
 
     if params is None:
         if pb_path is None:
             raise ValueError("deepspeech_logits_fn needs pb_path or params")
         params = params_from_graph(read_graph_constants(pb_path))
+
+    if device == "host" and not return_device:
+        np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+
+        def fn(pcm: np.ndarray) -> np.ndarray:
+            audio = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+            vec = input_vector(audio)
+            return deepspeech_apply_np(np_params, vec.astype(np.float32))
+
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
     dev_params = jax.device_put(
         {k: jnp.asarray(v, jnp.float32) for k, v in params.items()})
     run = jax.jit(deepspeech_apply)
 
-    def fn(pcm: np.ndarray) -> np.ndarray:
+    def fn(pcm: np.ndarray):
         audio = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
         vec = input_vector(audio)
-        return np.asarray(run(dev_params, jnp.asarray(vec, jnp.float32)))
+        out = run(dev_params, jnp.asarray(vec, jnp.float32))
+        return out if return_device else np.asarray(out)
 
     return fn
 

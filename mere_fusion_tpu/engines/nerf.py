@@ -13,7 +13,6 @@ logits per window (a deterministic fake drives tests).
 from __future__ import annotations
 
 import asyncio
-import queue
 import time
 from functools import partial
 from threading import Thread
@@ -104,11 +103,16 @@ class NerfASR(BaseASR):
     attention stack advancing 2 rows (one video frame) per call.
     """
 
-    def __init__(self, cfg: Config, parent, logits_fn: Callable, att: int = 2):
+    def __init__(self, cfg: Config, parent, logits_fn: Callable, att: int = 2,
+                 device_logits_fn: Optional[Callable] = None):
         super().__init__(cfg, parent)
         self.audio_dim = cfg.nerf.audio_in_dim
         self.context_size = cfg.stride.mid
         self.logits_fn = logits_fn
+        # same function as logits_fn but returning a DEVICE [T, dim] array:
+        # once the device ring is live, flushes go straight from the CTC
+        # net's output into the ring with zero host readback
+        self.device_logits_fn = device_logits_fn
         self.att = att
         # pad left
         self.frames.extend(
@@ -127,20 +131,21 @@ class NerfASR(BaseASR):
         self.warm_up_steps = (
             self.context_size + self.stride_left_size + self.stride_right_size
         )
+        # device-resident mirror of the feature ring (lazy; see
+        # get_next_feat_device): per flush only the [context, dim] block
+        # (~1 KB) ships to HBM instead of a [8, dim, 16] window (~90 KB)
+        # per FRAME — through the remote tunnel that upload was ~7 ms/frame
+        self._ring_dev = None
+        self._att_idx: Optional[list] = None
+        self._window_fn = None
+        self._update_fn = None
+        self._flush_fn = None
+        self._host_ring_stale = False
 
-    def get_audio_frame(self):
-        self.consumed_seq += 1
-        try:
-            frame = self.queue.get(block=False)
-            ftype = 0
-        except queue.Empty:
-            if self.parent and self.parent.curr_state > 1:
-                frame = self.parent.get_audio_stream(self.parent.curr_state)
-                ftype = self.parent.curr_state
-            else:
-                frame = np.zeros(self.chunk, np.float32)
-                ftype = 1
-        return frame, ftype
+    # non-blocking pull: NerfASR runs inside the render loop (2 steps per
+    # video frame) and must synthesize silence immediately rather than wait
+    # (the base get_audio_frame handles the shared silence/_in_speech logic)
+    queue_timeout = None
 
     def run_step(self) -> None:
         frame, ftype = self.get_audio_frame()
@@ -151,15 +156,34 @@ class NerfASR(BaseASR):
             return
         audio = np.concatenate(self.frames)
         self.frames = self.frames[-(self.stride_left_size + self.stride_right_size):]
+        start = self.feat_buffer_idx * self.context_size
+        self.feat_buffer_idx = (self.feat_buffer_idx + 1) % self.feat_buffer_size
+        if self._ring_dev is not None and self.device_logits_fn is not None:
+            # fully device-resident flush: the CTC logits stay in HBM and
+            # slide into the ring without ever crossing back to the host
+            logits_dev = self.device_logits_fn(audio)
+            self._ring_dev = self._flush_fn(
+                self._ring_dev, logits_dev, np.int32(start))
+            self._host_ring_stale = True
+            return
         logits = self.logits_fn(audio)  # [T, audio_dim]
         feats = logits[self.stride_left_size : self.stride_left_size + self.context_size]
-        start = self.feat_buffer_idx * self.context_size
         self.feat_ring[start : start + feats.shape[0]] = feats
-        self.feat_buffer_idx = (self.feat_buffer_idx + 1) % self.feat_buffer_size
+        if self._ring_dev is not None:
+            # mirror the freshly written block (rows [start, start+context) —
+            # always un-wrapped: the ring length is a multiple of context)
+            block = jnp.asarray(
+                self.feat_ring[start : start + self.context_size])
+            self._ring_dev = self._update_fn(
+                self._ring_dev, block, np.int32(start))
 
     def _ring_window(self) -> np.ndarray:
+        # .copy(): a plain slice would ALIAS the ring, retroactively mutating
+        # stored att windows when the writer laps them (the reference's torch
+        # slicing has that artifact, nerfasr.py:75-103 — it leaks future
+        # audio into past windows, which training-time features never do)
         if self.front < self.tail:
-            feat = self.feat_ring[self.front : self.tail]
+            feat = self.feat_ring[self.front : self.tail].copy()
         else:
             feat = np.concatenate(
                 [self.feat_ring[self.front :], self.feat_ring[: self.tail]]
@@ -171,6 +195,10 @@ class NerfASR(BaseASR):
 
     def get_next_feat(self) -> np.ndarray:
         """[8, audio_dim, 16] attention stack (nerfasr.py:75-103)."""
+        if self._host_ring_stale:
+            raise RuntimeError(
+                "host feature ring is stale: this NerfASR flushes features "
+                "device-side (device_logits_fn) — use get_next_feat_device()")
         if self.att > 0:
             while len(self.att_feats) < 8:
                 self.att_feats.append(self._ring_window())
@@ -179,15 +207,72 @@ class NerfASR(BaseASR):
             return out
         return self._ring_window()[None]
 
+    # ---- device-resident variant (TPU-native: the window never leaves HBM)
+
+    def _ring_indices(self) -> np.ndarray:
+        """Row indices the next _ring_window would read; advances the same
+        front/tail counters (use ONE of the host/device paths per engine)."""
+        nrows = self.feat_ring.shape[0]
+        if self.front < self.tail:
+            idx = np.arange(self.front, self.tail)
+        else:
+            idx = np.concatenate(
+                [np.arange(self.front, nrows), np.arange(0, self.tail)])
+        self.front = (self.front + 2) % nrows
+        self.tail = (self.tail + 2) % nrows
+        return idx.astype(np.int32)
+
+    def get_next_feat_device(self) -> jnp.ndarray:
+        """get_next_feat computed on device from the mirrored ring: only a
+        [16] int index vector ships per window. Each window is SNAPSHOT on
+        device at capture time (like the host att_feats list — later ring
+        overwrites must not leak into already-captured windows). Returns a
+        device [8, audio_dim, 16] array identical to the host stack."""
+        if self._ring_dev is None:
+            self._ring_dev = jax.device_put(jnp.asarray(self.feat_ring))
+            zero = jnp.zeros((self.audio_dim, 16), jnp.float32)
+            self._att_idx = [zero] * len(self.att_feats)  # device snapshots
+            self._update_fn = jax.jit(
+                lambda ring, block, s:
+                jax.lax.dynamic_update_slice(ring, block, (s, jnp.int32(0))))
+            left, ctx = self.stride_left_size, self.context_size
+            self._flush_fn = jax.jit(
+                lambda ring, logits, s: jax.lax.dynamic_update_slice(
+                    ring,
+                    jax.lax.dynamic_slice(
+                        logits.astype(jnp.float32), (left, 0),
+                        (ctx, ring.shape[1])),
+                    (s, jnp.int32(0))))
+            self._window_fn = jax.jit(
+                lambda ring, idx: jnp.take(ring, idx, axis=0).T)
+            self._stack_fn = jax.jit(lambda *ws: jnp.stack(ws))
+        while len(self._att_idx) < 8:
+            self._att_idx.append(
+                self._window_fn(self._ring_dev,
+                                jnp.asarray(self._ring_indices())))
+        out = self._stack_fn(*self._att_idx)
+        self._att_idx = self._att_idx[1:]
+        return out
+
     def warm_up(self) -> None:
         for _ in range(self.warm_up_steps):
             self.run_step()
 
 
+# audio-code EMA coefficient (reference renderer.py:190-194, lambda=0.35);
+# shared by the plain path (make_enc_a_smoother) and the functionalized
+# in-jit form in engines/nerf_pallas.frame_fn
+ENC_A_EMA = 0.35
+
+
+def smooth_enc_a_fn(prev, enc_a):
+    """One EMA step — pure, usable under jit (prev may be a traced array)."""
+    return ENC_A_EMA * prev + (1.0 - ENC_A_EMA) * enc_a
+
+
 def make_enc_a_smoother(enabled: bool):
-    """Per-pipeline audio-code EMA (reference renderer.py:190-194,
-    lambda=0.35). Returns smooth(enc_a) holding its own state; identity
-    when disabled."""
+    """Per-pipeline audio-code EMA. Returns smooth(enc_a) holding its own
+    state; identity when disabled."""
     state = {"enc_a": None}
 
     def smooth(enc_a):
@@ -195,7 +280,7 @@ def make_enc_a_smoother(enabled: bool):
             return enc_a
         prev = state["enc_a"]
         if prev is not None:
-            enc_a = 0.35 * prev + 0.65 * enc_a
+            enc_a = smooth_enc_a_fn(prev, enc_a)
         state["enc_a"] = enc_a
         return enc_a
 
@@ -341,6 +426,7 @@ class NeRFReal(BaseReal):
                  variables=None, dataset: NeRFTestDataset | None = None,
                  density: DensityGrid | None = None,
                  logits_fn: Callable | None = None,
+                 device_logits_fn: Callable | None = None,
                  fullbody_frames: Optional[list] = None,
                  fullbody_offset=(0, 0),
                  custom_opts: list[dict] | None = None,
@@ -371,6 +457,12 @@ class NeRFReal(BaseReal):
             raise ValueError("NeRFReal requires a NeRFTestDataset")
         self.dataset = dataset
         self.loader = iter(dataset)
+        # the background frame is static per dataset — upload it ONCE; a
+        # naive per-frame jnp.asarray of the [H*W, 3] float background is a
+        # ~3 MB host->device transfer per frame through the tunnel (~100 ms)
+        self._bg_dev = jax.device_put(
+            jnp.asarray(np.asarray(dataset.bg_img, np.float32).reshape(-1, 3))
+        )
         self.density = density or DensityGrid.create(nc.grid_size)
         self.fullbody_frames = fullbody_frames
         self.fullbody_offset = fullbody_offset
@@ -398,7 +490,8 @@ class NeRFReal(BaseReal):
             self._render_step = make_nerf_render_step(
                 network, variables, dataset, cfg, baked=baked
             )
-        self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim))
+        self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim),
+                           device_logits_fn=device_logits_fn)
         self.asr.warm_up()
         # interactive free camera (the reference GUI's orbit viewer,
         # gui.py:12-69); None = follow the dataset's camera path
@@ -432,7 +525,9 @@ class NeRFReal(BaseReal):
             data = dict(data)
             data["pose"] = jnp.asarray(self.orbit.pose)
             data["span_key"] = None
-        auds = self.asr.get_next_feat()
+        auds = (self.asr.get_next_feat_device()
+                if self._pallas_mode and self.asr.att > 0
+                else self.asr.get_next_feat())
 
         audio_frames = [self.asr.get_audio_out() for _ in range(2)]
         if self.asr.is_stale_silence(audio_frames):
@@ -466,7 +561,7 @@ class NeRFReal(BaseReal):
             if self._pallas_mode:
                 rgb, n_active, n_overflow = self._render_step(
                     data["pose"], jnp.asarray(auds), jnp.asarray(data["eye"]),
-                    self.density, jnp.asarray(data["bg_color"]),
+                    self.density, self._bg_dev,
                     pose_key=data.get("span_key", data.get("index")),
                 )
                 rgb = np.asarray(rgb)
@@ -477,7 +572,7 @@ class NeRFReal(BaseReal):
                     self._render_step(
                         data["pose"], jnp.asarray(auds),
                         jnp.asarray(data["eye"]),
-                        self.density, jnp.asarray(data["bg_color"]),
+                        self.density, self._bg_dev,
                     )
                 )
             metrics.latency("nerf.render").observe(time.perf_counter() - t0)

@@ -100,54 +100,13 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         return (jnp.stack([zmin, zmax], -1).astype(jnp.float16),
                 valid.any(-1) & ray_valid)
 
-    @jax.jit
-    def stage_plan(pose, spans, valid):
-        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
-        d_t = tile(rays_d)
-        o_t = tile(rays_o)
-        sp = tile(spans.astype(jnp.float32))
-        va = tile(valid)
-        zmin, zmax = sp[..., 0], sp[..., 1]
-        kfrac = jnp.linspace(0.0, 1.0, k)
-        z = zmin[..., None] + (zmax - zmin)[..., None] * kfrac  # [T, rpt, K]
-        dt = ((zmax - zmin) / k)[..., None]
-        xyz = jnp.clip(
-            o_t[:, :, None] + d_t[:, :, None] * z[..., None], -bound, bound
-        )
-        valid_k = jnp.broadcast_to(va[..., None], (t, rpt, k))
-        scalars, uv, active, overflow = plan_jobs(
-            xyz.reshape(t, rpt * k, 3), valid_k, spec, bound
-        )
-        order = jnp.argsort(~active)
-        sel = order[:budget]
-        return {
-            "scalars": scalars[sel].reshape(-1),
-            "uv": uv[sel].reshape(budget * 3, spec.kg, spec.sg, 2),
-            "sel": sel,
-            "n_active": active.sum(),
-            "n_overflow": (overflow & active[:, None]).sum(),
-            "z": z[sel], "dt": dt[sel], "valid": valid_k[sel],
-            "dirs": d_t[sel],
-        }
+    from mere_fusion_tpu.engines.nerf import (
+        make_enc_a_smoother,
+        smooth_enc_a_fn,
+    )
 
-    @jax.jit
-    def stage_encode(planes_major, scalars, uv):
-        feats = sample_tiles(planes_major, scalars, uv, spec,
-                             interpret=interpret)
-        return regroup_features(feats, spec)          # [B, rpt, k, 3C]
-
-    @jax.jit
-    def conditions(variables, auds):
-        enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
-        ind = (
-            network.apply(variables, 0, method=NeRFNetwork.individual_code)
-            if network.cfg.individual_dim > 0 else None
-        )
-        return enc_a, ind
-
-    from mere_fusion_tpu.engines.nerf import make_enc_a_smoother
-
-    smooth_enc_a = make_enc_a_smoother(getattr(nc, "smooth_lips", False))
+    smooth_enabled = bool(getattr(nc, "smooth_lips", False))
+    smooth_enc_a = make_enc_a_smoother(smooth_enabled)
     smooth_state = smooth_enc_a.state  # introspectable for tests
 
     # head MLPs in bf16 at inference (sigma/color are 64-wide matmuls; the
@@ -155,8 +114,59 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     shade_net = (NeRFNetwork(network.cfg, dtype=jnp.bfloat16)
                  if nc.shade_dtype == "bfloat16" else network)
 
+    # ONE jitted program per frame: plan + Pallas encode + audio conditions
+    # (with the EMA smoothing functionalized) + shade + composite. Through
+    # the remote-device tunnel every extra dispatch costs host round-trip
+    # and transfer latency, so the whole frame ships as a single executable.
     @jax.jit
-    def stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg_color):
+    def frame_fn(variables, planes_major, pose, spans, valid, auds, eye,
+                 bg_color, prev_enc_a, have_prev):
+        # ---- audio conditions (+ reference renderer.py:190-194 EMA)
+        enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
+        if smooth_enabled:
+            enc_a = jnp.where(have_prev, smooth_enc_a_fn(prev_enc_a, enc_a),
+                              enc_a)
+        ind = (
+            network.apply(variables, 0, method=NeRFNetwork.individual_code)
+            if network.cfg.individual_dim > 0 else None
+        )
+
+        # ---- plan: compact tiles FIRST (active = any valid ray — knowable
+        # before any sample math), then build positions/jobs for only the
+        # budgeted tiles: 4x less planning VPU work at full occupancy
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        d_t = tile(rays_d)
+        o_t = tile(rays_o)
+        sp = tile(spans.astype(jnp.float32))
+        va = tile(valid)
+        active = va.any(axis=1)                            # [T]
+        _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
+        n_active = active.sum()
+
+        va_s = va[sel]
+        zmin, zmax = sp[sel][..., 0], sp[sel][..., 1]      # [B, rpt]
+        kfrac = jnp.linspace(0.0, 1.0, k)
+        z = zmin[..., None] + (zmax - zmin)[..., None] * kfrac  # [B, rpt, K]
+        dt = ((zmax - zmin) / k)[..., None]
+        xyz = jnp.clip(
+            o_t[sel][:, :, None] + d_t[sel][:, :, None] * z[..., None],
+            -bound, bound,
+        )
+        valid_k = jnp.broadcast_to(va_s[..., None], (budget, rpt, k))
+        scalars, uv, _, overflow = plan_jobs(
+            xyz.reshape(budget, rpt * k, 3), valid_k, spec, bound
+        )
+        n_overflow = (overflow & active[sel][:, None]).sum()
+
+        # ---- encode: windowed two-hot MXU sampling of the selected tiles
+        feats = sample_tiles(
+            planes_major, scalars.reshape(-1),
+            uv.reshape(budget * 3, spec.kg, spec.sg, 2), spec,
+            interpret=interpret,
+        )
+        enc = regroup_features(feats, spec)            # [B, rpt, k, 3C]
+
+        # ---- shade + composite
         if network.cfg.torso:
             def torso_fn(x, p):
                 c = (variables["params"]["individual_codes_torso"][:1]
@@ -167,10 +177,9 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             bg_color, _ = render_torso_background(
                 torso_fn, H, W, jnp.asarray(pose), bg_color
             )
-        sel = plan["sel"]
         m = budget * rpt
         dirs = jnp.broadcast_to(
-            plan["dirs"][:, :, None, :], (budget, rpt, k, 3)
+            d_t[sel][:, :, None, :], (budget, rpt, k, 3)
         ).reshape(-1, 3)
         sigma, color, amb_aud, amb_eye, unc = shade_net.apply(
             variables, enc.reshape(-1, 3 * channels), dirs, enc_a, ind, eye,
@@ -181,15 +190,20 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
         out = composite(
             sigma.reshape(m, k), color.reshape(m, k, 3),
-            plan["z"].reshape(m, k), plan["dt"].reshape(m, 1),
-            plan["valid"].reshape(m, k), bg_t[sel].reshape(m, 3),
+            z.reshape(m, k), dt.reshape(m, 1),
+            valid_k.reshape(m, k), bg_t[sel].reshape(m, 3),
         )
         # scatter compacted tiles back over a background-filled frame
         img_t = bg_t.at[sel].set(out["image"].reshape(budget, rpt, 3))
         img = jnp.clip(untile(img_t).reshape(H, W, 3), 0.0, 1.0)
-        return (img * 255).astype(jnp.uint8)
+        img = (img * 255).astype(jnp.uint8)
+        return img, enc_a, n_active, n_overflow
 
     span_cache: dict = {}
+    enc_a_shape = jax.eval_shape(
+        lambda a: network.apply(variables, a, method=NeRFNetwork.encode_audio),
+        jnp.zeros((8, network.cfg.audio_in_dim, 16)),
+    )
 
     def step(pose, auds, eye, density, bg, pose_key=None):
         if pose_key is not None and pose_key in span_cache:
@@ -198,11 +212,17 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             spans, valid = span_fn(pose, density)
             if pose_key is not None:
                 span_cache[pose_key] = (spans, valid)
-        plan = stage_plan(pose, spans, valid)
-        enc = stage_encode(planes_major, plan["scalars"], plan["uv"])
-        enc_a, ind = conditions(variables, auds)
-        enc_a = smooth_enc_a(enc_a)
-        img = stage_shade(variables, plan, enc, pose, enc_a, ind, eye, bg)
-        return img, plan["n_active"], plan["n_overflow"]
+        prev = smooth_enc_a.state["enc_a"]
+        have_prev = prev is not None
+        if not have_prev:
+            prev = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
+        img, enc_a, n_active, n_overflow = frame_fn(
+            variables, planes_major, pose, spans, valid, jnp.asarray(auds),
+            jnp.asarray(eye), jnp.asarray(bg), prev,
+            jnp.asarray(have_prev),
+        )
+        if smooth_enabled:
+            smooth_enc_a.state["enc_a"] = enc_a
+        return img, n_active, n_overflow
 
     return step

@@ -196,3 +196,33 @@ def test_params_from_graph_full_mapping(tmp_path):
             consts["bidirectional_rnn/bw/basic_lstm_cell/bias"])
     finally:
         ds.PARAM_SHAPES = orig
+
+
+def test_numpy_host_path_matches_jax():
+    """deepspeech_apply_np (the live-serving host path) must match the
+    jitted deepspeech_apply bit-close."""
+    import jax.numpy as jnp
+
+    from mere_fusion_tpu.audio.deepspeech import (
+        deepspeech_apply,
+        deepspeech_apply_np,
+        init_params,
+    )
+
+    params = init_params(np.random.default_rng(7), scale=0.05)
+    x = np.random.default_rng(8).standard_normal((27, 494)).astype(np.float32)
+    want = np.asarray(deepspeech_apply(
+        {k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(x)))
+    got = deepspeech_apply_np(params, x)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_logits_fn_host_device_agree():
+    from mere_fusion_tpu.audio.deepspeech import deepspeech_logits_fn, init_params
+
+    params = init_params(np.random.default_rng(9), scale=0.05)
+    pcm = (0.3 * np.sin(np.linspace(0, 440 * 6.28, 8960))).astype(np.float32)
+    host = deepspeech_logits_fn(params=params, device="host")(pcm)
+    dev = deepspeech_logits_fn(params=params, device=None)(pcm)
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=3e-5)

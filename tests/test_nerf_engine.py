@@ -187,3 +187,87 @@ def test_smooth_lips_ema_on_audio_code(dataset):
         method=engine.network.encode_audio))
     want = 0.35 * first + 0.65 * enc_b_raw
     np.testing.assert_allclose(np.asarray(state["enc_a"]), want, atol=1e-5)
+
+
+def test_device_feature_ring_matches_host_windows():
+    """get_next_feat_device (device-resident ring) returns the exact windows
+    the host get_next_feat builds, through warm-up zeros, ring wrap-around,
+    and live speech."""
+    rng = np.random.default_rng(3)
+
+    def make():
+        asr = NerfASR(CFG, None, fake_logits_fn(CFG.nerf.audio_in_dim))
+        asr.warm_up()
+        return asr
+
+    host, dev = make(), make()
+    # force the device mirror alive from the first window
+    for step in range(30):
+        chunk = rng.uniform(-0.5, 0.5, 320).astype(np.float32)
+        for a in (host, dev):
+            a.put_audio_frame(chunk.copy())
+            a.run_step()
+            a.put_audio_frame(chunk.copy())
+            a.run_step()
+        want = host.get_next_feat()
+        got = np.asarray(dev.get_next_feat_device())
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {step}")
+
+
+def test_device_flush_path_matches_host_and_guards_host_reads():
+    """With device_logits_fn, post-activation flushes go straight into the
+    device ring (no host readback); windows still match the host-path
+    instance, and host get_next_feat refuses stale reads."""
+    import jax.numpy as jnp
+
+    fake = fake_logits_fn(CFG.nerf.audio_in_dim)
+    host = NerfASR(CFG, None, fake)
+    dev = NerfASR(CFG, None, fake,
+                  device_logits_fn=lambda a: jnp.asarray(fake(a)))
+    for a in (host, dev):
+        a.warm_up()
+    dev.get_next_feat_device()  # activates the device ring
+    host.get_next_feat()        # keep the two state machines in lockstep
+
+    rng = np.random.default_rng(5)
+    stale_seen = False
+    for step in range(20):
+        chunk = rng.uniform(-0.5, 0.5, 320).astype(np.float32)
+        for a in (host, dev):
+            for _ in range(2):
+                a.put_audio_frame(chunk.copy())
+                a.run_step()
+        want = host.get_next_feat()
+        got = np.asarray(dev.get_next_feat_device())
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"frame {step}")
+        if dev._host_ring_stale:
+            stale_seen = True
+    assert stale_seen
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="stale"):
+        dev.get_next_feat()
+
+
+def test_nerf_asr_rearms_first_frame_clock_between_utterances():
+    """NerfASR (non-blocking get_audio_frame) shares the silence→speech
+    transition logic with BaseASR: after an utterance drains, the next
+    utterance must arm a fresh speech_start_ts (regression: the old
+    get_audio_frame override skipped the _in_speech reset, so the
+    audio-to-first-frame metric recorded exactly one sample per process)."""
+    asr = NerfASR(CFG, None, fake_logits_fn(CFG.nerf.audio_in_dim))
+    speech = np.ones(asr.chunk, np.float32)
+
+    asr.put_audio_frame(speech)
+    assert asr.speech_start_ts is not None
+    asr.speech_start_ts = None  # engine shipped the first frame
+    # utterance still streaming: no re-arm
+    asr.put_audio_frame(speech)
+    assert asr.speech_start_ts is None
+    # drain both queued chunks, then synthesize silence (queue empty)
+    for want in (0, 0, 1):
+        _, ftype = asr.get_audio_frame()
+        assert ftype == want
+    # next utterance: fresh clock
+    asr.put_audio_frame(speech)
+    assert asr.speech_start_ts is not None
