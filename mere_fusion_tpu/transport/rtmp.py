@@ -64,6 +64,7 @@ class RtmpStreamer:
         # a thread so construction doesn't deadlock if ffmpeg dies early
         self._audio_fh = None
         self._audio_ready = threading.Event()
+        self._audio_failed = False
 
         def _open_fifo():
             try:
@@ -86,7 +87,24 @@ class RtmpStreamer:
                 self._proc.stdin.write(np.ascontiguousarray(image).tobytes())
 
     def stream_frame_audio(self, chunk: np.ndarray) -> None:
-        if not self._audio_ready.wait(timeout=5) or self._audio_fh is None:
+        # wait generously for a cold ffmpeg to open the fifo (silently
+        # dropping audio until then would desync the stream permanently),
+        # but poll process liveness so a dead ffmpeg — which never opens the
+        # fifo — fails each call in ~1 s instead of stalling 30 s per chunk
+        if self._audio_failed:
+            return
+        deadline = 30.0
+        while not self._audio_ready.wait(timeout=min(1.0, deadline)):
+            deadline -= 1.0
+            if self._proc.poll() is not None or deadline <= 0:
+                import logging
+
+                self._audio_failed = True  # latch: don't re-wait per chunk
+                logging.getLogger(__name__).warning(
+                    "rtmp audio fifo not ready (ffmpeg %s) — dropping audio",
+                    "exited" if self._proc.poll() is not None else "slow")
+                return
+        if self._audio_fh is None:
             return
         pcm = np.clip(chunk, -1.0, 1.0)
         self._audio_fh.write((pcm * 32767).astype(np.int16).tobytes())
@@ -98,6 +116,9 @@ class RtmpStreamer:
                     self._proc.stdin.close()
                 except BrokenPipeError:
                     pass
+        # the opener thread may still be inside open(); give it a moment so
+        # the reader sees a clean EOF instead of a leaked writer
+        self._audio_ready.wait(timeout=1)
         if self._audio_fh is not None:
             try:
                 self._audio_fh.close()
