@@ -27,6 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# sitecustomize pre-imports jax, freezing env-var config — set the
+# persistent compile cache through the live config too (CLAUDE.md)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def bench_wav2lip() -> dict:
