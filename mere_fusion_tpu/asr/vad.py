@@ -31,21 +31,27 @@ def speech_segments(
     sample_rate: int = SAMPLE_RATE,
     abs_floor_db: float = -45.0,
     rel_margin_db: float = 6.0,
+    always_speech_db: float = -35.0,
     hang_frames: int = 5,
     min_frames: int = 3,
 ) -> list[tuple[float, float]]:
     """Speech spans [(beg_s, end_s), ...] from an energy gate.
 
     A frame is speech when its energy exceeds both an absolute floor and the
-    adaptive noise floor (10th percentile) plus a margin. Speech runs are
-    dilated by ``hang_frames`` on each side (onset/offset hangover) and runs
-    shorter than ``min_frames`` are dropped as clicks.
+    adaptive noise floor (10th percentile) plus a margin. The adaptive
+    threshold is capped at ``always_speech_db``: when a buffer is
+    wall-to-wall speech the 10th percentile IS speech energy, and an uncapped
+    floor+margin would classify the whole buffer as silence and drop the
+    transcript — frames this loud are speech no matter what the quietest
+    frames look like. Speech runs are dilated by ``hang_frames`` on each side
+    (onset/offset hangover) and runs shorter than ``min_frames`` are dropped
+    as clicks.
     """
     e = frame_energies_db(audio)
     if len(e) == 0:
         return []
     floor = float(np.percentile(e, 10))
-    thresh = max(abs_floor_db, floor + rel_margin_db)
+    thresh = max(abs_floor_db, min(floor + rel_margin_db, always_speech_db))
     mask = e > thresh
 
     segs: list[tuple[float, float]] = []

@@ -68,6 +68,14 @@ class BaseASR:
     # silence; None = non-blocking (NerfASR polls at frame rate and must
     # never stall the render loop)
     queue_timeout: float | None = 0.01
+    # consecutive empty polls (20 ms chunks apiece) before the utterance is
+    # considered over and the next put arms a fresh speech clock. A single
+    # empty poll is routinely just the consumer bursting one chunk ahead of a
+    # real-time TTS stream — clearing on it would re-arm mid-utterance and
+    # fill the first-frame metric with tiny bogus samples. 10 chunks = 200 ms
+    # of genuine silence.
+    silence_rearm_chunks: int = 10
+    _silence_run: int = 0
 
     def get_audio_frame(self) -> tuple[np.ndarray, int]:
         self.consumed_seq += 1
@@ -77,8 +85,11 @@ class BaseASR:
             else:
                 frame = self.queue.get(block=True, timeout=self.queue_timeout)
             ftype = 0
+            self._silence_run = 0
         except queue.Empty:
-            self._in_speech = False  # drained: next put is a fresh utterance
+            self._silence_run += 1
+            if self._silence_run >= self.silence_rearm_chunks:
+                self._in_speech = False  # drained: next put starts an utterance
             if self.parent and self.parent.curr_state > 1:
                 frame = self.parent.get_audio_stream(self.parent.curr_state)
                 ftype = self.parent.curr_state

@@ -496,6 +496,8 @@ class NeRFReal(BaseReal):
         # interactive free camera (the reference GUI's orbit viewer,
         # gui.py:12-69); None = follow the dataset's camera path
         self.orbit = None
+        # frames until the next active/overflow gauge readback (see test_step)
+        self._telemetry_countdown = 0
 
     def set_orbit_camera(self, enable: bool = True):
         """Toggle the interactive orbit camera. Returns the OrbitCamera (or
@@ -565,8 +567,22 @@ class NeRFReal(BaseReal):
                     pose_key=data.get("span_key", data.get("index")),
                 )
                 rgb = np.asarray(rgb)
-                metrics.gauge("nerf.active_tiles", int(n_active))
-                metrics.gauge("nerf.overflow_jobs", int(n_overflow))
+                # throttled: each int() is its own device->host round-trip
+                # (~20-30 ms through the remote tunnel — more than the whole
+                # 28 ms frame budget if paid every frame); 1 Hz telemetry is
+                # plenty for a gauge
+                self._telemetry_countdown -= 1
+                if self._telemetry_countdown <= 0:
+                    self._telemetry_countdown = self.fps
+                    active = int(n_active)
+                    metrics.gauge("nerf.active_tiles", active)
+                    # overflow_jobs covers the BUDGETED tiles only (the
+                    # planner never sees unselected ones); dropped_tiles is
+                    # the first-order quality signal when active > budget
+                    metrics.gauge("nerf.overflow_jobs", int(n_overflow))
+                    metrics.gauge(
+                        "nerf.dropped_tiles",
+                        max(0, active - self.cfg.nerf.tile_budget))
             else:
                 rgb = np.asarray(
                     self._render_step(

@@ -23,7 +23,10 @@ changes measured to matter:
 
 Samples that leave their texture window clamp to its edge; the planner
 reports the overflow-job fraction through runtime metrics so the
-degradation is observable rather than silent.
+degradation is observable rather than silent. Since tiles are compacted
+BEFORE sample planning, n_overflow covers the budgeted tiles only — the
+engine additionally reports nerf.dropped_tiles (active minus budget) as the
+first-order quality signal for overloaded frames.
 """
 from __future__ import annotations
 

@@ -36,6 +36,12 @@ class Session:
         self.video_upstream = None
         self._consumers: list[asyncio.Task] = []
         self._pcs: list = []
+        self._closed = False
+        # set by SessionManager: async () -> bool, removes this session from
+        # the manager's registry and closes it (the reference "discards" the
+        # session on connection death, app.py:406-478 — close alone would
+        # leak the max_sessions slot and the active gauge)
+        self._manager_discard = None
 
     def ensure_upstream(self) -> None:
         """Build the cognition plane lazily (first incoming track): incoming
@@ -66,17 +72,23 @@ class Session:
     async def start(self) -> None:
         mode = self.cfg.transport.mode
         self.player = HumanPlayer(self.model)
-        if mode == "loopback":
-            self._consumers = [
-                asyncio.create_task(self._drain(self.player.audio)),
-                asyncio.create_task(self._drain(self.player.video)),
-            ]
-        elif mode == "webrtc":
-            await self._start_webrtc()
-        elif mode == "rtmp":
-            await self._start_rtmp()
-        else:
-            raise ValueError(f"unsupported transport mode {mode!r}")
+        try:
+            if mode == "loopback":
+                self._consumers = [
+                    asyncio.create_task(self._drain(self.player.audio)),
+                    asyncio.create_task(self._drain(self.player.video)),
+                ]
+            elif mode == "webrtc":
+                await self._start_webrtc()
+            elif mode == "rtmp":
+                await self._start_rtmp()
+            else:
+                raise ValueError(f"unsupported transport mode {mode!r}")
+        except Exception:
+            # half-built transports (e.g. a negotiated consume_pc when the
+            # produce negotiation fails) must not leak live connections
+            await self.close()
+            raise
         metrics.counter("sessions.started")
 
     # ---- RTMP push (reference app.py:699, nerfreal.py:89-124 — vestigial
@@ -129,10 +141,12 @@ class Session:
         sid = self.session_id
 
         def on_dead(state: str):
-            return self.close()
+            return self.discard()
 
         # pull the caller's stream
         consume_pc = pc_factory()
+        self._pcs.append(consume_pc)  # registered pre-negotiation: a failed
+        # later step must still reach this pc on close()
         consume_pc.addTransceiver("audio", direction="recvonly")
         consume_pc.addTransceiver("video", direction="recvonly")
 
@@ -151,6 +165,7 @@ class Session:
 
         # push the avatar stream
         produce_pc = pc_factory()
+        self._pcs.append(produce_pc)
         produce_pc.addTrack(self.player.audio)
         produce_pc.addTrack(self.player.video)
         attach_state_watcher(produce_pc, on_dead, label=f"produce/{sid}")
@@ -159,9 +174,21 @@ class Session:
             f"webrtc://localhost/live/processed_stream_{sid}",
             post_json=post_json, make_answer=make_answer,
         )
-        self._pcs = [consume_pc, produce_pc]
+
+    async def discard(self) -> None:
+        """Close AND deregister (the connection-death path): via the manager
+        when registered there, so the max_sessions slot and the active gauge
+        are released; falls back to a bare close for unmanaged sessions or
+        deaths that race session startup."""
+        if self._manager_discard is not None:
+            if await self._manager_discard():
+                return
+        await self.close()
 
     async def close(self) -> None:
+        if self._closed:  # idempotent: watcher teardown may race stop_session
+            return
+        self._closed = True
         for task in self._consumers:
             task.cancel()
         if getattr(self, "_rtmp", None) is not None:
@@ -192,6 +219,7 @@ class SessionManager:
             sid = str(uuid.uuid4())
             engine = self.engine_factory(self.cfg)
             session = Session(sid, engine, self.cfg, llm=self.llm)
+            session._manager_discard = lambda: self.stop_session(sid)
             await session.start()
             self.sessions[sid] = session
             metrics.gauge("sessions.active", len(self.sessions))

@@ -87,13 +87,17 @@ def attach_state_watcher(
 ) -> None:
     """Tear the session down when the connection dies (reference
     app.py:406-478: on 'failed'/'closed' the pc is closed and the session
-    discarded). ``on_dead`` fires at most once; it may be sync or async."""
+    discarded). 'disconnected' is NOT terminal — ICE routinely recovers from
+    it within seconds after a network blip, and because ``on_dead`` latches,
+    firing on it would both kill a recoverable call and leave the watcher
+    blind to the real terminal state. ``on_dead`` fires at most once; it may
+    be sync or async."""
     fired = {"done": False}
 
     @pc.on("connectionstatechange")
     async def _on_state() -> None:
         state = pc.connectionState
-        if state in ("failed", "closed", "disconnected") and not fired["done"]:
+        if state in ("failed", "closed") and not fired["done"]:
             fired["done"] = True
             logger.warning("%s connection %s — tearing down", label, state)
             result = on_dead(state)

@@ -92,7 +92,12 @@ class RtmpStreamer:
         # but poll process liveness so a dead ffmpeg — which never opens the
         # fifo — fails each call in ~1 s instead of stalling 30 s per chunk
         if self._audio_failed:
-            return
+            if self._proc.poll() is None and self._audio_ready.is_set():
+                # slow-open recovery: ffmpeg finally opened the fifo after
+                # the latch — resume audio instead of muting the stream
+                self._audio_failed = False
+            else:
+                return
         deadline = 30.0
         while not self._audio_ready.wait(timeout=min(1.0, deadline)):
             deadline -= 1.0

@@ -207,6 +207,23 @@ def test_vad_speech_segments_on_synthetic_audio():
     assert not has_speech(noise)
 
 
+def test_vad_wall_to_wall_speech_not_dropped():
+    """A buffer that is ENTIRELY loud speech must be classified as speech.
+    Regression: the uncapped adaptive threshold (10th percentile + margin)
+    sat above every frame when the quietest frames were themselves speech,
+    so continuous talkers were transcribed as silence."""
+    from mere_fusion_tpu.asr.vad import speech_segments
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    # ~-13 dBFS tone with mild amplitude modulation (uniformly loud)
+    audio = (0.2 * (1.0 + 0.2 * np.sin(2 * np.pi * 3 * t))
+             * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    segs = speech_segments(audio)
+    covered = sum(e - b for b, e in segs)
+    assert covered > 1.8, f"wall-to-wall speech covered only {covered:.2f}s"
+
+
 def test_vad_word_filter():
     from mere_fusion_tpu.asr.streaming import Word
     from mere_fusion_tpu.asr.vad import filter_words

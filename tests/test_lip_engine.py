@@ -184,8 +184,17 @@ def test_speech_start_ts_arms_only_on_silence_transition():
     for _ in range(3):
         frame, ftype = asr.get_audio_frame()
         assert ftype == 0
+    # a one-chunk underrun must NOT end the utterance (debounce): a put
+    # right after a single empty poll is still the same utterance
     frame, ftype = asr.get_audio_frame()
     assert ftype == 1  # silence synthesized
+    asr.put_audio_frame(np.ones(asr.chunk, np.float32))
+    assert asr.speech_start_ts is None
+    asr.get_audio_frame()
+    # sustained silence (>= silence_rearm_chunks empty polls) ends it
+    for _ in range(asr.silence_rearm_chunks):
+        frame, ftype = asr.get_audio_frame()
+        assert ftype == 1
     # next utterance arms a fresh clock
     asr.put_audio_frame(np.ones(asr.chunk, np.float32))
     assert asr.speech_start_ts is not None

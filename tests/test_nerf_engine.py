@@ -264,10 +264,15 @@ def test_nerf_asr_rearms_first_frame_clock_between_utterances():
     # utterance still streaming: no re-arm
     asr.put_audio_frame(speech)
     assert asr.speech_start_ts is None
-    # drain both queued chunks, then synthesize silence (queue empty)
-    for want in (0, 0, 1):
+    # drain both queued chunks, then sustained silence (queue empty for
+    # silence_rearm_chunks polls — a single empty poll is debounced as a
+    # mid-utterance TTS underrun, not end of utterance)
+    for want in (0, 0):
         _, ftype = asr.get_audio_frame()
         assert ftype == want
+    for _ in range(asr.silence_rearm_chunks):
+        _, ftype = asr.get_audio_frame()
+        assert ftype == 1
     # next utterance: fresh clock
     asr.put_audio_frame(speech)
     assert asr.speech_start_ts is not None

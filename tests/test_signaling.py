@@ -206,3 +206,106 @@ def test_session_webrtc_negotiates_both_pcs_and_tears_down():
     assert posts[0][0] == cfg.transport.pull_url
     assert posts[1][0] == cfg.transport.push_url
     assert closed == [True]
+
+
+def test_state_watcher_ignores_transient_disconnected():
+    """'disconnected' routinely recovers (ICE blip) — the watcher must not
+    tear down on it, and must still react to a later terminal state."""
+    pc = FakePC()
+    dead = []
+    attach_state_watcher(pc, lambda state: dead.append(state))
+
+    async def drive():
+        pc.connectionState = "disconnected"
+        await pc.fire("connectionstatechange")
+        pc.connectionState = "connected"
+        await pc.fire("connectionstatechange")
+        pc.connectionState = "failed"
+        await pc.fire("connectionstatechange")
+
+    asyncio.run(drive())
+    assert dead == ["failed"]
+
+
+def test_failed_produce_negotiation_still_closes_consume_pc():
+    """If the produce-side negotiation exhausts its retries, the already
+    negotiated consume pc must be reachable from close() — not leaked with a
+    live SRS pull stream (regression: _pcs was only assigned after BOTH
+    negotiations)."""
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.server.sessions import Session
+
+    cfg = Config().override(**{"transport.mode": "webrtc"})
+    session = Session("s8", engine=SimpleNamespace(), cfg=cfg)
+    session.player = SimpleNamespace(audio="A", video="V", stop=lambda: None)
+    pcs = []
+
+    def pc_factory():
+        pc = FakePC()
+        pcs.append(pc)
+        return pc
+
+    calls = {"n": 0}
+
+    async def post_json(url, payload, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"sdp": "answer"}      # consume succeeds
+        raise OSError("SRS push down")    # every produce attempt fails
+
+    async def sleep(t):
+        pass
+
+    async def drive():
+        import mere_fusion_tpu.server.signaling as sig
+        orig = sig.negotiate
+
+        async def fast_negotiate(pc, api, stream, **kw):
+            return await orig(pc, api, stream, sleep=sleep, **kw)
+
+        sig_negotiate = fast_negotiate
+        try:
+            # patch the retry sleep out via module attribute
+            sig.negotiate, saved = sig_negotiate, sig.negotiate
+            with pytest.raises(ConnectionError):
+                await session._start_webrtc(pc_factory=pc_factory,
+                                            post_json=post_json,
+                                            make_answer=make_answer)
+        finally:
+            sig.negotiate = saved
+        assert pcs[0] in session._pcs and pcs[1] in session._pcs
+        await session.close()
+        assert pcs[0].closed and pcs[1].closed
+
+    asyncio.run(drive())
+
+
+def test_watcher_death_deregisters_from_manager():
+    """Connection death must release the manager slot and the active gauge,
+    not just close the session (regression: close() without deregistration
+    ate max_sessions slots until the server rejected everyone). Double
+    discard/stop must not double-close."""
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.server.sessions import Session, SessionManager
+
+    cfg = Config().override(
+        **{"transport.mode": "loopback", "server.max_sessions": 1})
+    mgr = SessionManager(cfg, engine_factory=lambda c: SimpleNamespace())
+
+    closes = []
+
+    async def drive():
+        sid = "sX"
+        session = Session(sid, engine=SimpleNamespace(), cfg=cfg)
+        session.player = SimpleNamespace(stop=lambda: closes.append("stop"))
+        session._manager_discard = lambda: mgr.stop_session(sid)
+        mgr.sessions[sid] = session
+        assert len(mgr.sessions) == 1
+        await session.discard()           # what the state watcher runs
+        assert mgr.sessions == {}         # slot released
+        assert closes == ["stop"]
+        await session.discard()           # idempotent
+        await session.close()
+        assert closes == ["stop"]
+
+    asyncio.run(drive())
