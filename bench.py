@@ -60,20 +60,23 @@ def bench_wav2lip() -> dict:
         pred = model.apply(variables, mel, jnp.concatenate([masked, f], -1))
         return jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
 
-    step = lambda mel, faces: _step(variables, mel, faces)
-    np.asarray(step(mel, faces))  # compile + full sync
-    # steady-state: each step consumes the previous output (true dependency
-    # chain — async-dispatch runtimes cannot skip work), final host readback.
-    # best-of-3 epochs: the device tunnel adds jittery per-epoch overhead,
-    # and the fastest epoch is the honest device throughput
+    # iterate ON DEVICE: lax.scan chains each step on the previous output
+    # (true data dependency — the runtime cannot skip or overlap work) and
+    # the whole epoch is ONE dispatch, so the tunnel's per-dispatch overhead
+    # (which drifts 0.3-1 ms between runs) cannot pollute the number
     iters = 100
+
+    @jax.jit
+    def epoch(variables, mel, faces):
+        return jax.lax.scan(
+            lambda c, _: (_step(variables, mel, c), None),
+            faces, None, length=iters)[0]
+
+    np.asarray(epoch(variables, mel, faces))  # compile + full sync
     best_dt = float("inf")
     for _ in range(3):
-        out = faces
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(mel, out)
-        np.asarray(out)
+        np.asarray(epoch(variables, mel, faces))
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     return {"fps": batch / best_dt, "ms_per_batch16": best_dt * 1e3}
 
@@ -85,6 +88,8 @@ def bench_musetalk() -> dict:
 
     from mere_fusion_tpu.engines.muse import MuseModels
 
+    import jax
+
     batch = 16
     models = MuseModels(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -93,17 +98,25 @@ def bench_musetalk() -> dict:
         rng.standard_normal((batch, ls, ls, 8)).astype(np.float32))
     feats = jnp.asarray(rng.standard_normal((batch, 50, 384)).astype(np.float32))
 
-    np.asarray(models.generate(lat0, feats))  # compile + sync
+    # on-device chain (see bench_wav2lip): each step's latents perturbed by a
+    # zero derived from the previous image, one dispatch per epoch
     iters = 20
+
+    @jax.jit
+    def epoch(unet_vars, vae_vars, lat0, feats):
+        def body(carry, _):
+            img = models.generate_with_vars(unet_vars, vae_vars,
+                                            lat0 + carry, feats)
+            return img[0, 0, 0, 0].astype(jnp.float32) * 0.0, None
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                            length=iters)[0]
+
+    args = (models.unet_vars, models.vae_vars, lat0, feats)
+    np.asarray(epoch(*args))  # compile + sync
     best_dt = float("inf")
     for _ in range(2):
-        chain = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            img = models.generate(lat0 + chain, feats)
-            # device-side zero scalar: chains the next dispatch on this one
-            chain = img[0, 0, 0, 0].astype(jnp.float32) * 0.0
-        np.asarray(img)
+        np.asarray(epoch(*args))
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     return {"fps": batch / best_dt, "ms_per_batch16": best_dt * 1e3}
 

@@ -175,6 +175,10 @@ class MuseModels:
         self.generate = lambda latents, feats: _generate(
             self.unet_vars, self.vae_vars, latents, feats
         )
+        # raw form for callers composing under an outer jit (e.g. bench's
+        # on-device scan): weights must arrive as ARGUMENTS there, or the
+        # outer trace bakes them into the executable as captured constants
+        self.generate_with_vars = _generate
         self.encode_pair = lambda faces: _encode_pair(self.vae_vars, faces)
 
 
