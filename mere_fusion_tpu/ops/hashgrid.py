@@ -106,24 +106,39 @@ def _corner_index(pg: list, spec: GridSpec, resolution: int, hsize: int) -> jnp.
 def grid_encode(
     table: jax.Array, x: jnp.ndarray, spec: GridSpec, bound: float = 1.0
 ) -> jnp.ndarray:
-    """x [N, D] in [−bound, bound] → features [N, L·C]."""
+    """x [N, D] in [−bound, bound] → features [N, L·C].
+
+    All L levels × 2^D corners resolve to table rows first (cheap VPU index
+    math), then ONE gather fetches every embedding and the corner lerp is a
+    weighted reduction. The naive per-corner form issues L·2^D separate
+    gather ops; XLA runs them serially at ~0.5 ms apiece on TPU, which made
+    the encode — not the MLPs — the training bottleneck (measured 24 ms per
+    plane at 64 K samples vs ~1 ms fused). Autodiff turns the single gather
+    into a single scatter-add, matching gridencoder.cu:227's semantics."""
     x01 = (x + bound) / (2.0 * bound)
     D = spec.input_dim
-    outs = []
+    corners = list(itertools.product((0, 1), repeat=D))
+    idx_levels = []
+    w_levels = []
     for scale, resolution, hsize, offset in spec.level_params():
         pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
         pf = jnp.floor(pos)
         frac = pos - pf
         pfi = pf.astype(jnp.uint32)
-        level_out = 0.0
-        for corner in itertools.product((0, 1), repeat=D):
+        for corner in corners:
             w = jnp.ones(x.shape[:-1], x01.dtype)
             pg = []
             for d, c in enumerate(corner):
                 w = w * (frac[..., d] if c else (1.0 - frac[..., d]))
                 pg.append(pfi[..., d] + jnp.uint32(c))
             idx = _corner_index(pg, spec, resolution, hsize)
-            emb = table[jnp.uint32(offset) + idx]          # [N, C]
-            level_out = level_out + w[..., None] * emb
-        outs.append(level_out)
-    return jnp.concatenate(outs, axis=-1)
+            idx_levels.append(jnp.uint32(offset) + idx)
+            w_levels.append(w)
+    idx = jnp.stack(idx_levels, axis=-1)          # [N, L·2^D]
+    w = jnp.stack(w_levels, axis=-1)              # [N, L·2^D]
+    emb = table[idx]                              # ONE gather [N, L·2^D, C]
+    L = spec.num_levels
+    out = (w[..., None] * emb).reshape(
+        *x.shape[:-1], L, len(corners), spec.level_dim
+    ).sum(axis=-2)                                # corner lerp per level
+    return out.reshape(*x.shape[:-1], L * spec.level_dim)
