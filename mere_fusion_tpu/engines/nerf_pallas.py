@@ -92,7 +92,9 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
     @jax.jit
     def span_fn(pose, density: DensityGrid):
-        """Per-ray spans (the expensive, cacheable part)."""
+        """Per-ray spans (the expensive, cacheable part) + active-tile count
+        (drives the adaptive budget pick; one int readback per pose when the
+        spans are cached, amortized to zero over the pose loop)."""
         rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
         near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound)
         z, dt, valid = select_occupied_depths(
@@ -100,8 +102,10 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             nc.n_candidates, 2,      # only the span ends are needed
         )
         zmin, zmax = z[:, 0], z[:, -1]
+        tile_valid = valid.any(-1) & ray_valid
+        n_active = tile(tile_valid).any(axis=1).sum()
         return (jnp.stack([zmin, zmax], -1).astype(jnp.float16),
-                valid.any(-1) & ray_valid)
+                tile_valid, n_active)
 
     from mere_fusion_tpu.engines.nerf import (
         make_enc_a_smoother,
@@ -121,9 +125,16 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     # (with the EMA smoothing functionalized) + shade + composite. Through
     # the remote-device tunnel every extra dispatch costs host round-trip
     # and transfer latency, so the whole frame ships as a single executable.
-    @jax.jit
-    def frame_fn(variables, planes_major, pose, spans, valid, auds, eye,
-                 bg_color, prev_enc_a, have_prev):
+    #
+    # Compiled per tile budget: sampler + shade cost scales ~linearly with
+    # the budget, and a typical talking-head pose occupies well under the
+    # worst-case tile count — the step picks the smallest precompiled budget
+    # that covers the pose's cached active-tile count (static shapes: a
+    # small ladder of variants, not dynamic sizes).
+    def make_frame_fn(budget):
+      @jax.jit
+      def frame_fn(variables, planes_major, pose, spans, valid, auds, eye,
+                   bg_color, prev_enc_a, have_prev):
         # ---- audio conditions (+ reference renderer.py:190-194 EMA)
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         if smooth_enabled:
@@ -202,6 +213,12 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         img = (img * 255).astype(jnp.uint8)
         return img, enc_a, n_active, n_overflow
 
+      return frame_fn
+
+    budget_ladder = sorted({budget, max(1, 3 * budget // 4),
+                            max(1, budget // 2), max(1, budget // 4)})
+    frame_fns: dict = {}  # budget → compiled variant, built on first use
+
     span_cache: dict = {}
     enc_a_shape = jax.eval_shape(
         lambda a: network.apply(variables, a, method=NeRFNetwork.encode_audio),
@@ -209,17 +226,27 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     )
 
     def step(pose, auds, eye, density, bg, pose_key=None):
+        active_host = None
         if pose_key is not None and pose_key in span_cache:
-            spans, valid = span_cache[pose_key]
+            spans, valid, active_host = span_cache[pose_key]
         else:
-            spans, valid = span_fn(pose, density)
+            spans, valid, n_active_dev = span_fn(pose, density)
             if pose_key is not None:
-                span_cache[pose_key] = (spans, valid)
+                # one int readback per pose, amortized to zero over the loop;
+                # the uncached path (free orbit camera) skips the readback
+                # and renders at the full budget
+                active_host = int(n_active_dev)
+                span_cache[pose_key] = (spans, valid, active_host)
+        b = (budget if active_host is None
+             else next((c for c in budget_ladder if c >= active_host), budget))
+        fn = frame_fns.get(b)
+        if fn is None:
+            fn = frame_fns[b] = make_frame_fn(b)
         prev = smooth_enc_a.state["enc_a"]
         have_prev = prev is not None
         if not have_prev:
             prev = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
-        img, enc_a, n_active, n_overflow = frame_fn(
+        img, enc_a, n_active, n_overflow = fn(
             variables, planes_major, pose, spans, valid, jnp.asarray(auds),
             jnp.asarray(eye), jnp.asarray(bg), prev,
             jnp.asarray(have_prev),

@@ -276,3 +276,54 @@ def test_nerf_asr_rearms_first_frame_clock_between_utterances():
     # next utterance: fresh clock
     asr.put_audio_frame(speech)
     assert asr.speech_start_ts is not None
+
+
+def test_adaptive_tile_budget_picks_smaller_variant(dataset):
+    """A pose whose cached active-tile count fits a smaller precompiled
+    budget renders through that variant, and the frame is identical to the
+    full-budget render (every active tile is still covered)."""
+    from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
+
+    cfg = CFG.override(**{
+        "nerf.sample_mode": "pallas",
+        "nerf.tile_budget": 64,
+        "nerf.pallas_depth_groups": 4,
+    })
+    engine = NeRFReal(cfg, dataset=dataset)
+    step = engine._render_step
+    frees = dict(zip(step.__code__.co_freevars,
+                     [c.cell_contents for c in step.__closure__]))
+    frame_fns, ladder = frees["frame_fns"], frees["budget_ladder"]
+    assert ladder == [16, 32, 48, 64]
+
+    # occupancy only in a small corner of the grid → few active tiles
+    g = cfg.nerf.grid_size
+    occ = np.zeros((g, g, g), bool)
+    occ[: g // 4, : g // 4, : g // 4] = True
+    sparse = DensityGrid(grid=jnp.zeros((g**3,), jnp.float32),
+                         occupancy=jnp.asarray(occ.reshape(-1)),
+                         mean_density=jnp.zeros(()))
+
+    data = dataset.collate(0)
+    auds = jnp.zeros((8, engine.network.cfg.audio_in_dim, 16))
+    img_small, n_act, _ = step(data["pose"], auds, jnp.asarray(data["eye"]),
+                               sparse, jnp.asarray(data["bg_color"]),
+                               pose_key="sparse")
+    _, _, active = frees["span_cache"]["sparse"]
+    assert active < 64, f"scene not sparse: {active} active tiles"
+    chosen = [b for b in frame_fns if b < 64]
+    assert chosen, f"no smaller-budget variant compiled (have {list(frame_fns)})"
+    assert min(frame_fns) >= active
+
+    # same scene forced through the full budget must produce the same frame
+    full = frees["make_frame_fn"](64)
+    spans, valid, _ = frees["span_cache"]["sparse"]
+    import jax as _jax
+    enc_shape = frees["enc_a_shape"]
+    img_full, _, n_act_full, _ = full(
+        frees["variables"], frees["planes_major"], data["pose"], spans, valid,
+        auds, jnp.asarray(data["eye"]), jnp.asarray(data["bg_color"]),
+        jnp.zeros(enc_shape.shape, enc_shape.dtype), jnp.asarray(False),
+    )
+    np.testing.assert_array_equal(np.asarray(img_small), np.asarray(img_full))
+    assert int(n_act) == int(n_act_full)
