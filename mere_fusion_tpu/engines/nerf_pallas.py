@@ -92,9 +92,12 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
     @jax.jit
     def span_fn(pose, density: DensityGrid):
-        """Per-ray spans (the expensive, cacheable part) + active-tile count
-        (drives the adaptive budget pick; one int readback per pose when the
-        spans are cached, amortized to zero over the pose loop)."""
+        """Everything that depends only on (pose, density): tiled ray
+        origins/directions, per-ray spans, validity, and the active-tile
+        count (drives the adaptive budget pick; one int readback per pose
+        when cached, amortized to zero over the pose loop). Caching the
+        tiled rays too keeps get_rays + 4 full-frame tilings out of the
+        per-frame program."""
         rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
         near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound)
         z, dt, valid = select_occupied_depths(
@@ -103,9 +106,10 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         )
         zmin, zmax = z[:, 0], z[:, -1]
         tile_valid = valid.any(-1) & ray_valid
-        n_active = tile(tile_valid).any(axis=1).sum()
-        return (jnp.stack([zmin, zmax], -1).astype(jnp.float16),
-                tile_valid, n_active)
+        va = tile(tile_valid)
+        sp = tile(jnp.stack([zmin, zmax], -1).astype(jnp.float16))
+        n_active = va.any(axis=1).sum()
+        return tile(rays_o), tile(rays_d), sp, va, n_active
 
     from mere_fusion_tpu.engines.nerf import (
         make_enc_a_smoother,
@@ -133,8 +137,8 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     # small ladder of variants, not dynamic sizes).
     def make_frame_fn(budget):
       @jax.jit
-      def frame_fn(variables, planes_major, pose, spans, valid, auds, eye,
-                   bg_color, prev_enc_a, have_prev):
+      def frame_fn(variables, planes_major, pose, o_t, d_t, sp, va, auds,
+                   eye, bg_color, prev_enc_a, have_prev):
         # ---- audio conditions (+ reference renderer.py:190-194 EMA)
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         if smooth_enabled:
@@ -147,12 +151,9 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
         # ---- plan: compact tiles FIRST (active = any valid ray — knowable
         # before any sample math), then build positions/jobs for only the
-        # budgeted tiles: 4x less planning VPU work at full occupancy
-        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
-        d_t = tile(rays_d)
-        o_t = tile(rays_o)
-        sp = tile(spans.astype(jnp.float32))
-        va = tile(valid)
+        # budgeted tiles: 4x less planning VPU work at full occupancy.
+        # o_t/d_t/sp/va arrive tiled from the pose cache (span_fn).
+        sp = sp.astype(jnp.float32)
         active = va.any(axis=1)                            # [T]
         _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
         n_active = active.sum()
@@ -228,15 +229,15 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     def step(pose, auds, eye, density, bg, pose_key=None):
         active_host = None
         if pose_key is not None and pose_key in span_cache:
-            spans, valid, active_host = span_cache[pose_key]
+            o_t, d_t, sp, va, active_host = span_cache[pose_key]
         else:
-            spans, valid, n_active_dev = span_fn(pose, density)
+            o_t, d_t, sp, va, n_active_dev = span_fn(pose, density)
             if pose_key is not None:
                 # one int readback per pose, amortized to zero over the loop;
                 # the uncached path (free orbit camera) skips the readback
                 # and renders at the full budget
                 active_host = int(n_active_dev)
-                span_cache[pose_key] = (spans, valid, active_host)
+                span_cache[pose_key] = (o_t, d_t, sp, va, active_host)
         b = (budget if active_host is None
              else next((c for c in budget_ladder if c >= active_host), budget))
         fn = frame_fns.get(b)
@@ -247,8 +248,8 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         if not have_prev:
             prev = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
         img, enc_a, n_active, n_overflow = fn(
-            variables, planes_major, pose, spans, valid, jnp.asarray(auds),
-            jnp.asarray(eye), jnp.asarray(bg), prev,
+            variables, planes_major, pose, o_t, d_t, sp, va,
+            jnp.asarray(auds), jnp.asarray(eye), jnp.asarray(bg), prev,
             jnp.asarray(have_prev),
         )
         if smooth_enabled:

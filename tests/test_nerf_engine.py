@@ -309,7 +309,7 @@ def test_adaptive_tile_budget_picks_smaller_variant(dataset):
     img_small, n_act, _ = step(data["pose"], auds, jnp.asarray(data["eye"]),
                                sparse, jnp.asarray(data["bg_color"]),
                                pose_key="sparse")
-    _, _, active = frees["span_cache"]["sparse"]
+    active = frees["span_cache"]["sparse"][-1]
     assert active < 64, f"scene not sparse: {active} active tiles"
     chosen = [b for b in frame_fns if b < 64]
     assert chosen, f"no smaller-budget variant compiled (have {list(frame_fns)})"
@@ -317,12 +317,11 @@ def test_adaptive_tile_budget_picks_smaller_variant(dataset):
 
     # same scene forced through the full budget must produce the same frame
     full = frees["make_frame_fn"](64)
-    spans, valid, _ = frees["span_cache"]["sparse"]
-    import jax as _jax
+    o_t, d_t, sp, va, _ = frees["span_cache"]["sparse"]
     enc_shape = frees["enc_a_shape"]
     img_full, _, n_act_full, _ = full(
-        frees["variables"], frees["planes_major"], data["pose"], spans, valid,
-        auds, jnp.asarray(data["eye"]), jnp.asarray(data["bg_color"]),
+        frees["variables"], frees["planes_major"], data["pose"], o_t, d_t,
+        sp, va, auds, jnp.asarray(data["eye"]), jnp.asarray(data["bg_color"]),
         jnp.zeros(enc_shape.shape, enc_shape.dtype), jnp.asarray(False),
     )
     np.testing.assert_array_equal(np.asarray(img_small), np.asarray(img_full))
