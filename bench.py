@@ -185,11 +185,55 @@ def bench_ernerf() -> dict:
                 img, chain, n_active = frame(i, chain)
             np.asarray(img)
             best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+
+        # typical-occupancy pass: a head-sized occupancy blob exercises the
+        # adaptive tile-budget ladder (sparse poses pick a smaller
+        # precompiled variant; the loop above is the all-tiles worst case)
+        from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
+
+        g = cfg.nerf.grid_size
+        occ = np.zeros((g, g, g), bool)
+        lo, hi = int(g * 0.45), int(g * 0.55)
+        occ[lo:hi, lo:hi, lo:hi] = True
+        engine.density = DensityGrid(
+            grid=jnp.zeros((g**3,), jnp.float32),
+            occupancy=jnp.asarray(occ.reshape(-1)),
+            mean_density=jnp.zeros(()))
+
+        def frame_sparse(i, chain):
+            for _ in range(2):
+                engine.asr.put_audio_frame(speech)
+                engine.asr.run_step()
+            auds = engine.asr.get_next_feat_device()
+            data = dataset.collate(i)
+            eye = jnp.asarray(data["eye"]) + chain
+            img, n_active, _ = engine._render_step(
+                data["pose"], auds, eye, engine.density,
+                engine._bg_dev, pose_key=("sparse", data.get("index")),
+            )
+            return img, img[0, 0, 0].astype(jnp.float32) * 0.0, n_active
+
+        chain = jnp.zeros((), jnp.float32)
+        for i in range(2 * len(dataset)):
+            img, chain, n_sparse = frame_sparse(i, chain)
+        np.asarray(img)
+        sparse_dt = float("inf")
+        for _ in range(2):
+            chain = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                img, chain, n_sparse = frame_sparse(i, chain)
+            np.asarray(img)
+            sparse_dt = min(sparse_dt, (time.perf_counter() - t0) / iters)
+
         return {
             "fps": 1.0 / best_dt,
             "ms_per_frame": best_dt * 1e3,
             "active_tiles": int(n_active),
             "tile_budget": cfg.nerf.tile_budget,
+            "sparse_fps": 1.0 / sparse_dt,
+            "sparse_ms_per_frame": sparse_dt * 1e3,
+            "sparse_active_tiles": int(n_sparse),
         }
 
 
