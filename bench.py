@@ -107,7 +107,10 @@ def bench_musetalk() -> dict:
         def body(carry, _):
             img = models.generate_with_vars(unet_vars, vae_vars,
                                             lat0 + carry, feats)
-            return img[0, 0, 0, 0].astype(jnp.float32) * 0.0, None
+            # carry a REAL (tiny, but not provably-zero) function of the
+            # image: an x*0.0 carry is an algebraic-simplification candidate
+            # that would let XLA dead-code the whole UNet+VAE body
+            return img.astype(jnp.float32).sum() * 1e-30, None
         return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
                             length=iters)[0]
 
@@ -168,27 +171,33 @@ def bench_ernerf() -> dict:
                 data["pose"], auds, eye, engine.density,
                 engine._bg_dev, pose_key=data.get("index"),
             )
-            return img, img[0, 0, 0].astype(jnp.float32) * 0.0, n_active
+            # real (tiny, not provably-zero) dependency on the frame — an
+            # x*0.0 chain could be algebraically folded, decoupling frames
+            return img, img.astype(jnp.float32).sum() * 1e-30, n_active
 
-        # warm: one full pose cycle compiles every stage + fills the span cache
-        chain = jnp.zeros((), jnp.float32)
-        for i in range(2 * len(dataset)):
-            img, chain, n_active = frame(i, chain)
-        np.asarray(img)
-
-        iters = 50
-        best_dt = float("inf")
-        for _ in range(2):
+        def time_pass(iters=50):
+            """Warm a full pose cycle (compiles + span cache), then time
+            dependency-chained frames, best of 2 passes."""
             chain = jnp.zeros((), jnp.float32)
-            t0 = time.perf_counter()
-            for i in range(iters):
+            for i in range(2 * len(dataset)):
                 img, chain, n_active = frame(i, chain)
             np.asarray(img)
-            best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+            best_dt = float("inf")
+            for _ in range(2):
+                chain = jnp.zeros((), jnp.float32)
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    img, chain, n_active = frame(i, chain)
+                np.asarray(img)
+                best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+            return best_dt, n_active
+
+        best_dt, n_active = time_pass()
 
         # typical-occupancy pass: a head-sized occupancy blob exercises the
         # adaptive tile-budget ladder (sparse poses pick a smaller
-        # precompiled variant; the loop above is the all-tiles worst case)
+        # precompiled variant; the pass above is the all-tiles worst case).
+        # Swapping engine.density invalidates the span cache by itself.
         from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
 
         g = cfg.nerf.grid_size
@@ -199,32 +208,7 @@ def bench_ernerf() -> dict:
             grid=jnp.zeros((g**3,), jnp.float32),
             occupancy=jnp.asarray(occ.reshape(-1)),
             mean_density=jnp.zeros(()))
-
-        def frame_sparse(i, chain):
-            for _ in range(2):
-                engine.asr.put_audio_frame(speech)
-                engine.asr.run_step()
-            auds = engine.asr.get_next_feat_device()
-            data = dataset.collate(i)
-            eye = jnp.asarray(data["eye"]) + chain
-            img, n_active, _ = engine._render_step(
-                data["pose"], auds, eye, engine.density,
-                engine._bg_dev, pose_key=("sparse", data.get("index")),
-            )
-            return img, img[0, 0, 0].astype(jnp.float32) * 0.0, n_active
-
-        chain = jnp.zeros((), jnp.float32)
-        for i in range(2 * len(dataset)):
-            img, chain, n_sparse = frame_sparse(i, chain)
-        np.asarray(img)
-        sparse_dt = float("inf")
-        for _ in range(2):
-            chain = jnp.zeros((), jnp.float32)
-            t0 = time.perf_counter()
-            for i in range(iters):
-                img, chain, n_sparse = frame_sparse(i, chain)
-            np.asarray(img)
-            sparse_dt = min(sparse_dt, (time.perf_counter() - t0) / iters)
+        sparse_dt, n_sparse = time_pass()
 
         return {
             "fps": 1.0 / best_dt,

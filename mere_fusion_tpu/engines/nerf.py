@@ -486,6 +486,15 @@ class NeRFReal(BaseReal):
             self._render_step = make_pallas_render_step(
                 network, variables, dataset, cfg, baked=baked
             )
+            # Block on every budget-ladder variant's compile and prefill the
+            # span cache for the whole pose track NOW: through the remote
+            # compiler a lazy mid-stream compile stalls live video for
+            # minutes, and the per-pose active-count readback (~25 ms RTT)
+            # would otherwise land on every first visit of a pose during the
+            # first lap of the track. Skipped off-TPU: the CPU path (tests,
+            # dryrun) compiles cheaply and lazily.
+            if jax.default_backend() == "tpu":
+                self._render_step.warmup(self.density, self._bg_dev)
         else:
             self._render_step = make_nerf_render_step(
                 network, variables, dataset, cfg, baked=baked

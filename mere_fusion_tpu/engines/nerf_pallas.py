@@ -11,8 +11,16 @@ changes measured to matter:
    is exact but costs ~70 ms at 512² (8.4M occupancy gathers). Since the
    test-time pose track is a fixed loop (reference provider.py:276-283) and
    the density grid is static at inference, per-ray spans are computed once
-   per pose (lazily, on first visit) and cached on device as f16 — after
-   one loop every frame gets per-ray quality for ~zero planning cost.
+   per pose and cached on device as f16 (~1.3 MB/pose: f16 span ends +
+   ray validity; rays themselves are recomputed in-program from the pose —
+   one small matmul — rather than pinning 6 MB/pose of f32 in HBM). The
+   cache is keyed per pose and invalidated whenever a different DensityGrid
+   object is passed, so a density swap can never serve stale spans or a
+   stale tile budget. `step.warmup(density, bg)` prefills the whole pose
+   track with a single batched count readback and blocks on every
+   budget-ladder variant's compile, so the live loop never pays a remote
+   compile or a per-pose host sync (the lip-engine convention,
+   engines/lip.py:152-156).
 
 2. **Tile-level compaction.** Rays are reordered into 8×8 pixel tiles (a
    constant permutation); tiles whose probes hit nothing are dropped and
@@ -92,12 +100,10 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
     @jax.jit
     def span_fn(pose, density: DensityGrid):
-        """Everything that depends only on (pose, density): tiled ray
-        origins/directions, per-ray spans, validity, and the active-tile
-        count (drives the adaptive budget pick; one int readback per pose
-        when cached, amortized to zero over the pose loop). Caching the
-        tiled rays too keeps get_rays + 4 full-frame tilings out of the
-        per-frame program."""
+        """Everything that depends only on (pose, density): per-ray spans,
+        validity, and the active-tile count (drives the adaptive budget
+        pick). Only the f16 span ends + bool validity are cached — rays are
+        one cheap matmul recomputed inside the frame program."""
         rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
         near, far, ray_valid = intersect_aabb(rays_o, rays_d, bound)
         z, dt, valid = select_occupied_depths(
@@ -109,7 +115,7 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         va = tile(tile_valid)
         sp = tile(jnp.stack([zmin, zmax], -1).astype(jnp.float16))
         n_active = va.any(axis=1).sum()
-        return tile(rays_o), tile(rays_d), sp, va, n_active
+        return sp, va, n_active
 
     from mere_fusion_tpu.engines.nerf import (
         make_enc_a_smoother,
@@ -137,8 +143,13 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     # small ladder of variants, not dynamic sizes).
     def make_frame_fn(budget):
       @jax.jit
-      def frame_fn(variables, planes_major, pose, o_t, d_t, sp, va, auds,
+      def frame_fn(variables, planes_major, pose, sp, va, auds,
                    eye, bg_color, prev_enc_a, have_prev):
+        # ---- rays from the pose (constant origin + one [H*W, 3] rotate;
+        # trivially fused into this single program, so only the probe-derived
+        # spans need caching)
+        rays_o, rays_d = get_rays(jnp.asarray(pose), intrinsics, H, W)
+        o_t, d_t = tile(rays_o), tile(rays_d)
         # ---- audio conditions (+ reference renderer.py:190-194 EMA)
         enc_a = network.apply(variables, auds, method=NeRFNetwork.encode_audio)
         if smooth_enabled:
@@ -218,26 +229,36 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
     budget_ladder = sorted({budget, max(1, 3 * budget // 4),
                             max(1, budget // 2), max(1, budget // 4)})
-    frame_fns: dict = {}  # budget → compiled variant, built on first use
+    frame_fns: dict = {}  # budget → compiled variant
 
     span_cache: dict = {}
+    # spans are valid only for the DensityGrid they were probed against; a
+    # swapped grid (new checkpoint, bench scenario change) must never serve
+    # stale spans or a stale, possibly-truncating tile budget
+    cache_state: dict = {"density": None}
     enc_a_shape = jax.eval_shape(
         lambda a: network.apply(variables, a, method=NeRFNetwork.encode_audio),
         jnp.zeros((8, network.cfg.audio_in_dim, 16)),
     )
 
     def step(pose, auds, eye, density, bg, pose_key=None):
+        if density is not cache_state["density"]:
+            span_cache.clear()
+            cache_state["density"] = density
         active_host = None
-        if pose_key is not None and pose_key in span_cache:
-            o_t, d_t, sp, va, active_host = span_cache[pose_key]
-        else:
-            o_t, d_t, sp, va, n_active_dev = span_fn(pose, density)
-            if pose_key is not None:
-                # one int readback per pose, amortized to zero over the loop;
-                # the uncached path (free orbit camera) skips the readback
-                # and renders at the full budget
+        if pose_key is not None:
+            hit = span_cache.get(pose_key)
+            if hit is not None:
+                sp, va, active_host = hit
+            else:
+                sp, va, n_active_dev = span_fn(pose, density)
+                # one int readback per pose — paid only for poses warmup
+                # didn't prefill (e.g. after a live density swap)
                 active_host = int(n_active_dev)
-                span_cache[pose_key] = (o_t, d_t, sp, va, active_host)
+                span_cache[pose_key] = (sp, va, active_host)
+        else:
+            # uncached path (free orbit camera): no readback, full budget
+            sp, va, _ = span_fn(pose, density)
         b = (budget if active_host is None
              else next((c for c in budget_ladder if c >= active_host), budget))
         fn = frame_fns.get(b)
@@ -248,7 +269,7 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         if not have_prev:
             prev = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
         img, enc_a, n_active, n_overflow = fn(
-            variables, planes_major, pose, o_t, d_t, sp, va,
+            variables, planes_major, pose, sp, va,
             jnp.asarray(auds), jnp.asarray(eye), jnp.asarray(bg), prev,
             jnp.asarray(have_prev),
         )
@@ -256,4 +277,29 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             smooth_enc_a.state["enc_a"] = enc_a
         return img, n_active, n_overflow
 
+    def warmup(density, bg):
+        """Prefill the span cache for the dataset's whole pose track (one
+        batched count readback) and block on every budget-ladder variant's
+        compile, so the live render loop never stalls on the remote compiler
+        mid-stream or syncs the host per pose. Call at engine construction
+        (engines/lip.py:152-156 is the convention)."""
+        outs = [span_fn(jnp.asarray(p), density) for p in dataset.poses]
+        counts = np.asarray(jnp.stack([o[2] for o in outs]))
+        for i, (sp, va, _) in enumerate(outs):
+            span_cache[i] = (sp, va, int(counts[i]))
+        cache_state["density"] = density
+        sp0, va0, _ = span_cache[0]
+        auds0 = jnp.zeros((8, network.cfg.audio_in_dim, 16))
+        prev0 = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
+        for b in budget_ladder:
+            if b not in frame_fns:
+                frame_fns[b] = make_frame_fn(b)
+            img, *_ = frame_fns[b](
+                variables, planes_major, jnp.asarray(dataset.poses[0]),
+                sp0, va0, auds0, jnp.zeros((1, 1)), jnp.asarray(bg), prev0,
+                jnp.asarray(False),
+            )
+        np.asarray(img)  # drain the warmup executions
+
+    step.warmup = warmup
     return step
