@@ -14,9 +14,10 @@ changes measured to matter:
    per pose and cached on device as f16 (~1.3 MB/pose: f16 span ends +
    ray validity; rays themselves are recomputed in-program from the pose —
    one small matmul — rather than pinning 6 MB/pose of f32 in HBM). The
-   cache is keyed per pose and invalidated whenever a different DensityGrid
-   object is passed, so a density swap can never serve stale spans or a
-   stale tile budget. `step.warmup(density, bg)` prefills the whole pose
+   cache is keyed per pose and invalidated whenever a different occupancy
+   buffer is passed (the only DensityGrid field spans depend on — wrapper
+   rebuilds around the same arrays stay cached), so a density swap can
+   never serve stale spans or a stale tile budget. `step.warmup(density, bg)` prefills the whole pose
    track with a single batched count readback and blocks on every
    budget-ladder variant's compile, so the live loop never pays a remote
    compile or a per-pose host sync (the lip-engine convention,
@@ -232,19 +233,23 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     frame_fns: dict = {}  # budget → compiled variant
 
     span_cache: dict = {}
-    # spans are valid only for the DensityGrid they were probed against; a
-    # swapped grid (new checkpoint, bench scenario change) must never serve
-    # stale spans or a stale, possibly-truncating tile budget
-    cache_state: dict = {"density": None}
+    # spans are valid only for the occupancy bitfield they were probed
+    # against; a swapped grid (new checkpoint, bench scenario change) must
+    # never serve stale spans or a stale, possibly-truncating tile budget.
+    # Keyed on the occupancy *buffer* (the only DensityGrid field spans
+    # depend on), so rebuilding the NamedTuple wrapper around the same
+    # arrays each frame does not degrade into per-frame cache clears +
+    # blocking span probes.
+    cache_state: dict = {"occ": None}
     enc_a_shape = jax.eval_shape(
         lambda a: network.apply(variables, a, method=NeRFNetwork.encode_audio),
         jnp.zeros((8, network.cfg.audio_in_dim, 16)),
     )
 
     def step(pose, auds, eye, density, bg, pose_key=None):
-        if density is not cache_state["density"]:
+        if density.occupancy is not cache_state["occ"]:
             span_cache.clear()
-            cache_state["density"] = density
+            cache_state["occ"] = density.occupancy
         active_host = None
         if pose_key is not None:
             hit = span_cache.get(pose_key)
@@ -282,12 +287,18 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         batched count readback) and block on every budget-ladder variant's
         compile, so the live render loop never stalls on the remote compiler
         mid-stream or syncs the host per pose. Call at engine construction
-        (engines/lip.py:152-156 is the convention)."""
+        (engines/lip.py:152-156 is the convention).
+
+        Drops the whole cache first: entries under non-track pose keys
+        (orbit snapshots, bench scenarios) may have been probed against an
+        older occupancy grid, and prefilling without clearing would let
+        them survive behind the refreshed cache_state marker."""
+        span_cache.clear()
         outs = [span_fn(jnp.asarray(p), density) for p in dataset.poses]
         counts = np.asarray(jnp.stack([o[2] for o in outs]))
         for i, (sp, va, _) in enumerate(outs):
             span_cache[i] = (sp, va, int(counts[i]))
-        cache_state["density"] = density
+        cache_state["occ"] = density.occupancy
         sp0, va0, _ = span_cache[0]
         auds0 = jnp.zeros((8, network.cfg.audio_in_dim, 16))
         prev0 = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)

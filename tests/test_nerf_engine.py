@@ -396,3 +396,25 @@ def test_density_swap_invalidates_span_cache(dataset):
     assert n_dense > n_sparse, (
         f"stale cache survived the density swap ({n_dense} vs {n_sparse})")
     assert int(n_act) == n_dense
+
+    # rebuilding the NamedTuple wrapper around the SAME occupancy buffer
+    # must NOT invalidate (per-frame wrapper rebuilds would otherwise pay a
+    # full span probe + blocking readback every frame)
+    entry_before = frees["span_cache"][0]
+    rewrapped = DensityGrid(grid=dense.grid, occupancy=dense.occupancy,
+                            mean_density=dense.mean_density)
+    step(data["pose"], auds, jnp.asarray(data["eye"]), rewrapped, bg,
+         pose_key=0)
+    assert frees["span_cache"][0] is entry_before, (
+        "wrapper rebuild with identical occupancy cleared the span cache")
+
+    # warmup after a density swap must drop entries under non-track pose
+    # keys too — they were probed against the old grid and would otherwise
+    # hide behind the refreshed cache marker
+    step(data["pose"], auds, jnp.asarray(data["eye"]), dense, bg,
+         pose_key="orbit-snapshot")
+    assert "orbit-snapshot" in frees["span_cache"]
+    step.warmup(sparse, bg)
+    assert "orbit-snapshot" not in frees["span_cache"], (
+        "stale non-track span entry survived warmup after a density swap")
+    assert set(frees["span_cache"]) == set(range(len(dataset)))
