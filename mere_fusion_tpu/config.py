@@ -115,6 +115,11 @@ class NeRFConfig:
     # snap error is sub-texel); "bilinear" its 4-gather exact variant.
     sample_mode: str = "pallas"       # pallas | nearest | bilinear
     tile_budget: int = 1024           # active 8×8 tiles per frame (pallas)
+    span_cache_poses: int = 2048      # max poses with cached spans (~1.3 MB
+                                      # each at 512²); bounds warmup prefill
+                                      # time and HBM. Poses past the cap
+                                      # render via the uncached full-budget
+                                      # path (no host sync). 0 = unlimited.
     pallas_window_u: int = 64         # texture window, contract (depth) axis
     pallas_window_v: int = 32         # texture window, lateral axis
     pallas_depth_groups: int = 4      # depth groups per ray (even, divides K)

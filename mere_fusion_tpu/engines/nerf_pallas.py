@@ -17,8 +17,11 @@ changes measured to matter:
    cache is keyed per pose and invalidated whenever a different occupancy
    buffer is passed (the only DensityGrid field spans depend on — wrapper
    rebuilds around the same arrays stay cached), so a density swap can
-   never serve stale spans or a stale tile budget. `step.warmup(density, bg)` prefills the whole pose
-   track with a single batched count readback and blocks on every
+   never serve stale spans or a stale tile budget. `step.warmup(density, bg)`
+   prefills the pose track up to `nerf.span_cache_poses` poses (the cap
+   bounds construction time and pinned HBM on multi-thousand-frame tracks;
+   over-cap poses render through the uncached full-budget path with no
+   host sync) with a single batched count readback, and blocks on every
    budget-ladder variant's compile, so the live loop never pays a remote
    compile or a per-pose host sync (the lip-engine convention,
    engines/lip.py:152-156).
@@ -246,6 +249,15 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         jnp.zeros((8, network.cfg.audio_in_dim, 16)),
     )
 
+    # bound the cache: warmup prefill time and pinned HBM scale linearly
+    # with the pose-track length (~1.3 MB + one probe per pose at 512²), so
+    # a multi-thousand-frame track must not stall construction for minutes
+    # or pin gigabytes. Poses beyond the cap take the uncached full-budget
+    # path below (spans recomputed in-program, no host sync) — with a
+    # sequentially looped track, keeping the first N beats LRU (which would
+    # evict every entry exactly before its next use).
+    cache_cap = nc.span_cache_poses if nc.span_cache_poses > 0 else None
+
     def step(pose, auds, eye, density, bg, pose_key=None):
         if density.occupancy is not cache_state["occ"]:
             span_cache.clear()
@@ -255,12 +267,16 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             hit = span_cache.get(pose_key)
             if hit is not None:
                 sp, va, active_host = hit
-            else:
+            elif cache_cap is None or len(span_cache) < cache_cap:
                 sp, va, n_active_dev = span_fn(pose, density)
                 # one int readback per pose — paid only for poses warmup
                 # didn't prefill (e.g. after a live density swap)
                 active_host = int(n_active_dev)
                 span_cache[pose_key] = (sp, va, active_host)
+            else:
+                # cache at capacity: render like an uncached pose — no
+                # insert, no readback, full tile budget
+                sp, va, _ = span_fn(pose, density)
         else:
             # uncached path (free orbit camera): no readback, full budget
             sp, va, _ = span_fn(pose, density)
@@ -283,18 +299,21 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         return img, n_active, n_overflow
 
     def warmup(density, bg):
-        """Prefill the span cache for the dataset's whole pose track (one
-        batched count readback) and block on every budget-ladder variant's
-        compile, so the live render loop never stalls on the remote compiler
-        mid-stream or syncs the host per pose. Call at engine construction
-        (engines/lip.py:152-156 is the convention).
+        """Prefill the span cache for the dataset's pose track — up to
+        nerf.span_cache_poses poses (one batched count readback) — and block
+        on every budget-ladder variant's compile, so the live render loop
+        never stalls on the remote compiler mid-stream or syncs the host per
+        pose. Call at engine construction (engines/lip.py:152-156 is the
+        convention).
 
         Drops the whole cache first: entries under non-track pose keys
         (orbit snapshots, bench scenarios) may have been probed against an
         older occupancy grid, and prefilling without clearing would let
         them survive behind the refreshed cache_state marker."""
         span_cache.clear()
-        outs = [span_fn(jnp.asarray(p), density) for p in dataset.poses]
+        track = (dataset.poses if cache_cap is None
+                 else dataset.poses[:cache_cap])
+        outs = [span_fn(jnp.asarray(p), density) for p in track]
         counts = np.asarray(jnp.stack([o[2] for o in outs]))
         for i, (sp, va, _) in enumerate(outs):
             span_cache[i] = (sp, va, int(counts[i]))

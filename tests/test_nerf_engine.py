@@ -418,3 +418,36 @@ def test_density_swap_invalidates_span_cache(dataset):
     assert "orbit-snapshot" not in frees["span_cache"], (
         "stale non-track span entry survived warmup after a density swap")
     assert set(frees["span_cache"]) == set(range(len(dataset)))
+
+
+def test_span_cache_pose_cap_bounds_prefill_and_growth(dataset):
+    """nerf.span_cache_poses bounds both warmup prefill and live growth:
+    a multi-thousand-frame track must not stall construction for minutes
+    or pin unbounded HBM. Over-cap poses render through the uncached
+    full-budget path (no insert, no host readback)."""
+    cfg = CFG.override(**{
+        "nerf.sample_mode": "pallas",
+        "nerf.tile_budget": 64,
+        "nerf.pallas_depth_groups": 4,
+        "nerf.span_cache_poses": 2,
+    })
+    engine = NeRFReal(cfg, dataset=dataset)
+    step = engine._render_step
+    frees = dict(zip(step.__code__.co_freevars,
+                     [c.cell_contents for c in step.__closure__]))
+    step.warmup(engine.density, engine._bg_dev)
+    assert set(frees["span_cache"]) == {0, 1}, "prefill must honor the cap"
+
+    data = dataset.collate(2)
+    auds = jnp.zeros((8, engine.network.cfg.audio_in_dim, 16))
+    img, _, _ = step(data["pose"], auds, jnp.asarray(data["eye"]),
+                     engine.density, engine._bg_dev, pose_key=2)
+    assert img.shape == (dataset.H, dataset.W, 3) and img.dtype == jnp.uint8
+    assert set(frees["span_cache"]) == {0, 1}, (
+        "over-cap pose must not be inserted into the span cache")
+
+    # cached poses still hit
+    d0 = dataset.collate(0)
+    step(d0["pose"], auds, jnp.asarray(d0["eye"]), engine.density,
+         engine._bg_dev, pose_key=0)
+    assert len(frees["span_cache"]) == 2
