@@ -221,7 +221,43 @@ def bench_ernerf() -> dict:
         }
 
 
+_PROBE_CODE = "import jax; print(jax.default_backend())"
+
+
+def wait_for_backend(attempts: int = 3, probe_timeout: float = 240.0,
+                     probe_code: str = _PROBE_CODE) -> None:
+    """Fail fast (with bounded retries) if the device backend cannot
+    initialize, instead of hanging the whole bench run.
+
+    The axon TPU plugin initializes through a remote tunnel; during an
+    outage `jax.devices()` blocks indefinitely, which would turn a bench
+    invocation into a silent hang. Probe backend init in a subprocess with
+    a timeout (init is lazy and per-process, so a hung probe does not
+    poison this process), retry to ride out a transient tunnel drop, and
+    exit non-zero with a clear message if the backend never comes up."""
+    import subprocess
+
+    for attempt in range(1, attempts + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe_code],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if out.returncode == 0:
+                return
+            err = out.stderr.strip().splitlines()[-1:] or ["(no output)"]
+            print(f"bench: backend probe failed (attempt {attempt}): "
+                  f"{err[0]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: backend init timed out after {probe_timeout:.0f}s "
+                  f"(attempt {attempt})", file=sys.stderr)
+        if attempt < attempts:
+            time.sleep(30.0)
+    sys.exit("bench: device backend unavailable — aborting instead of hanging")
+
+
 def main() -> None:
+    wait_for_backend()
     wl = bench_wav2lip()
     extra = {"wav2lip_ms_per_batch16": round(wl["ms_per_batch16"], 2)}
     for name, fn in (("musetalk", bench_musetalk), ("ernerf_512", bench_ernerf)):
