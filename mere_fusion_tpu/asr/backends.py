@@ -87,7 +87,8 @@ class JaxWhisperBackend:
 
     def __init__(self, variables=None, dims=None, tokenizer=None,
                  language_index: int = 0, beam_size: int = 1,
-                 word_timestamps: bool = True, use_vad: bool = False):
+                 word_timestamps: bool = True, use_vad: bool = False,
+                 device=None):
         import jax
         import jax.numpy as jnp
 
@@ -108,6 +109,11 @@ class JaxWhisperBackend:
                 jnp.zeros((1, self.dims.n_mels, 2 * self.dims.n_audio_ctx)),
                 jnp.zeros((1, 4), jnp.int32),
             )
+        if device is not None:
+            # multi-session placement: COMMIT the weights to the session's
+            # chip so encode/decode dispatch pins there from any thread (the
+            # upstream reader runs on the shared event loop)
+            variables = jax.device_put(variables, device)
         self.variables = variables
         if tokenizer is None:
             try:
@@ -449,6 +455,9 @@ class OpenAIApiBackend:
 def make_backend(name: str, **kw) -> ASRBackend:
     if name == "jax-whisper":
         return JaxWhisperBackend(**kw)
+    # device placement only applies to the on-device backend; the others are
+    # host- or API-bound
+    kw.pop("device", None)
     if name == "faster-whisper":
         return FasterWhisperBackend(**kw)
     if name == "openai-api":

@@ -129,7 +129,10 @@ def main(argv=None) -> None:
             kw = {"base_url": args.llm_url, "model": args.llm_model}
         llm = make_llm(args.llm, **kw)
 
-    run_server(cfg, lambda c: make_engine(c, custom_opts=custom_opts), llm=llm)
+    # **kw forwards the SessionManager's device= placement so each session's
+    # engine commits its weights to its assigned chip
+    run_server(cfg, lambda c, **kw: make_engine(c, custom_opts=custom_opts, **kw),
+               llm=llm)
 
 
 if __name__ == "__main__":

@@ -53,11 +53,17 @@ def _read_wav_f32(path: str) -> np.ndarray:
 
 
 class BaseReal:
-    def __init__(self, cfg: Config, custom_opts: list[dict] | None = None):
+    def __init__(self, cfg: Config, custom_opts: list[dict] | None = None,
+                 device=None):
         self.cfg = cfg
         self.fps = cfg.audio.fps
         self.sample_rate = cfg.audio.sample_rate
         self.chunk = cfg.audio.chunk
+        # multi-session placement: the jax.Device this engine's weights and
+        # jitted steps live on (reference scales out one engine per GPU
+        # process, app.py:42-97; here sessions pack across the chips of one
+        # host). None = process default device (single-chip serving).
+        self.device = device
         self.tts = make_tts(cfg, self)
 
         self.recording = False
@@ -73,6 +79,20 @@ class BaseReal:
         self.custom_index: dict[int, int] = {}
         self.custom_opt: dict[int, dict] = {}
         self._load_custom(custom_opts or [])
+
+    def device_scope(self):
+        """Context manager pinning the calling thread's JAX dispatch to this
+        session's assigned device. Every engine thread that dispatches device
+        work (render loop, inference loop, construction) must run under it so
+        uncommitted arrays and weightless jit calls stay on the placed chip
+        instead of migrating to device 0. No-op when unplaced."""
+        if self.device is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.default_device(self.device)
 
     # ---- engine public API (reference parity) ------------------------------
     def first_video_frame_shape(self) -> tuple[int, int]:

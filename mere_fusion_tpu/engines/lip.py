@@ -73,14 +73,17 @@ def make_lip_feature_fn(cfg: Config):
     return features, n_chunks
 
 
-def make_lip_device_step(variables, img_size: int = 96, dtype=jnp.bfloat16):
+def make_lip_device_step(variables, img_size: int = 96, dtype=jnp.bfloat16,
+                         device=None):
     """jit: (mel windows [B,80,16], face crops u8 [B,S,S,3]) → u8 [B,S,S,3].
 
     Masking, normalization, UNet and quantization fuse into one dispatch
     (reference does mask/concat on host numpy: lipreal.py:115-119).
+    A non-None ``device`` COMMITS the weights there (multi-session placement)
+    so dispatch follows them from any thread.
     """
     model = Wav2Lip(dtype=dtype)
-    variables = jax.device_put(variables)  # runtime input, not a baked constant
+    variables = jax.device_put(variables, device)  # runtime input, not a baked constant
 
     @jax.jit
     def step(variables, mel: jnp.ndarray, faces_u8: jnp.ndarray) -> jnp.ndarray:
@@ -123,8 +126,9 @@ class LipReal(BaseReal):
         variables=None,
         avatar: LipAvatar | None = None,
         custom_opts: list[dict] | None = None,
+        device=None,
     ):
-        super().__init__(cfg, custom_opts)
+        super().__init__(cfg, custom_opts, device=device)
         self.batch_size = cfg.avatar.batch_size
         self.img_size = cfg.avatar.img_size
         self.idx = 0
@@ -139,27 +143,30 @@ class LipReal(BaseReal):
             )
         self.avatar = avatar
 
-        if variables is None:  # weightless mode: random params, silence path still exact
-            model = Wav2Lip()
-            variables = jax.jit(model.init)(
-                jax.random.key(0),
-                jnp.zeros((1, 80, 16)),
-                jnp.zeros((1, self.img_size, self.img_size, 6)),
+        with self.device_scope():
+            if variables is None:  # weightless mode: random params, silence path still exact
+                model = Wav2Lip()
+                variables = jax.jit(model.init)(
+                    jax.random.key(0),
+                    jnp.zeros((1, 80, 16)),
+                    jnp.zeros((1, self.img_size, self.img_size, 6)),
+                )
+            dtype = jnp.bfloat16 if cfg.avatar.dtype == "bfloat16" else jnp.float32
+            self._device_step = make_lip_device_step(
+                variables, self.img_size, dtype, device=self.device
             )
-        dtype = jnp.bfloat16 if cfg.avatar.dtype == "bfloat16" else jnp.float32
-        self._device_step = make_lip_device_step(variables, self.img_size, dtype)
-        # warm the speech-path jit so the first utterance doesn't stall the
-        # live pipeline behind a compile. np.asarray BLOCKS on the result:
-        # on remote-plugin backends (axon) an un-synced dispatch can defer
-        # the actual compile to the first real batch, which puts minutes of
-        # remote-compiler latency on the first utterance instead of init
-        np.asarray(self._device_step(
-            jnp.zeros((self.batch_size, 80, 16)),
-            jnp.zeros((self.batch_size, self.img_size, self.img_size, 3),
-                      jnp.uint8),
-        ))
+            # warm the speech-path jit so the first utterance doesn't stall the
+            # live pipeline behind a compile. np.asarray BLOCKS on the result:
+            # on remote-plugin backends (axon) an un-synced dispatch can defer
+            # the actual compile to the first real batch, which puts minutes of
+            # remote-compiler latency on the first utterance instead of init
+            np.asarray(self._device_step(
+                jnp.zeros((self.batch_size, 80, 16)),
+                jnp.zeros((self.batch_size, self.img_size, self.img_size, 3),
+                          jnp.uint8),
+            ))
 
-        self.asr = LipASR(cfg, self)
+            self.asr = LipASR(cfg, self)
         self.asr.warm_up()
         self.render_event = Event()
 
@@ -175,6 +182,10 @@ class LipReal(BaseReal):
 
     # ---- device inference stage --------------------------------------------
     def _inference_loop(self, quit_event) -> None:
+        with self.device_scope():
+            self._inference_loop_impl(quit_event)
+
+    def _inference_loop_impl(self, quit_event) -> None:
         length = len(self.avatar)
         index = 0
         while not quit_event.is_set():
@@ -280,8 +291,9 @@ class LipReal(BaseReal):
         ).start()
         Thread(target=self._inference_loop, args=(quit_event,), daemon=True).start()
         self.render_event.set()
-        while not quit_event.is_set():
-            self.asr.run_step()
-            if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
-                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+        with self.device_scope():  # asr.run_step dispatches the mel jit
+            while not quit_event.is_set():
+                self.asr.run_step()
+                if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
+                    time.sleep(0.04 * video_track._queue.qsize() * 0.8)
         self.render_event.clear()

@@ -113,7 +113,7 @@ class MuseModels:
     def __init__(self, vae_cfg: VAEConfig | None = None,
                  unet_cfg: UNetConfig | None = None,
                  vae_vars=None, unet_vars=None, face_size: int = 256,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, device=None):
         self.vae_cfg = vae_cfg or VAEConfig()
         self.unet_cfg = unet_cfg or UNetConfig()
         self.face_size = face_size
@@ -147,8 +147,10 @@ class MuseModels:
                 t,
             )
             vae_vars, unet_vars = cast(vae_vars), cast(unet_vars)
-        self.vae_vars = jax.device_put(vae_vars)
-        self.unet_vars = jax.device_put(unet_vars)
+        # a non-None device COMMITS the weights to the session's chip
+        # (multi-session placement) so dispatch follows them from any thread
+        self.vae_vars = jax.device_put(vae_vars, device)
+        self.unet_vars = jax.device_put(unet_vars, device)
         sf = self.vae_cfg.scaling_factor
         vae, unet = self.vae, self.unet
 
@@ -247,20 +249,24 @@ class MuseReal(BaseReal):
     def __init__(self, cfg: Config, models: MuseModels | None = None,
                  avatar: MuseAvatar | None = None,
                  feature_extractor: WhisperFeatureExtractor | None = None,
-                 custom_opts: list[dict] | None = None):
-        super().__init__(cfg, custom_opts)
+                 custom_opts: list[dict] | None = None,
+                 device=None):
+        super().__init__(cfg, custom_opts, device=device)
         self.batch_size = cfg.avatar.batch_size
-        self.models = models or MuseModels(
-            dtype=jnp.bfloat16 if cfg.avatar.dtype == "bfloat16"
-            else jnp.float32
-        )
-        if avatar is None:
-            avatar = load_muse_avatar(
-                os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id)
+        with self.device_scope():
+            self.models = models or MuseModels(
+                dtype=jnp.bfloat16 if cfg.avatar.dtype == "bfloat16"
+                else jnp.float32,
+                device=device,
             )
-        self.avatar = avatar
-        self.res_frame_queue: Queue = Queue(self.batch_size * 2)
-        self.asr = MuseASR(cfg, self, feature_extractor or WhisperFeatureExtractor())
+            if avatar is None:
+                avatar = load_muse_avatar(
+                    os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id)
+                )
+            self.avatar = avatar
+            self.res_frame_queue: Queue = Queue(self.batch_size * 2)
+            self.asr = MuseASR(
+                cfg, self, feature_extractor or WhisperFeatureExtractor())
         self.asr.warm_up()
         # warm the generator jit (matching the extractor's window shape) so
         # the first utterance doesn't stall behind a compile; np.asarray
@@ -268,15 +274,21 @@ class MuseReal(BaseReal):
         # the first live batch (engines/lip.py has the same contract)
         m = self.models
         seq = 10 * (self.asr.features.dims.n_audio_layer + 1)
-        np.asarray(m.generate(
-            jnp.zeros((self.batch_size, m.latent_size, m.latent_size,
-                       m.unet_cfg.in_channels)),
-            jnp.zeros((self.batch_size, seq, m.unet_cfg.cross_attention_dim)),
-        ))
+        with self.device_scope():
+            np.asarray(m.generate(
+                jnp.zeros((self.batch_size, m.latent_size, m.latent_size,
+                           m.unet_cfg.in_channels)),
+                jnp.zeros((self.batch_size, seq,
+                           m.unet_cfg.cross_attention_dim)),
+            ))
         self.render_event = Event()
 
     # ---- device inference stage ---------------------------------------------
     def _inference_loop(self, quit_event) -> None:
+        with self.device_scope():
+            self._inference_loop_impl(quit_event)
+
+    def _inference_loop_impl(self, quit_event) -> None:
         length = len(self.avatar)
         index = 0
         while not quit_event.is_set():
@@ -375,9 +387,10 @@ class MuseReal(BaseReal):
                args=(quit_event, loop, audio_track, video_track), daemon=True).start()
         Thread(target=self._inference_loop, args=(quit_event,), daemon=True).start()
         self.render_event.set()
-        while not quit_event.is_set():
-            self.asr.run_step()
-            if (video_track is not None
-                    and video_track._queue.qsize() >= max(self.cfg.avatar.max_track_queue, 1.5 * self.batch_size)):
-                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+        with self.device_scope():  # asr.run_step dispatches the whisper encoder
+            while not quit_event.is_set():
+                self.asr.run_step()
+                if (video_track is not None
+                        and video_track._queue.qsize() >= max(self.cfg.avatar.max_track_queue, 1.5 * self.batch_size)):
+                    time.sleep(0.04 * video_track._queue.qsize() * 0.8)
         self.render_event.clear()

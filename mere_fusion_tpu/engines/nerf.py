@@ -430,8 +430,24 @@ class NeRFReal(BaseReal):
                  fullbody_frames: Optional[list] = None,
                  fullbody_offset=(0, 0),
                  custom_opts: list[dict] | None = None,
-                 bake_planes: bool = True):
-        super().__init__(cfg, custom_opts)
+                 bake_planes: bool = True,
+                 device=None):
+        super().__init__(cfg, custom_opts, device=device)
+        with self.device_scope():
+            self._init_device_state(
+                cfg, network, variables, dataset, density, logits_fn,
+                device_logits_fn, fullbody_frames, fullbody_offset,
+                bake_planes,
+            )
+        # interactive free camera (the reference GUI's orbit viewer,
+        # gui.py:12-69); None = follow the dataset's camera path
+        self.orbit = None
+        # frames until the next active/overflow gauge readback (see test_step)
+        self._telemetry_countdown = 0
+
+    def _init_device_state(self, cfg, network, variables, dataset, density,
+                           logits_fn, device_logits_fn, fullbody_frames,
+                           fullbody_offset, bake_planes):
         nc = cfg.nerf
         if network is None:
             network = NeRFNetwork(NeRFNetConfig(
@@ -502,11 +518,6 @@ class NeRFReal(BaseReal):
         self.asr = NerfASR(cfg, self, logits_fn or fake_logits_fn(nc.audio_in_dim),
                            device_logits_fn=device_logits_fn)
         self.asr.warm_up()
-        # interactive free camera (the reference GUI's orbit viewer,
-        # gui.py:12-69); None = follow the dataset's camera path
-        self.orbit = None
-        # frames until the next active/overflow gauge readback (see test_step)
-        self._telemetry_countdown = 0
 
     def set_orbit_camera(self, enable: bool = True):
         """Toggle the interactive orbit camera. Returns the OrbitCamera (or
@@ -618,12 +629,13 @@ class NeRFReal(BaseReal):
     def render(self, quit_event, loop=None, audio_track=None, video_track=None):
         self.init_customindex()
         self.tts.render(quit_event)
-        while not quit_event.is_set():
-            for _ in range(2):
-                self.asr.run_step()
-            self.test_step(loop, audio_track, video_track)
-            if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
-                time.sleep(0.04 * video_track._queue.qsize() * 0.8)
+        with self.device_scope():  # ASR logits + frame render dispatch here
+            while not quit_event.is_set():
+                for _ in range(2):
+                    self.asr.run_step()
+                self.test_step(loop, audio_track, video_track)
+                if video_track is not None and video_track._queue.qsize() >= self.cfg.avatar.max_track_queue:
+                    time.sleep(0.04 * video_track._queue.qsize() * 0.8)
 
 
 def load_nerf_checkpoint(cfg: Config):

@@ -31,6 +31,9 @@ class Session:
         self._asr_backend = asr_backend
         self._perception = perception
         self.player: Optional[HumanPlayer] = None
+        # jax.Device this session is placed on (set by SessionManager);
+        # None = process default device
+        self.device = getattr(engine, "device", None)
         self.brain = None
         self.speech_upstream = None
         self.video_upstream = None
@@ -57,7 +60,12 @@ class Session:
 
         if self.brain is None:
             self.brain = BrainSession(self.model, self.llm)
-        backend = self._asr_backend or make_backend(self.cfg.asr.backend)
+        # the streaming-ASR whisper encoder belongs on the session's chip
+        # too: its weights are committed there so transcription dispatched
+        # from the shared event loop doesn't pile every session onto chip 0
+        backend = self._asr_backend or make_backend(
+            self.cfg.asr.backend, device=self.device
+        )
         transcriber = StreamingTranscriber(
             backend, buffer_trimming=("segment", self.cfg.asr.buffer_trim_seconds)
         )
@@ -208,22 +216,97 @@ class SessionManager:
         self.engine_factory = engine_factory
         self.llm = llm
         self.sessions: dict[str, Session] = {}
+        self._starting: set[str] = set()  # admission-counted while building
         self.lock = asyncio.Lock()
+        self.placer = None  # built lazily: importing jax at server
+        # construction would pay backend init even for signaling-only tests
+
+    def _ensure_placer(self):
+        if self.placer is None:
+            import math
+
+            import jax
+
+            from mere_fusion_tpu.parallel.placement import DevicePlacer
+
+            # per-device cap sized so the GLOBAL max_sessions stays the only
+            # admission limit (reference: app.py:42-49, 705); least-loaded
+            # acquire then balances sessions across the host's chips
+            n = max(1, len(jax.devices()))
+            self.placer = DevicePlacer(
+                max_sessions_per_device=max(
+                    1, math.ceil(self.cfg.server.max_sessions / n))
+            )
+        return self.placer
+
+    def _build_engine(self, device):
+        """Call the factory under the placed device's dispatch scope, passing
+        device= through when the factory accepts it (engines commit their
+        weights there); plain cfg-only factories still construct pinned."""
+        import inspect
+
+        import jax
+
+        factory = self.engine_factory
+        try:
+            params = inspect.signature(factory).parameters
+            accepts_device = "device" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
+        except (TypeError, ValueError):
+            accepts_device = False
+        with jax.default_device(device):
+            if accepts_device:
+                return factory(self.cfg, device=device)
+            engine = factory(self.cfg)
+        # cfg-only factories: the engine was BUILT pinned, but without
+        # engine.device its thread scopes would be no-ops and uncommitted
+        # weights would migrate back to device 0 at steady state — pin
+        # engines that follow the BaseReal contract (device attr, None)
+        if getattr(engine, "device", False) is None:
+            engine.device = device
+        return engine
 
     async def start_session(self) -> Session:
         import uuid
 
+        placer = self._ensure_placer()
         async with self.lock:
-            if len(self.sessions) >= self.cfg.server.max_sessions:
+            if (len(self.sessions) + len(self._starting)
+                    >= self.cfg.server.max_sessions):
                 raise RuntimeError("max sessions")
             sid = str(uuid.uuid4())
-            engine = self.engine_factory(self.cfg)
+            self._starting.add(sid)
+            device = placer.acquire(sid)
+        try:
+            # the engine build blocks for seconds-to-minutes (jit warmups,
+            # remote compiles) — run it off-loop, lock dropped, so already
+            # -live sessions keep streaming while a new caller joins
+            loop = asyncio.get_running_loop()
+            engine = await loop.run_in_executor(
+                None, self._build_engine, device)
             session = Session(sid, engine, self.cfg, llm=self.llm)
+            session.device = device
             session._manager_discard = lambda: self.stop_session(sid)
             await session.start()
-            self.sessions[sid] = session
-            metrics.gauge("sessions.active", len(self.sessions))
+            async with self.lock:
+                self._starting.discard(sid)
+                if session._closed:
+                    # a connection-state watcher fired between start() and
+                    # registration: its discard() found nothing to deregister
+                    # and bare-closed the session — don't register a corpse
+                    placer.release(sid)
+                    raise RuntimeError("session died during startup")
+                self.sessions[sid] = session
+                metrics.gauge("sessions.active", len(self.sessions))
             return session
+        except BaseException:
+            async with self.lock:
+                if sid in self._starting:
+                    self._starting.discard(sid)
+                    placer.release(sid)
+            raise
 
     async def stop_session(self, session_id: str) -> bool:
         async with self.lock:
@@ -231,6 +314,12 @@ class SessionManager:
             if session is None:
                 return False
             await session.close()
+            # release AFTER close: the dying engine's weights and in-flight
+            # dispatches still occupy its chip's HBM until then — freeing the
+            # slot earlier would let a new session commit a full model onto
+            # the same chip while the old one is still live
+            if self.placer is not None:
+                self.placer.release(session_id)
             metrics.gauge("sessions.active", len(self.sessions))
             return True
 

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite re-jits the same model programs every
+# run (engines rebuild per test); caching executables across runs cuts the
+# dominant cost. Keyed by program+platform, so CPU-mesh entries never leak
+# into TPU runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mere_fusion_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
