@@ -30,6 +30,11 @@ _FLAG_TO_KEY = {
     "pull_url": "transport.pull_url",
     "max_session": "server.max_sessions",
     "listenport": "server.listen_port",
+    "avatar_ckpt": "avatar.ckpt",
+    "vae_ckpt": "avatar.vae_ckpt",
+    "unet_ckpt": "avatar.unet_ckpt",
+    "unet_config": "avatar.unet_config",
+    "whisper_ckpt": "avatar.whisper_ckpt",
     "pose": "nerf.pose_path",
     "au": "nerf.au_path",
     "bg_img": "nerf.bg_img",
@@ -64,6 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_session", type=int, default=10)
     p.add_argument("--listenport", type=int, default=8010)
     p.add_argument("--customopt", default="", help="path to custom idle-track json")
+    # serving weights: reference torch files converted on the fly, or orbax
+    # dirs from tools/convert_ckpt (reference loads ./models/wav2lip.pth at
+    # lipreal.py:76 and the musetalk bundle at musetalk/utils/utils.py:18-24)
+    p.add_argument("--avatar_ckpt", default="",
+                   help="wav2lip generator weights (.pth or orbax dir)")
+    p.add_argument("--vae_ckpt", default="",
+                   help="musetalk sd-vae weights (.bin/.pth or orbax dir)")
+    p.add_argument("--unet_ckpt", default="",
+                   help="musetalk UNet weights (.bin/.pth or orbax dir)")
+    p.add_argument("--unet_config", default="",
+                   help="musetalk.json UNet architecture")
+    p.add_argument("--whisper_ckpt", default="",
+                   help="whisper-tiny weights for MuseASR features (.pt or orbax dir)")
     # ER-NeRF serving flags (reference app.py:550-707)
     p.add_argument("--pose", default="data/transforms.json")
     p.add_argument("--au", default="data/au.csv")

@@ -52,6 +52,16 @@ class AvatarConfig:
     img_size: int = 96                # face crop size (wav2lip 96, musetalk 256)
     dtype: str = "bfloat16"           # compute dtype on device
     max_track_queue: int = 5          # render backpressure threshold (frames)
+    # serving weights (reference loads these at engine start:
+    # ./models/wav2lip.pth at lipreal.py:76; sd-vae + musetalk UNet + whisper
+    # tiny at musetalk/utils/utils.py:18-24). Each accepts a reference torch
+    # file (.pth/.pt/.bin) converted on the fly, or an orbax dir written by
+    # tools/convert_ckpt. Empty = random weights (silence-path/demo mode).
+    ckpt: str = ""                    # wav2lip generator weights
+    vae_ckpt: str = ""                # musetalk: sd-vae-ft-mse weights
+    unet_ckpt: str = ""               # musetalk: UNet weights
+    unet_config: str = ""             # musetalk.json architecture (unet.py:35-37)
+    whisper_ckpt: str = ""            # musetalk: whisper-tiny for MuseASR features
 
 
 @dataclass(frozen=True)

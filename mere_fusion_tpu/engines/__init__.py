@@ -8,19 +8,128 @@ into full frames for the output tracks.
 """
 from __future__ import annotations
 
+import os
+
 from mere_fusion_tpu.config import Config
+
+# serving-weight caches. Host trees are cached per file so N sessions pay one
+# torch-load/convert; device trees are cached per (file, device, dtype) and
+# COMMITTED there, so same-chip sessions share one HBM copy of the weights —
+# engines device_put committed arrays as a no-op (the reference loads a
+# separate copy per session's GPU subprocess, lipreal.py:75-80). Entries live
+# for the process (serving weights are expected to stay resident).
+_HOST_TREES: dict = {}
+_DEVICE_TREES: dict = {}
+
+_TORCH_SUFFIXES = (".pth", ".pt", ".bin")
+
+
+def load_serving_tree(family: str, path: str, unet_config: str | None = None):
+    """Host param tree for serving: a reference torch checkpoint converted on
+    the fly (tools/convert_ckpt families) or an orbax dir, cached per path."""
+    key = (family, os.path.abspath(path))
+    tree = _HOST_TREES.get(key)
+    if tree is not None:
+        return tree
+    if os.path.isdir(path):
+        from mere_fusion_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(path)
+        try:
+            tree = ckpt.restore_raw()
+        finally:
+            ckpt.close()
+    elif path.endswith(_TORCH_SUFFIXES):
+        from mere_fusion_tpu.tools.convert_ckpt import convert
+
+        tree = convert(family, path, unet_config)
+    else:
+        raise ValueError(
+            f"serving checkpoint {path!r} is neither an orbax dir nor a "
+            f"torch file ({'/'.join(_TORCH_SUFFIXES)})"
+        )
+    _HOST_TREES[key] = tree
+    return tree
+
+
+def shared_device_tree(family: str, path: str, device=None, dtype=None,
+                       unet_config: str | None = None):
+    """Param tree committed to ``device`` (optionally cast: float32 leaves →
+    ``dtype``), shared across all sessions placed on that device."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (family, os.path.abspath(path), repr(device), repr(dtype))
+    tree = _DEVICE_TREES.get(key)
+    if tree is not None:
+        return tree
+    tree = load_serving_tree(family, path, unet_config)
+    if dtype is not None:
+        tree = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+    tree = jax.device_put(tree, device)
+    _DEVICE_TREES[key] = tree
+    return tree
 
 
 def make_engine(cfg: Config, **kw):
-    """Engine factory keyed by cfg.avatar.kind (reference: app.py:330-343)."""
+    """Engine factory keyed by cfg.avatar.kind (reference: app.py:330-343).
+
+    ``device=`` (threaded in by SessionManager placement) is forwarded to the
+    engine and used to commit serving weights to the session's chip.
+    """
     kind = cfg.avatar.kind
+    ac = cfg.avatar
+    device = kw.get("device")
     if kind == "wav2lip":
         from mere_fusion_tpu.engines.lip import LipReal
 
+        if ac.ckpt and "variables" not in kw:
+            kw["variables"] = shared_device_tree("wav2lip", ac.ckpt, device)
         return LipReal(cfg, **kw)
     if kind == "musetalk":
-        from mere_fusion_tpu.engines.muse import MuseReal
+        import jax.numpy as jnp
 
+        from mere_fusion_tpu.engines.muse import MuseModels, MuseReal
+
+        dtype = jnp.bfloat16 if ac.dtype == "bfloat16" else jnp.float32
+        cast = dtype if dtype == jnp.bfloat16 else None
+        if "models" not in kw and (ac.vae_ckpt or ac.unet_ckpt):
+            if not (ac.vae_ckpt and ac.unet_ckpt):
+                raise ValueError(
+                    "musetalk serving needs BOTH avatar.vae_ckpt and "
+                    "avatar.unet_ckpt (reference loads the sd-vae and UNet "
+                    "together, musetalk/utils/utils.py:18-24)"
+                )
+            from mere_fusion_tpu.models.musetalk import UNetConfig
+
+            unet_cfg = (UNetConfig.from_json(ac.unet_config)
+                        if ac.unet_config else None)
+            kw["models"] = MuseModels(
+                unet_cfg=unet_cfg,
+                vae_vars=shared_device_tree(
+                    "vae", ac.vae_ckpt, device, dtype=cast),
+                unet_vars=shared_device_tree(
+                    "musetalk-unet", ac.unet_ckpt, device, dtype=cast,
+                    unet_config=ac.unet_config or None),
+                dtype=dtype, device=device,
+            )
+        if "feature_extractor" not in kw and ac.whisper_ckpt:
+            from mere_fusion_tpu.audio.features import WhisperFeatureExtractor
+            from mere_fusion_tpu.models.whisper import TINY, WhisperDims
+
+            dims = TINY
+            if not os.path.isdir(ac.whisper_ckpt):
+                import torch  # dims ride inside the reference .pt
+
+                dims = WhisperDims(**torch.load(
+                    ac.whisper_ckpt, map_location="cpu",
+                    weights_only=False)["dims"])
+            kw["feature_extractor"] = WhisperFeatureExtractor(
+                shared_device_tree("whisper", ac.whisper_ckpt, device), dims)
         return MuseReal(cfg, **kw)
     if kind == "ernerf":
         from mere_fusion_tpu.data.provider import NeRFTestDataset
