@@ -42,6 +42,7 @@ _FLAG_TO_KEY = {
     "fullbody_img": "nerf.fullbody_imgs",
     "torso": "nerf.torso",
     "nerf_ckpt": "nerf.ckpt",
+    "asr_model": "nerf.asr_model",
 }
 
 
@@ -89,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fix_eye", type=float, default=-1.0)
     p.add_argument("--torso", action="store_true")
     p.add_argument("--nerf_ckpt", default="")
+    p.add_argument("--asr_model", default="",
+                   help="ER-NeRF live featurizer: a DeepSpeech .pb, a "
+                        "transformers CTC model name, or empty for the fake")
     p.add_argument("--fullbody", action="store_true")
     p.add_argument("--fullbody_img", default="")
     p.add_argument("--fullbody_offset_x", type=int, default=0)

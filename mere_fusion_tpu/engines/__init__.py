@@ -146,6 +146,25 @@ def make_engine(cfg: Config, **kw):
             )
         if cfg.nerf.fix_eye >= 0:
             kw["dataset"].eye_area[:] = cfg.nerf.fix_eye
+        if "logits_fn" not in kw and cfg.nerf.asr_model:
+            am = cfg.nerf.asr_model
+            if am.endswith(".pb"):
+                from mere_fusion_tpu.audio.deepspeech import (
+                    deepspeech_logits_fn,
+                    params_from_graph,
+                    read_graph_constants,
+                )
+
+                ds_params = params_from_graph(read_graph_constants(am))
+                kw["logits_fn"] = deepspeech_logits_fn(params=ds_params)
+                # device-resident twin: NerfASR keeps logits on-chip, feeding
+                # its feature ring without a host round-trip per window
+                kw["device_logits_fn"] = deepspeech_logits_fn(
+                    params=ds_params, return_device=True)
+            else:
+                from mere_fusion_tpu.engines.nerf import wav2vec_logits_fn
+
+                kw["logits_fn"] = wav2vec_logits_fn(am)
         if cfg.nerf.ckpt and "variables" not in kw:
             from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
 
