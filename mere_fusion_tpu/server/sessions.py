@@ -300,6 +300,7 @@ class SessionManager:
                     raise RuntimeError("session died during startup")
                 self.sessions[sid] = session
                 metrics.gauge("sessions.active", len(self.sessions))
+                self._publish_placement()
             return session
         except BaseException:
             async with self.lock:
@@ -320,8 +321,14 @@ class SessionManager:
             # the same chip while the old one is still live
             if self.placer is not None:
                 self.placer.release(session_id)
+                self._publish_placement()
             metrics.gauge("sessions.active", len(self.sessions))
             return True
+
+    def _publish_placement(self) -> None:
+        """Per-chip session counts on /metrics (placement observability)."""
+        for i, dev in enumerate(self.placer.devices):
+            metrics.gauge(f"sessions.device{i}", self.placer._counts[dev])
 
     def get(self, session_id: str) -> Optional[Session]:
         return self.sessions.get(session_id)
