@@ -76,18 +76,24 @@ def attach_upstream_track(session, track) -> None:
         from mere_fusion_tpu.tts import resample_pcm
 
         up = session.speech_upstream
+        loop = asyncio.get_running_loop()
         while True:
             frame = await track.recv()
             pcm = frame.to_ndarray().flatten().astype(np.float32) / 32768.0
             if frame.sample_rate != 16000:
                 pcm = resample_pcm(pcm, frame.sample_rate, 16000)
-            up.process_pcm(pcm)
+            # transcription takes 100s of ms per chunk — run it off-loop so
+            # it can't stall every session's track pacing; awaiting keeps
+            # the per-session transcriber state strictly sequential
+            await loop.run_in_executor(None, up.process_pcm, pcm)
 
     async def read_video():
         up = session.video_upstream
+        loop = asyncio.get_running_loop()
         while True:
             frame = await track.recv()
-            up.process_frame(frame.to_ndarray(format="bgr24"))
+            arr = frame.to_ndarray(format="bgr24")
+            await loop.run_in_executor(None, up.process_frame, arr)
 
     reader = read_audio if track.kind == "audio" else read_video
     asyncio.ensure_future(reader())
