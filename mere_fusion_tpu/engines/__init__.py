@@ -9,6 +9,7 @@ into full frames for the output tracks.
 from __future__ import annotations
 
 import os
+import threading
 
 from mere_fusion_tpu.config import Config
 
@@ -17,62 +18,80 @@ from mere_fusion_tpu.config import Config
 # COMMITTED there, so same-chip sessions share one HBM copy of the weights —
 # engines device_put committed arrays as a no-op (the reference loads a
 # separate copy per session's GPU subprocess, lipreal.py:75-80). Entries live
-# for the process (serving weights are expected to stay resident).
+# for the process (serving weights are expected to stay resident). The lock
+# serializes loads: concurrent session starts run make_engine on executor
+# threads, and two racing misses would otherwise each convert + commit a
+# full private copy of the weights.
 _HOST_TREES: dict = {}
 _DEVICE_TREES: dict = {}
+_TREE_LOCK = threading.RLock()
 
 _TORCH_SUFFIXES = (".pth", ".pt", ".bin")
 
 
-def load_serving_tree(family: str, path: str, unet_config: str | None = None):
-    """Host param tree for serving: a reference torch checkpoint converted on
-    the fly (tools/convert_ckpt families) or an orbax dir, cached per path."""
+def load_serving_tree(family: str, path: str, unet_config: str | None = None,
+                      loader=None):
+    """(host param tree, metadata) for serving: a reference torch checkpoint
+    converted on the fly (tools/convert_ckpt families), an orbax dir (with
+    its family.json metadata when present), or a custom ``loader(path)``.
+    Cached per path."""
     key = (family, os.path.abspath(path))
-    tree = _HOST_TREES.get(key)
-    if tree is not None:
-        return tree
-    if os.path.isdir(path):
-        from mere_fusion_tpu.utils.checkpoint import Checkpointer
+    with _TREE_LOCK:
+        hit = _HOST_TREES.get(key)
+        if hit is not None:
+            return hit
+        meta: dict = {}
+        if loader is not None:
+            tree = loader(path)
+        elif os.path.isdir(path):
+            from mere_fusion_tpu.utils.checkpoint import Checkpointer
 
-        ckpt = Checkpointer(path)
-        try:
-            tree = ckpt.restore_raw()
-        finally:
-            ckpt.close()
-    elif path.endswith(_TORCH_SUFFIXES):
-        from mere_fusion_tpu.tools.convert_ckpt import convert
+            ckpt = Checkpointer(path)
+            try:
+                tree = ckpt.restore_raw()
+            finally:
+                ckpt.close()
+            fam_json = os.path.join(path, "family.json")
+            if os.path.exists(fam_json):
+                import json
 
-        tree = convert(family, path, unet_config)
-    else:
-        raise ValueError(
-            f"serving checkpoint {path!r} is neither an orbax dir nor a "
-            f"torch file ({'/'.join(_TORCH_SUFFIXES)})"
-        )
-    _HOST_TREES[key] = tree
-    return tree
+                with open(fam_json) as f:
+                    meta = json.load(f)
+        elif path.endswith(_TORCH_SUFFIXES):
+            from mere_fusion_tpu.tools.convert_ckpt import convert_with_meta
+
+            tree, meta = convert_with_meta(family, path, unet_config)
+        else:
+            raise ValueError(
+                f"serving checkpoint {path!r} is neither an orbax dir nor a "
+                f"torch file ({'/'.join(_TORCH_SUFFIXES)})"
+            )
+        _HOST_TREES[key] = (tree, meta)
+        return tree, meta
 
 
 def shared_device_tree(family: str, path: str, device=None, dtype=None,
-                       unet_config: str | None = None):
+                       unet_config: str | None = None, loader=None):
     """Param tree committed to ``device`` (optionally cast: float32 leaves →
     ``dtype``), shared across all sessions placed on that device."""
     import jax
     import jax.numpy as jnp
 
     key = (family, os.path.abspath(path), repr(device), repr(dtype))
-    tree = _DEVICE_TREES.get(key)
-    if tree is not None:
+    with _TREE_LOCK:
+        tree = _DEVICE_TREES.get(key)
+        if tree is not None:
+            return tree
+        tree, _ = load_serving_tree(family, path, unet_config, loader=loader)
+        if dtype is not None:
+            tree = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                tree,
+            )
+        tree = jax.device_put(tree, device)
+        _DEVICE_TREES[key] = tree
         return tree
-    tree = load_serving_tree(family, path, unet_config)
-    if dtype is not None:
-        tree = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            tree,
-        )
-    tree = jax.device_put(tree, device)
-    _DEVICE_TREES[key] = tree
-    return tree
 
 
 def make_engine(cfg: Config, **kw):
@@ -121,13 +140,13 @@ def make_engine(cfg: Config, **kw):
             from mere_fusion_tpu.audio.features import WhisperFeatureExtractor
             from mere_fusion_tpu.models.whisper import TINY, WhisperDims
 
-            dims = TINY
-            if not os.path.isdir(ac.whisper_ckpt):
-                import torch  # dims ride inside the reference .pt
-
-                dims = WhisperDims(**torch.load(
-                    ac.whisper_ckpt, map_location="cpu",
-                    weights_only=False)["dims"])
+            # dims ride in the .pt header / the converted dir's family.json
+            # (written by tools/convert_ckpt); absent → whisper-tiny
+            _, meta = load_serving_tree("whisper", ac.whisper_ckpt)
+            fields = WhisperDims.__dataclass_fields__
+            dims = (WhisperDims(**{k: v for k, v in meta["dims"].items()
+                                   if k in fields})
+                    if meta.get("dims") else TINY)
             kw["feature_extractor"] = WhisperFeatureExtractor(
                 shared_device_tree("whisper", ac.whisper_ckpt, device), dims)
         return MuseReal(cfg, **kw)
@@ -149,17 +168,21 @@ def make_engine(cfg: Config, **kw):
         if "logits_fn" not in kw and cfg.nerf.asr_model:
             am = cfg.nerf.asr_model
             if am.endswith(".pb"):
-                from mere_fusion_tpu.audio.deepspeech import (
-                    deepspeech_logits_fn,
-                    params_from_graph,
-                    read_graph_constants,
-                )
+                from mere_fusion_tpu.audio import deepspeech
 
-                ds_params = params_from_graph(read_graph_constants(am))
-                kw["logits_fn"] = deepspeech_logits_fn(params=ds_params)
+                # one committed copy per (graph, chip), shared by both
+                # featurizer forms and by every same-chip session —
+                # deepspeech_logits_fn's internal device_put of committed
+                # arrays is a no-op
+                ds_params = shared_device_tree(
+                    "deepspeech", am, device,
+                    loader=lambda p: deepspeech.params_from_graph(
+                        deepspeech.read_graph_constants(p)))
+                kw["logits_fn"] = deepspeech.deepspeech_logits_fn(
+                    params=ds_params)
                 # device-resident twin: NerfASR keeps logits on-chip, feeding
                 # its feature ring without a host round-trip per window
-                kw["device_logits_fn"] = deepspeech_logits_fn(
+                kw["device_logits_fn"] = deepspeech.deepspeech_logits_fn(
                     params=ds_params, return_device=True)
             else:
                 from mere_fusion_tpu.engines.nerf import wav2vec_logits_fn

@@ -40,6 +40,11 @@ class DevicePlacer:
     def device_of(self, session_id: str) -> Optional[jax.Device]:
         return self._assignments.get(session_id)
 
+    def counts(self) -> dict:
+        """Snapshot of sessions per device (observability)."""
+        with self._lock:
+            return dict(self._counts)
+
     def place(self, session_id: str, variables):
         """Move a variable tree to the session's device."""
         device = self._assignments[session_id]

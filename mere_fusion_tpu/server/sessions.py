@@ -327,8 +327,9 @@ class SessionManager:
 
     def _publish_placement(self) -> None:
         """Per-chip session counts on /metrics (placement observability)."""
+        counts = self.placer.counts()
         for i, dev in enumerate(self.placer.devices):
-            metrics.gauge(f"sessions.device{i}", self.placer._counts[dev])
+            metrics.gauge(f"sessions.device{i}", counts[dev])
 
     def get(self, session_id: str) -> Optional[Session]:
         return self.sessions.get(session_id)

@@ -19,39 +19,51 @@ import os
 
 
 def convert(family: str, in_path: str, unet_config: str | None = None) -> dict:
+    return convert_with_meta(family, in_path, unet_config)[0]
+
+
+def convert_with_meta(family: str, in_path: str,
+                      unet_config: str | None = None) -> tuple[dict, dict]:
+    """(param tree, metadata). Metadata captures architecture facts that
+    don't live in the tree — e.g. whisper dims — so serving can rebuild the
+    right model from a converted orbax dir (family.json)."""
     from mere_fusion_tpu.utils import torch_convert as tc
 
     sd = tc.load_torch_checkpoint(in_path)
+    meta: dict = {}
     if family == "wav2lip":
-        return tc.convert_wav2lip(sd)
+        return tc.convert_wav2lip(sd), meta
     if family == "wav2lip-disc":
-        return tc.convert_wav2lip_disc(sd)
+        return tc.convert_wav2lip_disc(sd), meta
     if family == "syncnet":
         from mere_fusion_tpu.models.syncnet import convert_syncnet
 
-        return convert_syncnet(sd)
+        return convert_syncnet(sd), meta
     if family == "whisper":
         from mere_fusion_tpu.models.whisper import WhisperDims
 
+        import dataclasses
+
         dims = WhisperDims(**sd["dims"]) if "dims" in sd else WhisperDims()
+        meta["dims"] = dataclasses.asdict(dims)
         state = sd.get("model_state_dict", sd)
-        return tc.convert_whisper(state, dims)
+        return tc.convert_whisper(state, dims), meta
     if family == "vae":
         from mere_fusion_tpu.utils.diffusers_convert import convert_vae
 
-        return convert_vae(sd)
+        return convert_vae(sd), meta
     if family == "musetalk-unet":
         from mere_fusion_tpu.models.musetalk import UNetConfig
         from mere_fusion_tpu.utils.diffusers_convert import convert_musetalk_unet
 
         cfg = UNetConfig.from_json(unet_config) if unet_config else UNetConfig()
-        return convert_musetalk_unet(sd, cfg)
+        return convert_musetalk_unet(sd, cfg), meta
     if family == "s3fd":
-        return tc.convert_s3fd(sd)
+        return tc.convert_s3fd(sd), meta
     if family == "bisenet":
-        return tc.convert_bisenet(sd)
+        return tc.convert_bisenet(sd), meta
     if family == "fan":
-        return tc.convert_fan(sd)
+        return tc.convert_fan(sd), meta
     if family == "ernerf":
         # Trainer checkpoints wrap the network under 'model' and carry the
         # density grid beside it (utils.py:1418-1477)
@@ -60,7 +72,7 @@ def convert(family: str, in_path: str, unet_config: str | None = None) -> dict:
         if "density_grid" in model_sd:
             out = {**out, "density": tc.density_from_ernerf(
                 model_sd, mean_density=sd.get("mean_density"))}
-        return out
+        return out, meta
     raise ValueError(f"unknown family {family!r}")
 
 
@@ -75,7 +87,8 @@ def main(argv=None) -> None:
     p.add_argument("--unet-config", default=None)
     args = p.parse_args(argv)
 
-    variables = convert(args.family, args.input, args.unet_config)
+    variables, meta = convert_with_meta(args.family, args.input,
+                                        args.unet_config)
 
     from mere_fusion_tpu.utils.checkpoint import Checkpointer
 
@@ -84,7 +97,8 @@ def main(argv=None) -> None:
     ckpt.save(0, variables)
     ckpt.close()
     with open(os.path.join(args.out_dir, "family.json"), "w") as f:
-        json.dump({"family": args.family, "source": os.path.abspath(args.input)}, f)
+        json.dump({"family": args.family,
+                   "source": os.path.abspath(args.input), **meta}, f)
     n = sum(x.size for x in __import__("jax").tree.leaves(variables))
     print(f"converted {args.family}: {n/1e6:.1f}M params → {args.out_dir}")
 

@@ -66,7 +66,7 @@ def test_real_engines_commit_to_distinct_devices(tmp_path):
                 assert out.devices() == {s.device}
         finally:
             await mgr.close_all()
-        assert all(v == 0 for v in mgr.placer._counts.values()), \
+        assert all(v == 0 for v in mgr.placer.counts().values()), \
             "stop_session must release placement slots"
 
     asyncio.run(main())
@@ -87,7 +87,7 @@ def test_released_slot_is_rebalanced():
         # stacking on the still-busy one
         assert third.device != second.device
         await mgr.close_all()
-        assert all(v == 0 for v in mgr.placer._counts.values())
+        assert all(v == 0 for v in mgr.placer.counts().values())
 
     asyncio.run(main())
 
@@ -106,7 +106,7 @@ def test_failed_engine_build_releases_slot():
     async def main():
         with pytest.raises(RuntimeError, match="boom"):
             await mgr.start_session()
-        assert all(v == 0 for v in mgr.placer._counts.values())
+        assert all(v == 0 for v in mgr.placer.counts().values())
         assert not mgr._starting
         session = await mgr.start_session()  # slot was not leaked
         assert session.device is not None
@@ -131,6 +131,6 @@ def test_concurrent_joins_spread_and_respect_cap():
         assert all("max sessions" in str(e) for e in errs)
         assert len({s.device for s in ok}) == 4
         await mgr.close_all()
-        assert all(v == 0 for v in mgr.placer._counts.values())
+        assert all(v == 0 for v in mgr.placer.counts().values())
 
     asyncio.run(main())
