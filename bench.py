@@ -224,7 +224,7 @@ def bench_ernerf() -> dict:
 _PROBE_CODE = "import jax; print(jax.default_backend())"
 
 
-def wait_for_backend(attempts: int = 3, probe_timeout: float = 240.0,
+def wait_for_backend(attempts: int = 6, probe_timeout: float = 240.0,
                      probe_code: str = _PROBE_CODE) -> None:
     """Fail fast (with bounded retries) if the device backend cannot
     initialize, instead of hanging the whole bench run.
@@ -252,7 +252,10 @@ def wait_for_backend(attempts: int = 3, probe_timeout: float = 240.0,
             print(f"bench: backend init timed out after {probe_timeout:.0f}s "
                   f"(attempt {attempt})", file=sys.stderr)
         if attempt < attempts:
-            time.sleep(30.0)
+            # axon tunnel outages routinely last tens of minutes; a ~30 min
+            # total window rides out a recovering tunnel without turning a
+            # genuinely dead backend into an unbounded hang
+            time.sleep(90.0)
     sys.exit("bench: device backend unavailable — aborting instead of hanging")
 
 
