@@ -128,12 +128,16 @@ def make_engine(cfg: Config, **kw):
             unet_cfg = (UNetConfig.from_json(ac.unet_config)
                         if ac.unet_config else None)
             kw["models"] = MuseModels(
+                # vae_cfg/face_size default to the reference's fixed
+                # sd-vae-ft-mse @256; injectable for reduced-scale tests
+                vae_cfg=kw.pop("vae_cfg", None),
                 unet_cfg=unet_cfg,
                 vae_vars=shared_device_tree(
                     "vae", ac.vae_ckpt, device, dtype=cast),
                 unet_vars=shared_device_tree(
                     "musetalk-unet", ac.unet_ckpt, device, dtype=cast,
                     unet_config=ac.unet_config or None),
+                face_size=kw.pop("face_size", 256),
                 dtype=dtype, device=device,
             )
         if "feature_extractor" not in kw and ac.whisper_ckpt:

@@ -88,6 +88,49 @@ def test_make_engine_wav2lip_serving_ckpt(tmp_path):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_make_engine_musetalk_serving_ckpts(tmp_path):
+    import dataclasses
+    import json
+
+    from mere_fusion_tpu.audio.features import WhisperFeatureExtractor
+    from mere_fusion_tpu.engines.muse import MuseModels, synthesize_muse_avatar
+    from tests.test_musetalk import SMALL_WHISPER, TINY_UNET, TINY_VAE
+
+    src = MuseModels(TINY_VAE, TINY_UNET, face_size=64)
+    vae_path = _save_tree(tmp_path / "vae",
+                          jax.tree.map(lambda x: np.asarray(x), src.vae_vars))
+    unet_path = _save_tree(tmp_path / "unet",
+                           jax.tree.map(lambda x: np.asarray(x), src.unet_vars))
+    unet_json = tmp_path / "musetalk.json"
+    unet_json.write_text(json.dumps(dataclasses.asdict(TINY_UNET)))
+
+    cfg = Config().override(**{
+        "avatar.kind": "musetalk",
+        "avatar.batch_size": 2,
+        "avatar.dtype": "float32",
+        "tts.backend": "procedural",
+        "avatar.vae_ckpt": vae_path,
+        "avatar.unet_ckpt": unet_path,
+        "avatar.unet_config": str(unet_json),
+    })
+    avatar = synthesize_muse_avatar(src, n_frames=4)
+    dev = jax.devices()[1]
+    engine = make_engine(
+        cfg, avatar=avatar, vae_cfg=TINY_VAE, face_size=64,
+        feature_extractor=WhisperFeatureExtractor(dims=SMALL_WHISPER),
+        device=dev,
+    )
+    assert jax.tree.leaves(engine.models.vae_vars)[0].devices() == {dev}
+
+    # the served models must compute exactly what the source weights do
+    lat = jnp.zeros((2, src.latent_size, src.latent_size, 8))
+    feats = jnp.zeros((2, 30, TINY_UNET.cross_attention_dim))
+    np.testing.assert_array_equal(
+        np.asarray(engine.models.generate(lat, feats)),
+        np.asarray(src.generate(lat, feats)),
+    )
+
+
 def test_musetalk_requires_both_vae_and_unet(tmp_path):
     cfg = Config().override(**{
         "avatar.kind": "musetalk",
