@@ -94,6 +94,30 @@ def shared_device_tree(family: str, path: str, device=None, dtype=None,
         return tree
 
 
+def make_nerf_featurizer(asr_model: str, device=None):
+    """(logits_fn, device_logits_fn_or_None) for the ER-NeRF live audio
+    featurizer named by ``asr_model`` (reference --asr_model, app.py:596):
+    a DeepSpeech frozen-graph .pb, or a transformers CTC model name."""
+    if asr_model.endswith(".pb"):
+        from mere_fusion_tpu.audio import deepspeech
+
+        # one committed copy per (graph, chip), shared by both featurizer
+        # forms and by every same-chip session — deepspeech_logits_fn's
+        # internal device_put of committed arrays is a no-op
+        ds_params = shared_device_tree(
+            "deepspeech", asr_model, device,
+            loader=lambda p: deepspeech.params_from_graph(
+                deepspeech.read_graph_constants(p)))
+        # device-resident twin: NerfASR keeps logits on-chip, feeding its
+        # feature ring without a host round-trip per window
+        return (deepspeech.deepspeech_logits_fn(params=ds_params),
+                deepspeech.deepspeech_logits_fn(params=ds_params,
+                                                return_device=True))
+    from mere_fusion_tpu.engines.nerf import wav2vec_logits_fn
+
+    return wav2vec_logits_fn(asr_model), None
+
+
 def make_engine(cfg: Config, **kw):
     """Engine factory keyed by cfg.avatar.kind (reference: app.py:330-343).
 
@@ -170,28 +194,11 @@ def make_engine(cfg: Config, **kw):
         if cfg.nerf.fix_eye >= 0:
             kw["dataset"].eye_area[:] = cfg.nerf.fix_eye
         if "logits_fn" not in kw and cfg.nerf.asr_model:
-            am = cfg.nerf.asr_model
-            if am.endswith(".pb"):
-                from mere_fusion_tpu.audio import deepspeech
-
-                # one committed copy per (graph, chip), shared by both
-                # featurizer forms and by every same-chip session —
-                # deepspeech_logits_fn's internal device_put of committed
-                # arrays is a no-op
-                ds_params = shared_device_tree(
-                    "deepspeech", am, device,
-                    loader=lambda p: deepspeech.params_from_graph(
-                        deepspeech.read_graph_constants(p)))
-                kw["logits_fn"] = deepspeech.deepspeech_logits_fn(
-                    params=ds_params)
-                # device-resident twin: NerfASR keeps logits on-chip, feeding
-                # its feature ring without a host round-trip per window
-                kw["device_logits_fn"] = deepspeech.deepspeech_logits_fn(
-                    params=ds_params, return_device=True)
-            else:
-                from mere_fusion_tpu.engines.nerf import wav2vec_logits_fn
-
-                kw["logits_fn"] = wav2vec_logits_fn(am)
+            logits_fn, device_logits_fn = make_nerf_featurizer(
+                cfg.nerf.asr_model, device)
+            kw["logits_fn"] = logits_fn
+            if device_logits_fn is not None:
+                kw["device_logits_fn"] = device_logits_fn
         if cfg.nerf.ckpt and "variables" not in kw:
             from mere_fusion_tpu.engines.nerf import load_nerf_checkpoint
 

@@ -1,0 +1,90 @@
+"""Standalone streaming featurizer (tools/nerf_asr): the streamed windows
+agree with the offline extractor (tools/nerf_data.audio_features) up to the
+pipeline's constant stream offset, and raw-PCM16 live input works.
+
+Reference behavior mirrored: ernerf/nerf_triplane/asr.py file mode +
+--asr_save_feats dump; live-mic replaced by dependency-free PCM16 pipes.
+"""
+import io
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from mere_fusion_tpu.config import Config
+from mere_fusion_tpu.engines.nerf import fake_logits_fn
+from mere_fusion_tpu.tools import nerf_asr
+from mere_fusion_tpu.tools.nerf_data import audio_features
+
+AUDIO_DIM = 44
+
+
+def _cfg():
+    return Config().override(**{"nerf.audio_in_dim": AUDIO_DIM})
+
+
+def _speech(seconds=2.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    # amplitude-modulated tone: every 20 ms frame has a distinct energy, so
+    # the (energy-based) fake logits give each frame a unique signature
+    env = 0.1 + 0.9 * rng.uniform(0.05, 1.0, size=int(seconds * 50)).repeat(320)
+    return (np.sin(2 * np.pi * 220 * t) * env[: len(t)]).astype(np.float32)
+
+
+def test_stream_matches_offline_with_constant_offset(tmp_path):
+    pcm = _speech()
+    wav = tmp_path / "speech.wav"
+    wavfile.write(wav, 16000, (pcm * 32767).astype(np.int16))
+
+    offline_path = tmp_path / "offline.npy"
+    audio_features(str(wav), str(offline_path),
+                   logits_fn=fake_logits_fn(AUDIO_DIM))
+    offline = np.load(offline_path)              # [N, 16, A]
+
+    streamed = nerf_asr.stream_features(
+        nerf_asr.wav_chunks(str(wav)), _cfg(), fake_logits_fn(AUDIO_DIM))
+    assert streamed.shape[1:] == (16, AUDIO_DIM)
+    assert streamed.shape[0] >= offline.shape[0]
+
+    # the stream lags by a constant number of video frames (left context +
+    # warm-up); find it on one mid-track frame, then the whole mid region
+    # must match exactly (the fake featurizer is context-free)
+    target = offline[20]
+    offsets = [
+        k for k in range(streamed.shape[0] - 0)
+        if np.allclose(streamed[k], target, atol=1e-6)
+    ]
+    assert offsets, "offline window 20 must appear in the stream"
+    off = offsets[0] - 20
+    mid = range(10, offline.shape[0] - 10)
+    for i in mid:
+        np.testing.assert_allclose(streamed[i + off], offline[i], atol=1e-6)
+
+
+def test_pcm16_stdin_chunks(tmp_path):
+    pcm = _speech(seconds=1.0, seed=3)
+    raw = (pcm * 32767).astype("<i2").tobytes()
+    chunks = list(nerf_asr.pcm16_chunks(io.BytesIO(raw)))
+    assert len(chunks) == 50
+    assert all(c.shape == (320,) for c in chunks)
+    streamed = nerf_asr.stream_features(
+        iter(chunks), _cfg(), fake_logits_fn(AUDIO_DIM))
+    assert streamed.shape[1:] == (16, AUDIO_DIM)
+    assert np.abs(streamed).sum() > 0
+
+
+def test_cli_main_saves_features(tmp_path):
+    pcm = _speech(seconds=1.0, seed=5)
+    wav = tmp_path / "s.wav"
+    wavfile.write(wav, 16000, (pcm * 32767).astype(np.int16))
+    out = tmp_path / "aud.npy"
+    nerf_asr.main([str(wav), "--save_feats", str(out)])
+    feats = np.load(out)
+    assert feats.ndim == 3 and feats.shape[1:] == (16, AUDIO_DIM)
+    assert feats.dtype == np.float32
+
+
+def test_play_is_gated_on_pyaudio(tmp_path):
+    with pytest.raises(SystemExit, match="pyaudio"):
+        nerf_asr.main([str(tmp_path / "x.wav"), "--play"])
