@@ -1,15 +1,24 @@
-"""RTP/RTSP media ingest through an ffmpeg subprocess pipe.
+"""RTP/RTSP media ingest.
 
 Behavioral twin of the reference's RTP paths
 (reference: whisper_online_server.py:194-206 for audio,
 yolo_opencv.py:45-52 for video): ffmpeg pulls the RTP/RTMP/RTSP stream and
 writes raw PCM16 or raw BGR frames to stdout, which we chunk and hand to the
-upstream processors. Requires the ffmpeg binary.
+upstream processors.
+
+Two audio ingest paths:
+- ``rtp_audio_chunks`` — the ffmpeg pipe (any codec ffmpeg can demux;
+  requires the binary);
+- ``rtp_native_audio_chunks`` — a dependency-free UDP receiver with its own
+  RTP depacketizer and G.711 µ-law/A-law/L16 decoders, covering the plain
+  telephony payloads the reference's whisper RTP server actually ingests.
 """
 from __future__ import annotations
 
+import socket
+import struct
 import subprocess
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -35,6 +44,126 @@ def rtp_audio_chunks(url: str, sample_rate: int = 16000,
             yield pcm
     finally:
         proc.kill()
+
+
+# ---- dependency-free RTP audio (RFC 3550 header + G.711/L16 payloads) ------
+
+def parse_rtp_packet(data: bytes):
+    """(payload_type, sequence, timestamp, payload) or None for non-RTP.
+
+    Handles CSRC lists, header extensions, and padding (RFC 3550 §5.1)."""
+    if len(data) < 12:
+        return None
+    b0, b1, seq, ts, _ssrc = struct.unpack("!BBHII", data[:12])
+    if (b0 >> 6) != 2:  # version
+        return None
+    offset = 12 + 4 * (b0 & 0x0F)           # CSRC count
+    if b0 & 0x10:                           # extension
+        if len(data) < offset + 4:
+            return None
+        ext_len = struct.unpack("!H", data[offset + 2 : offset + 4])[0]
+        offset += 4 + 4 * ext_len
+    end = len(data)
+    if b0 & 0x20 and end > offset:          # padding: last byte = pad count
+        end -= data[-1]
+    if end < offset:
+        return None
+    return b1 & 0x7F, seq, ts, data[offset:end]
+
+
+def ulaw_decode(payload: bytes) -> np.ndarray:
+    """G.711 µ-law → int16 (ITU-T G.711; matches audioop.ulaw2lin)."""
+    u = ~np.frombuffer(payload, np.uint8) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_decode(payload: bytes) -> np.ndarray:
+    """G.711 A-law → int16 (ITU-T G.711; matches audioop.alaw2lin)."""
+    a = np.frombuffer(payload, np.uint8) ^ 0x55
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp > 0, ((mant << 4) + 0x108) << (exp - 1),
+                   (mant << 4) + 8)
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_G711_RATE = 8000
+_DECODERS = {0: ulaw_decode, 8: alaw_decode}
+
+
+def decode_rtp_audio(pt: int, payload: bytes,
+                     l16_payload_type: Optional[int] = None
+                     ) -> Optional[tuple[np.ndarray, int]]:
+    """(int16 samples, sample_rate) for supported payload types:
+    0 = PCMU, 8 = PCMA (8 kHz), 11/`l16_payload_type` = L16 mono 16 kHz."""
+    if pt in _DECODERS:
+        return _DECODERS[pt](payload), _G711_RATE
+    if pt == 11 or (l16_payload_type is not None and pt == l16_payload_type):
+        n = len(payload) // 2 * 2
+        return np.frombuffer(payload[:n], ">i2").astype(np.int16), 16000
+    return None
+
+
+def rtp_native_audio_chunks(bind=("0.0.0.0", 5004), sample_rate: int = 16000,
+                            chunk_seconds: float = 1.0,
+                            l16_payload_type: Optional[int] = None,
+                            sock: Optional[socket.socket] = None,
+                            timeout: Optional[float] = 30.0,
+                            ) -> Iterator[np.ndarray]:
+    """Yield float32 PCM chunks at ``sample_rate`` from a live RTP/UDP feed —
+    no ffmpeg. Packets are decoded in arrival order; duplicates and
+    stale-by-sequence packets are dropped (a jitter buffer is overkill for
+    the reference's LAN ingest, whisper_online_server.py:194-206)."""
+    from mere_fusion_tpu.tts import resample_pcm
+
+    own = sock is None
+    if own:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind(bind)
+    if timeout is not None:
+        sock.settimeout(timeout)
+    target = int(chunk_seconds * sample_rate)
+    buf: list[np.ndarray] = []
+    buffered = 0
+    last_seq = None
+    try:
+        while True:
+            try:
+                data, _addr = sock.recvfrom(65536)
+            except socket.timeout:
+                break
+            if not data:
+                break
+            parsed = parse_rtp_packet(data)
+            if parsed is None:
+                continue
+            pt, seq, _ts, payload = parsed
+            if last_seq is not None:
+                ahead = (seq - last_seq) & 0xFFFF
+                if ahead == 0 or ahead > 0x8000:  # duplicate / late
+                    continue
+            last_seq = seq
+            decoded = decode_rtp_audio(pt, payload, l16_payload_type)
+            if decoded is None:
+                continue
+            samples, rate = decoded
+            pcm = samples.astype(np.float32) / 32768.0
+            if rate != sample_rate:
+                pcm = resample_pcm(pcm, rate, sample_rate)
+            buf.append(pcm)
+            buffered += len(pcm)
+            if buffered >= target:
+                out = np.concatenate(buf)
+                buf, buffered = [out[target:]], len(out) - target
+                yield out[:target]
+    finally:
+        if own:
+            sock.close()
+    if buffered:
+        yield np.concatenate(buf)
 
 
 def rtp_video_frames(url: str, width: int, height: int) -> Iterator[np.ndarray]:
