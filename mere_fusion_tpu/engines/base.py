@@ -169,6 +169,12 @@ class BaseReal:
 
     def _record_loop(self) -> None:
         path = self._record_path
+        if path.endswith(".flv"):
+            # dependency-free single-file mux (Screen Video + PCM16,
+            # transport/flv) — the no-PyAV/no-ffmpeg alternative to the
+            # reference's H.264+AAC MP4 (basereal.py:77-131)
+            self._record_flv(path)
+            return
         vid_path, aud_path = path + ".video.mp4", path + ".audio.wav"
         writer = None
         wav = wave.open(aud_path, "wb")
@@ -198,6 +204,33 @@ class BaseReal:
                 writer.release()
             wav.close()
             self._mux(vid_path, aud_path, path)
+
+    def _record_flv(self, path: str) -> None:
+        from mere_fusion_tpu.transport.flv import FLVWriter
+
+        writer = None
+        with open(path, "wb") as f:
+            while self.recording:
+                try:
+                    frame: VideoImage = self.recordq_video.get(
+                        block=True, timeout=1)
+                except queue.Empty:
+                    continue
+                if writer is None:
+                    h, w = frame.image.shape[:2]
+                    writer = FLVWriter(f, w, h, fps=self.fps,
+                                       sample_rate=self.sample_rate)
+                writer.write_video(frame.image)
+                for _ in range(2):  # two 20 ms audio chunks per video frame
+                    try:
+                        chunk: AudioChunk = self.recordq_audio.get(
+                            block=True, timeout=1)
+                        writer.write_audio(
+                            chunk.samples.astype(np.float32) / 32768.0)
+                    except queue.Empty:
+                        break
+            if writer is not None:
+                writer.close()
 
     @staticmethod
     def _mux(vid_path: str, aud_path: str, out_path: str) -> None:

@@ -9,8 +9,10 @@ API: raw BGR frames and float32 PCM are piped into one ffmpeg process that
 muxes H.264+AAC into an FLV stream and pushes it to the RTMP URL.
 
 Audio rides a named FIFO (ffmpeg needs two independent inputs; only one can
-be stdin). Requires the ffmpeg binary; `ffmpeg_path` is injectable so tests
-can substitute a recorder script.
+be stdin). `ffmpeg_path` is injectable so tests can substitute a recorder
+script. Without ffmpeg the streamer falls back to a pure-python RTMP client
+publishing Screen Video v1 + PCM16 (transport/rtmp_native, transport/flv) —
+heavier bitrate than H.264+AAC but fully dependency-free.
 """
 from __future__ import annotations
 
@@ -33,13 +35,33 @@ class RtmpStreamer:
 
     def __init__(self, url: str, width: int, height: int, fps: int = 25,
                  sample_rate: int = 16000, bitrate: str = "2000k",
-                 ffmpeg_path: str | None = None):
-        ffmpeg = ffmpeg_path or shutil.which("ffmpeg")
-        if ffmpeg is None:
-            raise RuntimeError(
-                "RTMP push needs the ffmpeg binary (not found on PATH)"
-            )
+                 ffmpeg_path: str | None = None, force_native: bool = False):
         self.width, self.height = width, height
+        ffmpeg = None if force_native else (ffmpeg_path or shutil.which("ffmpeg"))
+        if ffmpeg is None:
+            # dependency-free fallback: own RTMP client + Screen Video/PCM
+            # muxing (transport/rtmp_native, transport/flv). H.264+AAC needs
+            # ffmpeg; Screen Video costs more bitrate but every stock
+            # server/player handles it.
+            from mere_fusion_tpu.transport.flv import encode_screen_video
+            from mere_fusion_tpu.transport.rtmp_native import RtmpPublisher
+
+            self._pub = RtmpPublisher(url)
+            self._pub.send_metadata({
+                "width": width, "height": height, "framerate": fps,
+                "videocodecid": 3, "audiocodecid": 3,
+                "audiosamplerate": sample_rate, "audiosamplesize": 16,
+                "stereo": False, "encoder": "mere-fusion-tpu",
+            })
+            self._encode = encode_screen_video
+            self._fps, self._rate = fps, sample_rate
+            self._n_video, self._audio_ms = 0, 0.0
+            self._gop = 2 * fps
+            self._prev_frame = None
+            self._lock = threading.Lock()
+            self._proc = None
+            return
+        self._pub = None
         self._tmp = tempfile.mkdtemp(prefix="mf_rtmp_")
         self._fifo = os.path.join(self._tmp, "audio.pcm")
         os.mkfifo(self._fifo)
@@ -82,11 +104,31 @@ class RtmpStreamer:
                 f"frame {image.shape[:2]} != configured "
                 f"{(self.height, self.width)}"
             )
+        if self._pub is not None:
+            with self._lock:
+                key = self._prev_frame is None or self._n_video % self._gop == 0
+                body = self._encode(
+                    image, None if key else self._prev_frame)
+                self._pub.send_video(
+                    bytes([((1 if key else 2) << 4) | 3]) + body,
+                    int(self._n_video * 1000 / self._fps))
+                self._prev_frame = image.copy()
+                self._n_video += 1
+            return
         with self._lock:
             if self._proc.poll() is None:
                 self._proc.stdin.write(np.ascontiguousarray(image).tobytes())
 
+    _PCM_HEADER = bytes([(3 << 4) | (1 << 2) | (1 << 1) | 0])  # PCM16LE mono
+
     def stream_frame_audio(self, chunk: np.ndarray) -> None:
+        if self._pub is not None:
+            pcm16 = (np.clip(chunk, -1.0, 1.0) * 32767).astype("<i2")
+            with self._lock:
+                self._pub.send_audio(self._PCM_HEADER + pcm16.tobytes(),
+                                     int(self._audio_ms))
+                self._audio_ms += len(pcm16) * 1000.0 / self._rate
+            return
         # wait generously for a cold ffmpeg to open the fifo (silently
         # dropping audio until then would desync the stream permanently),
         # but poll process liveness so a dead ffmpeg — which never opens the
@@ -115,6 +157,9 @@ class RtmpStreamer:
         self._audio_fh.write((pcm * 32767).astype(np.int16).tobytes())
 
     def close(self) -> None:
+        if self._pub is not None:
+            self._pub.close()
+            return
         with self._lock:
             if self._proc.stdin and not self._proc.stdin.closed:
                 try:
