@@ -32,18 +32,9 @@ SR = 16000
 
 
 def wav_chunks(path: str):
-    from scipy.io import wavfile
+    from mere_fusion_tpu.engines.base import _read_wav_f32
 
-    from mere_fusion_tpu.tts import resample_pcm
-
-    sr, pcm = wavfile.read(path)
-    if pcm.dtype == np.int16:
-        pcm = pcm.astype(np.float32) / 32768.0
-    elif pcm.dtype == np.int32:
-        pcm = pcm.astype(np.float32) / 2147483647.0
-    if pcm.ndim > 1:
-        pcm = pcm[:, 0]
-    pcm = resample_pcm(pcm.astype(np.float32), sr, SR)
+    pcm = _read_wav_f32(path)  # mono float32 @16 kHz, shared loader
     n = (len(pcm) + CHUNK - 1) // CHUNK
     pcm = np.pad(pcm, (0, n * CHUNK - len(pcm)))
     for i in range(n):

@@ -156,6 +156,49 @@ def flv_tag(tag_type: int, timestamp_ms: int, body: bytes) -> bytes:
     return head + body + struct.pack(">I", 11 + len(body))
 
 
+class FlvPacketizer:
+    """Paced frames/PCM → (tag_type, timestamp_ms, flv_body) tuples — the
+    codec/timing state machine shared by FLVWriter (files) and the native
+    RTMP publisher (sockets)."""
+
+    # sound format 3 = PCM LE; rate bits: 0=5.5k 1=11k 2=22k 3=44k — FLV has
+    # no 16 kHz code, players read the real rate from onMetaData (standard
+    # practice for PCM in FLV); 16-bit mono
+    AUDIO_HEADER = bytes([(3 << 4) | (1 << 2) | (1 << 1) | 0])
+
+    def __init__(self, width: int, height: int, fps: int = 25,
+                 sample_rate: int = 16000, gop: int = 50):
+        self.width, self.height = width, height
+        self.fps = fps
+        self.sample_rate = sample_rate
+        self.gop = gop
+        self._n_video = 0
+        self._audio_ms = 0.0
+        self._prev = None
+
+    def metadata(self) -> dict:
+        return {
+            "width": self.width, "height": self.height,
+            "framerate": self.fps, "videocodecid": 3, "audiocodecid": 3,
+            "audiosamplerate": self.sample_rate, "audiosamplesize": 16,
+            "stereo": False, "encoder": "mere-fusion-tpu",
+        }
+
+    def video_tag(self, frame_bgr: np.ndarray) -> tuple[int, int, bytes]:
+        key = self._prev is None or self._n_video % self.gop == 0
+        body = encode_screen_video(frame_bgr, None if key else self._prev)
+        ts = int(self._n_video * 1000 / self.fps)
+        self._prev = frame_bgr.copy()
+        self._n_video += 1
+        return TAG_VIDEO, ts, bytes([((1 if key else 2) << 4) | 3]) + body
+
+    def audio_tag(self, pcm_f32: np.ndarray) -> tuple[int, int, bytes]:
+        pcm16 = (np.clip(pcm_f32, -1.0, 1.0) * 32767).astype("<i2")
+        ts = int(self._audio_ms)
+        self._audio_ms += len(pcm16) * 1000.0 / self.sample_rate
+        return TAG_AUDIO, ts, self.AUDIO_HEADER + pcm16.tobytes()
+
+
 class FLVWriter:
     """Mux paced video frames + PCM chunks into an .flv file (or any
     file-like). Video = Screen Video (keyframe every `gop` frames),
@@ -164,42 +207,19 @@ class FLVWriter:
     def __init__(self, fileobj, width: int, height: int, fps: int = 25,
                  sample_rate: int = 16000, gop: int = 50):
         self._f = fileobj
-        self.fps = fps
-        self.sample_rate = sample_rate
-        self.gop = gop
-        self._n_video = 0
-        self._audio_ms = 0.0
-        self._prev = None
+        self._pkt = FlvPacketizer(width, height, fps, sample_rate, gop)
         self._f.write(FLV_HEADER + b"\x00\x00\x00\x00")  # PreviousTagSize0
-        meta = amf0_encode("onMetaData") + amf0_encode({
-            "width": width, "height": height, "framerate": fps,
-            "videocodecid": 3, "audiocodecid": 3,
-            "audiosamplerate": sample_rate, "audiosamplesize": 16,
-            "stereo": False, "encoder": "mere-fusion-tpu",
-        })
+        meta = (amf0_encode("onMetaData")
+                + amf0_encode(self._pkt.metadata()))
         self._f.write(flv_tag(TAG_SCRIPT, 0, meta))
 
-    # sound format 3 = PCM LE; rate bits: 0=5.5k 1=11k 2=22k 3=44k — FLV has
-    # no 16 kHz code, players read the real rate from onMetaData (standard
-    # practice for PCM in FLV); 16-bit mono
-    _AUDIO_HEADER = bytes([(3 << 4) | (1 << 2) | (1 << 1) | 0])
-
     def write_video(self, frame_bgr: np.ndarray) -> None:
-        key = self._prev is None or self._n_video % self.gop == 0
-        body = encode_screen_video(frame_bgr,
-                                   None if key else self._prev)
-        frame_type = 1 if key else 2
-        ts = int(self._n_video * 1000 / self.fps)
-        self._f.write(flv_tag(TAG_VIDEO, ts,
-                              bytes([(frame_type << 4) | 3]) + body))
-        self._prev = frame_bgr.copy()
-        self._n_video += 1
+        tag, ts, body = self._pkt.video_tag(frame_bgr)
+        self._f.write(flv_tag(tag, ts, body))
 
     def write_audio(self, pcm_f32: np.ndarray) -> None:
-        pcm16 = (np.clip(pcm_f32, -1.0, 1.0) * 32767).astype("<i2")
-        self._f.write(flv_tag(TAG_AUDIO, int(self._audio_ms),
-                              self._AUDIO_HEADER + pcm16.tobytes()))
-        self._audio_ms += len(pcm16) * 1000.0 / self.sample_rate
+        tag, ts, body = self._pkt.audio_tag(pcm_f32)
+        self._f.write(flv_tag(tag, ts, body))
 
     def close(self) -> None:
         self._f.flush()

@@ -43,21 +43,13 @@ class RtmpStreamer:
             # muxing (transport/rtmp_native, transport/flv). H.264+AAC needs
             # ffmpeg; Screen Video costs more bitrate but every stock
             # server/player handles it.
-            from mere_fusion_tpu.transport.flv import encode_screen_video
+            from mere_fusion_tpu.transport.flv import FlvPacketizer
             from mere_fusion_tpu.transport.rtmp_native import RtmpPublisher
 
             self._pub = RtmpPublisher(url)
-            self._pub.send_metadata({
-                "width": width, "height": height, "framerate": fps,
-                "videocodecid": 3, "audiocodecid": 3,
-                "audiosamplerate": sample_rate, "audiosamplesize": 16,
-                "stereo": False, "encoder": "mere-fusion-tpu",
-            })
-            self._encode = encode_screen_video
-            self._fps, self._rate = fps, sample_rate
-            self._n_video, self._audio_ms = 0, 0.0
-            self._gop = 2 * fps
-            self._prev_frame = None
+            self._pkt = FlvPacketizer(width, height, fps, sample_rate,
+                                      gop=2 * fps)
+            self._pub.send_metadata(self._pkt.metadata())
             self._lock = threading.Lock()
             self._proc = None
             return
@@ -106,28 +98,18 @@ class RtmpStreamer:
             )
         if self._pub is not None:
             with self._lock:
-                key = self._prev_frame is None or self._n_video % self._gop == 0
-                body = self._encode(
-                    image, None if key else self._prev_frame)
-                self._pub.send_video(
-                    bytes([((1 if key else 2) << 4) | 3]) + body,
-                    int(self._n_video * 1000 / self._fps))
-                self._prev_frame = image.copy()
-                self._n_video += 1
+                _tag, ts, body = self._pkt.video_tag(image)
+                self._pub.send_video(body, ts)
             return
         with self._lock:
             if self._proc.poll() is None:
                 self._proc.stdin.write(np.ascontiguousarray(image).tobytes())
 
-    _PCM_HEADER = bytes([(3 << 4) | (1 << 2) | (1 << 1) | 0])  # PCM16LE mono
-
     def stream_frame_audio(self, chunk: np.ndarray) -> None:
         if self._pub is not None:
-            pcm16 = (np.clip(chunk, -1.0, 1.0) * 32767).astype("<i2")
             with self._lock:
-                self._pub.send_audio(self._PCM_HEADER + pcm16.tobytes(),
-                                     int(self._audio_ms))
-                self._audio_ms += len(pcm16) * 1000.0 / self._rate
+                _tag, ts, body = self._pkt.audio_tag(chunk)
+                self._pub.send_audio(body, ts)
             return
         # wait generously for a cold ffmpeg to open the fifo (silently
         # dropping audio until then would desync the stream permanently),

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import socket
 import struct
+import threading
 import time
 import urllib.parse
 
@@ -50,17 +51,26 @@ def parse_rtmp_url(url: str):
 class _ChunkReader:
     """Assembles RTMP messages from a socket, tracking per-csid headers."""
 
-    def __init__(self, sock):
+    def __init__(self, sock, stop_check=None):
         self._sock = sock
         self._chunk_size = 128
         self._streams: dict[int, dict] = {}
         self._pending: dict[int, bytearray] = {}
         self.bytes_read = 0
+        # consulted on socket timeouts: True → abort; otherwise keep waiting
+        # WITHOUT discarding the partial read (a mid-message give-up would
+        # desync the chunk stream permanently)
+        self.stop_check = stop_check
 
     def _recv(self, n: int) -> bytes:
         buf = b""
         while len(buf) < n:
-            part = self._sock.recv(n - len(buf))
+            try:
+                part = self._sock.recv(n - len(buf))
+            except socket.timeout:
+                if self.stop_check is not None and self.stop_check():
+                    raise RtmpError("receive aborted")
+                continue
             if not part:
                 raise RtmpError("connection closed by peer")
             buf += part
@@ -78,7 +88,8 @@ class _ChunkReader:
                 ext = self._recv(2)
                 csid = 64 + ext[0] + ext[1] * 256
             st = self._streams.setdefault(
-                csid, {"ts": 0, "len": 0, "type": 0, "msid": 0, "delta": 0})
+                csid, {"ts": 0, "len": 0, "type": 0, "msid": 0, "delta": 0,
+                       "ext": False})
             if fmt == 0:
                 h = self._recv(11)
                 ts = int.from_bytes(h[0:3], "big")
@@ -86,7 +97,8 @@ class _ChunkReader:
                 st["type"] = h[6]
                 st["msid"] = int.from_bytes(h[7:11], "little")
                 st["delta"] = 0
-                if ts == 0xFFFFFF:
+                st["ext"] = ts == 0xFFFFFF
+                if st["ext"]:
                     ts = int.from_bytes(self._recv(4), "big")
                 st["ts"] = ts
             elif fmt == 1:
@@ -94,17 +106,22 @@ class _ChunkReader:
                 delta = int.from_bytes(h[0:3], "big")
                 st["len"] = int.from_bytes(h[3:6], "big")
                 st["type"] = h[6]
-                if delta == 0xFFFFFF:
+                st["ext"] = delta == 0xFFFFFF
+                if st["ext"]:
                     delta = int.from_bytes(self._recv(4), "big")
                 st["delta"] = delta
                 st["ts"] += delta
             elif fmt == 2:
                 delta = int.from_bytes(self._recv(3), "big")
-                if delta == 0xFFFFFF:
+                st["ext"] = delta == 0xFFFFFF
+                if st["ext"]:
                     delta = int.from_bytes(self._recv(4), "big")
                 st["delta"] = delta
                 st["ts"] += delta
-            else:  # fmt 3: continuation (or repeat of last header)
+            else:  # fmt 3: continuation (or repeat of last header); an
+                # extended-ts chunk stream repeats the 4 ext bytes here
+                if st["ext"]:
+                    self._recv(4)
                 if csid not in self._pending:
                     st["ts"] += st["delta"]
             buf = self._pending.setdefault(csid, bytearray())
@@ -126,17 +143,38 @@ class RtmpPublisher:
         self.stream_name = stream
         self._sock = sock or socket.create_connection((host, port), timeout)
         self._sock.settimeout(timeout)
-        self._reader = _ChunkReader(self._sock)
+        self._setup_deadline = time.monotonic() + max(timeout, 10.0)
+        self._reader = _ChunkReader(
+            self._sock,
+            stop_check=lambda: self._closed or (
+                self._setup_deadline is not None
+                and time.monotonic() > self._setup_deadline))
         self._txn = 0
         self._window = 2_500_000
         self._acked = 0
         self._msid = 0
+        self._send_lock = threading.Lock()
+        self._closed = False
         self._handshake()
         self._send_message(2, MSG_SET_CHUNK_SIZE, 0,
                            struct.pack(">I", _OUT_CHUNK))
         self._connect(app, f"rtmp://{host}:{port}/{app}")
         self._msid = self._create_stream()
         self._publish(stream)
+        self._setup_deadline = None  # steady state: wait patiently
+        # long-lived publishes must keep CONSUMING the server's pings, acks,
+        # and onStatus traffic — unread messages fill the kernel buffer and
+        # ping-enforcing servers drop the stream. A daemon reader services
+        # them for the life of the connection.
+        threading.Thread(target=self._reader_loop, daemon=True).start()
+
+    def _reader_loop(self) -> None:
+        try:
+            while not self._closed:
+                msg_type, _msid, payload = self._reader.read_message()
+                self._service(msg_type, payload)
+        except (RtmpError, OSError):
+            pass  # connection ended; senders will surface the error
 
     # ---- wire ---------------------------------------------------------------
     def _handshake(self) -> None:
@@ -152,14 +190,24 @@ class RtmpPublisher:
 
     def _send_message(self, csid: int, msg_type: int, msid: int,
                       payload: bytes, timestamp: int = 0) -> None:
-        header = bytes([csid & 0x3F]) + struct.pack(
-            ">I", timestamp)[1:] + len(payload).to_bytes(3, "big") + bytes(
-            [msg_type]) + msid.to_bytes(4, "little")
+        ts = int(timestamp) & 0xFFFFFFFF
+        ext = ts >= 0xFFFFFF  # RTMP extended timestamp (spec §5.3.1.3)
+        ts_field = 0xFFFFFF if ext else ts
+        ext_bytes = struct.pack(">I", ts) if ext else b""
+        header = bytes([csid & 0x3F]) + ts_field.to_bytes(3, "big") + len(
+            payload).to_bytes(3, "big") + bytes(
+            [msg_type]) + msid.to_bytes(4, "little") + ext_bytes
         out = bytearray()
         for i in range(0, len(payload), _OUT_CHUNK):
-            out += header if i == 0 else bytes([0xC0 | (csid & 0x3F)])
+            if i == 0:
+                out += header
+            else:
+                # continuation chunks of an extended-ts message repeat the
+                # extended timestamp after the fmt-3 basic header
+                out += bytes([0xC0 | (csid & 0x3F)]) + ext_bytes
             out += payload[i : i + _OUT_CHUNK]
-        self._sock.sendall(bytes(out))
+        with self._send_lock:
+            self._sock.sendall(bytes(out))
 
     def _command(self, name: str, *args, csid: int = 3, msid: int = 0) -> int:
         self._txn += 1
@@ -235,13 +283,14 @@ class RtmpPublisher:
 
     def send_video(self, flv_video_body: bytes, timestamp_ms: int) -> None:
         self._send_message(4, MSG_VIDEO, self._msid, flv_video_body,
-                           timestamp=int(timestamp_ms) & 0x7FFFFF)
+                           timestamp=int(timestamp_ms))
 
     def send_audio(self, flv_audio_body: bytes, timestamp_ms: int) -> None:
         self._send_message(4, MSG_AUDIO, self._msid, flv_audio_body,
-                           timestamp=int(timestamp_ms) & 0x7FFFFF)
+                           timestamp=int(timestamp_ms))
 
     def close(self) -> None:
+        self._closed = True
         try:
             self._sock.close()
         except OSError:

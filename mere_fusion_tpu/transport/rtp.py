@@ -95,21 +95,27 @@ _DECODERS = {0: ulaw_decode, 8: alaw_decode}
 
 
 def decode_rtp_audio(pt: int, payload: bytes,
-                     l16_payload_type: Optional[int] = None
+                     l16_payload_type: Optional[int] = None,
+                     l16_rate: int = 16000
                      ) -> Optional[tuple[np.ndarray, int]]:
     """(int16 samples, sample_rate) for supported payload types:
-    0 = PCMU, 8 = PCMA (8 kHz), 11/`l16_payload_type` = L16 mono 16 kHz."""
+    0 = PCMU, 8 = PCMA (both 8 kHz), 11 = L16 mono @44.1 kHz (RFC 3551),
+    `l16_payload_type` = dynamically-negotiated L16 mono at ``l16_rate``."""
     if pt in _DECODERS:
         return _DECODERS[pt](payload), _G711_RATE
-    if pt == 11 or (l16_payload_type is not None and pt == l16_payload_type):
+    if pt == 11:
         n = len(payload) // 2 * 2
-        return np.frombuffer(payload[:n], ">i2").astype(np.int16), 16000
+        return np.frombuffer(payload[:n], ">i2").astype(np.int16), 44100
+    if l16_payload_type is not None and pt == l16_payload_type:
+        n = len(payload) // 2 * 2
+        return np.frombuffer(payload[:n], ">i2").astype(np.int16), l16_rate
     return None
 
 
 def rtp_native_audio_chunks(bind=("0.0.0.0", 5004), sample_rate: int = 16000,
                             chunk_seconds: float = 1.0,
                             l16_payload_type: Optional[int] = None,
+                            l16_rate: int = 16000,
                             sock: Optional[socket.socket] = None,
                             timeout: Optional[float] = 30.0,
                             ) -> Iterator[np.ndarray]:
@@ -136,7 +142,9 @@ def rtp_native_audio_chunks(bind=("0.0.0.0", 5004), sample_rate: int = 16000,
             except socket.timeout:
                 break
             if not data:
-                break
+                # zero-length datagrams are NAT keepalives, not end-of-stream
+                # (UDP has no connection-closed signal)
+                continue
             parsed = parse_rtp_packet(data)
             if parsed is None:
                 continue
@@ -146,7 +154,8 @@ def rtp_native_audio_chunks(bind=("0.0.0.0", 5004), sample_rate: int = 16000,
                 if ahead == 0 or ahead > 0x8000:  # duplicate / late
                     continue
             last_seq = seq
-            decoded = decode_rtp_audio(pt, payload, l16_payload_type)
+            decoded = decode_rtp_audio(pt, payload, l16_payload_type,
+                                       l16_rate)
             if decoded is None:
                 continue
             samples, rate = decoded

@@ -99,6 +99,28 @@ def test_parse_rtmp_url():
         parse_rtmp_url("http://h/live/s")
 
 
+def test_extended_timestamp_roundtrip():
+    """Messages past the 24-bit timestamp range survive our own chunk
+    writer → reader in both single- and multi-chunk form."""
+    a, b = socket.socketpair()
+    pub = RtmpPublisher.__new__(RtmpPublisher)  # wire layer only
+    pub._sock = a
+    pub._send_lock = threading.Lock()
+    reader = _ChunkReader(b)
+    pub._send_message(2, 1, 0, struct.pack(">I", 4096))  # set chunk size
+    big_ts = 0x1000000 + 1234  # > 16.7 M ms (~4.6 h)
+    pub._send_message(4, 9, 1, b"v" * 10, timestamp=big_ts)
+    pub._send_message(4, 9, 1, b"w" * 9000, timestamp=big_ts + 40)  # chunked
+    t, msid, payload = reader.read_message()
+    assert (t, msid, payload) == (9, 1, b"v" * 10)
+    assert reader._streams[4]["ts"] == big_ts
+    t, msid, payload = reader.read_message()
+    assert payload == b"w" * 9000
+    assert reader._streams[4]["ts"] == big_ts + 40
+    a.close()
+    b.close()
+
+
 class MiniRtmpServer(threading.Thread):
     """Handshake + command replies + media collection."""
 

@@ -53,6 +53,10 @@ def test_parse_rtp_packet_variants():
 def test_decode_rtp_audio_l16():
     sig = (np.sin(np.linspace(0, 9, 160)) * 20000).astype(np.int16)
     out, rate = decode_rtp_audio(11, sig.astype(">i2").tobytes())
+    assert rate == 44100                                    # RFC 3551 static
+    np.testing.assert_array_equal(out, sig)
+    out, rate = decode_rtp_audio(96, sig.astype(">i2").tobytes(),
+                                 l16_payload_type=96, l16_rate=16000)
     assert rate == 16000
     np.testing.assert_array_equal(out, sig)
     assert decode_rtp_audio(96, b"xx") is None              # unknown pt
@@ -68,11 +72,11 @@ def test_native_receiver_end_to_end_l16_and_pcmu():
     sig = (rng.uniform(-0.5, 0.5, 3200) * 32767).astype(np.int16)  # 0.2 s L16
     for i in range(10):
         chunk = sig[i * 320 : (i + 1) * 320]
-        send.sendto(_packet(11, 100 + i, i * 320,
+        send.sendto(_packet(96, 100 + i, i * 320,
                             chunk.astype(">i2").tobytes()), addr)
     # a duplicate and a stale packet must be dropped
-    send.sendto(_packet(11, 109, 9 * 320, b"\x7f\xff" * 320), addr)
-    send.sendto(_packet(11, 50, 0, b"\x7f\xff" * 320), addr)
+    send.sendto(_packet(96, 109, 9 * 320, b"\x7f\xff" * 320), addr)
+    send.sendto(_packet(96, 50, 0, b"\x7f\xff" * 320), addr)
     # then PCMU @8 kHz (resampled 2x by the receiver)
     tone = (np.sin(np.linspace(0, 60, 800)) * 16000).astype(np.int16)
     ulaw = audioop.lin2ulaw(tone.tobytes(), 2)
@@ -81,7 +85,8 @@ def test_native_receiver_end_to_end_l16_and_pcmu():
                             ulaw[i * 160 : (i + 1) * 160]), addr)
 
     chunks = list(rtp_native_audio_chunks(
-        sock=recv, sample_rate=16000, chunk_seconds=0.1, timeout=1.0))
+        sock=recv, sample_rate=16000, chunk_seconds=0.1, timeout=1.0,
+        l16_payload_type=96, l16_rate=16000))
     got = np.concatenate(chunks)
     # 0.2 s of L16 + 0.1 s of PCMU upsampled to 16 kHz = 0.3 s
     assert len(got) == 4800
