@@ -47,10 +47,16 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
         return session
 
     async def start_session(request: web.Request) -> web.Response:
+        from mere_fusion_tpu.server.sessions import CapacityError
+
         try:
             session = await manager.start_session()
-        except RuntimeError:
+        except CapacityError:
             return json_err("Maximum number of sessions reached", status=429)
+        except Exception as e:  # engine build / transport failures are NOT
+            # capacity: surface them as a server error, not a bogus 429
+            logger.exception("start_session failed")
+            return json_err(f"session startup failed: {e}", status=500)
         return json_ok(message="Session started", session_id=session.session_id)
 
     async def stop_session(request: web.Request) -> web.Response:

@@ -21,6 +21,11 @@ from mere_fusion_tpu.transport.tracks import HumanPlayer
 logger = logging.getLogger(__name__)
 
 
+class CapacityError(RuntimeError):
+    """Session admission refused: max_sessions reached (reference 429,
+    app.py:79-80)."""
+
+
 class Session:
     def __init__(self, session_id: str, engine, cfg: Config, llm=None,
                  asr_backend=None, perception=None):
@@ -275,7 +280,7 @@ class SessionManager:
         async with self.lock:
             if (len(self.sessions) + len(self._starting)
                     >= self.cfg.server.max_sessions):
-                raise RuntimeError("max sessions")
+                raise CapacityError("max sessions")
             sid = str(uuid.uuid4())
             self._starting.add(sid)
             device = placer.acquire(sid)
