@@ -18,7 +18,7 @@ from aiohttp import web
 
 from mere_fusion_tpu.config import Config
 from mere_fusion_tpu.runtime.metrics import metrics
-from mere_fusion_tpu.server.sessions import SessionManager
+from mere_fusion_tpu.server.sessions import CapacityError, SessionManager
 
 logger = logging.getLogger(__name__)
 
@@ -47,8 +47,6 @@ def create_app(cfg: Config, engine_factory, llm=None) -> web.Application:
         return session
 
     async def start_session(request: web.Request) -> web.Response:
-        from mere_fusion_tpu.server.sessions import CapacityError
-
         try:
             session = await manager.start_session()
         except CapacityError:
