@@ -43,6 +43,10 @@ _FLAG_TO_KEY = {
     "torso": "nerf.torso",
     "nerf_ckpt": "nerf.ckpt",
     "asr_model": "nerf.asr_model",
+    "perception": "perception.backend",
+    "yolo_ckpt": "perception.ckpt",
+    "yolo_scale": "perception.scale",
+    "perception_fps": "perception.fps_throttle",
 }
 
 
@@ -97,6 +101,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fullbody_img", default="")
     p.add_argument("--fullbody_offset_x", type=int, default=0)
     p.add_argument("--fullbody_offset_y", type=int, default=0)
+    p.add_argument("--perception", default="stub",
+                   choices=["stub", "yolo-tpu", "yolo"],
+                   help="camera scene understanding: flax YOLOv10 on TPU "
+                        "(yolo-tpu), ultralytics (yolo), or the stub")
+    p.add_argument("--yolo_ckpt", default="",
+                   help="yolov10*.pt weights (yolo-tpu loads it without "
+                        "the ultralytics package)")
+    p.add_argument("--yolo_scale", default="x",
+                   choices=["n", "s", "m", "b", "l", "x"])
+    p.add_argument("--perception_fps", type=int, default=10,
+                   help="analyze every Nth camera frame")
     p.add_argument("--llm", default="", help="llm backend (openai|vllm|qwen|echo)")
     p.add_argument("--llm_url", default="")
     p.add_argument("--llm_model", default="gpt-3.5-turbo")

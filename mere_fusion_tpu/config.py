@@ -84,6 +84,20 @@ class ASRConfig:
 
 
 @dataclass(frozen=True)
+class PerceptionConfig:
+    """Camera-frame scene understanding (reference: yolo_opencv.py:36-42,
+    136-221 — YOLOv10x every 10th frame, DeepFace when a person is seen,
+    EasyOCR text)."""
+
+    backend: str = "stub"             # stub | yolo-tpu (flax) | yolo (ultralytics)
+    ckpt: str = ""                    # yolov10*.pt (either backend; tpu path
+                                      # extracts tensors without ultralytics)
+    scale: str = "x"                  # yolo-tpu model scale (n/s/m/b/l/x)
+    fps_throttle: int = 10            # analyze every Nth frame
+    conf: float = 0.25                # detection confidence threshold
+
+
+@dataclass(frozen=True)
 class TransportConfig:
     mode: str = "webrtc"              # webrtc | rtmp | loopback
     push_url: str = "http://localhost:1985/rtc/v1/publish/"
@@ -179,6 +193,7 @@ class Config:
     avatar: AvatarConfig = field(default_factory=AvatarConfig)
     tts: TTSConfig = field(default_factory=TTSConfig)
     asr: ASRConfig = field(default_factory=ASRConfig)
+    perception: PerceptionConfig = field(default_factory=PerceptionConfig)
     transport: TransportConfig = field(default_factory=TransportConfig)
     server: ServerConfig = field(default_factory=ServerConfig)
     nerf: NeRFConfig = field(default_factory=NeRFConfig)

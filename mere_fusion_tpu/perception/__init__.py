@@ -97,9 +97,99 @@ class YoloPerception:
         return summary
 
 
+class TPUYoloPerception:
+    """On-device YOLOv10 scene summarizer — the ultralytics-free path.
+
+    Runs our flax YOLOv10 (models/yolo.py) on the TPU instead of the torch
+    ultralytics model the reference uses (yolo_opencv.py:42, 152-221), with
+    the same summary contract: throttled object-count text, DeepFace
+    attributes when a person is present (if deepface is importable), EasyOCR
+    text (if easyocr is importable).
+
+    ``ckpt`` is an ultralytics ``yolov10*.pt`` — the tolerant unpickler in
+    utils/yolo_convert.py extracts its tensors without the ultralytics
+    package — or an .npz of already-converted flax leaves.
+    """
+
+    def __init__(self, ckpt: Optional[str] = None, scale: str = "x",
+                 fps_throttle: int = 10, conf: float = 0.25,
+                 use_deepface: bool = True, use_ocr: bool = True,
+                 detector=None, device=None):
+        from mere_fusion_tpu.models.yolo import YoloDetector
+
+        if detector is not None:
+            self.detector = detector
+        elif ckpt is not None:
+            from mere_fusion_tpu.utils.yolo_convert import convert_yolo_file
+
+            self.detector = YoloDetector(convert_yolo_file(ckpt), scale=scale,
+                                         device=device)
+        else:
+            # random weights keep the pipeline exercisable without a ckpt
+            self.detector = YoloDetector.init_random(scale=scale)
+        self.fps_throttle = fps_throttle
+        self.conf = conf
+        self.use_deepface = use_deepface
+        self.use_ocr = use_ocr
+        self._count = 0
+        self._reader = None
+
+    def process_frame(self, frame_bgr: np.ndarray) -> Optional[str]:
+        self._count += 1
+        if self._count % self.fps_throttle != 0:
+            return None
+        detections = self.detector.detect(frame_bgr, conf=self.conf)
+        counts: dict[str, int] = {}
+        person_seen = False
+        for _xyxy, _score, label in detections:
+            counts[label] = counts.get(label, 0) + 1
+            person_seen |= label == "person"
+        parts = [f"{n} {label}(s)" for label, n in sorted(counts.items())]
+        summary = "scene contains " + (
+            ", ".join(parts) if parts else "nothing notable")
+        if person_seen and self.use_deepface:
+            summary += _deepface_summary(frame_bgr)
+        if self.use_ocr:
+            summary += self._ocr_summary(frame_bgr)
+        return summary
+
+    def _ocr_summary(self, frame_bgr: np.ndarray) -> str:
+        try:
+            if self._reader is None:
+                import easyocr
+
+                self._reader = easyocr.Reader(["en", "ch_sim"])
+            texts = [t[1] for t in self._reader.readtext(frame_bgr)]
+            if texts:
+                return "; visible text: " + " | ".join(texts[:5])
+        except Exception:
+            pass
+        return ""
+
+
+def _deepface_summary(frame_bgr: np.ndarray) -> str:
+    try:
+        from deepface import DeepFace
+
+        faces = DeepFace.analyze(
+            frame_bgr, actions=("age", "gender", "emotion"),
+            enforce_detection=False, silent=True,
+        )
+        if faces:
+            f = faces[0]
+            return (f"; person appears {f.get('age', '?')} years old, "
+                    f"{f.get('dominant_gender', '?')}, "
+                    f"{f.get('dominant_emotion', '?')}")
+    except Exception:
+        pass
+    return ""
+
+
 def make_perception(kind: str = "stub", **kw):
     if kind == "stub":
         return StubPerception(**kw)
     if kind == "yolo":
         return YoloPerception(**kw)
+    if kind in ("yolo-tpu", "yolo_tpu"):
+        return TPUYoloPerception(**kw)
     raise ValueError(f"unknown perception backend {kind!r}")

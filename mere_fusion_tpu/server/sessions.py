@@ -60,7 +60,6 @@ class Session:
             return
         from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
         from mere_fusion_tpu.brain import BrainSession
-        from mere_fusion_tpu.perception import StubPerception
         from mere_fusion_tpu.server.upstream import SpeechUpstream, VideoUpstream
 
         if self.brain is None:
@@ -79,8 +78,24 @@ class Session:
             min_chunk_seconds=self.cfg.asr.min_chunk_seconds,
         )
         self.video_upstream = VideoUpstream(
-            self._perception or StubPerception(), self.brain
+            self._perception or self._build_perception(), self.brain
         )
+
+    def _build_perception(self):
+        """Perception backend from config: the flax YOLOv10 summarizer runs
+        on this session's placed chip; detectors build lazily here (first
+        incoming track), never on the session-start critical path."""
+        from mere_fusion_tpu.perception import make_perception
+
+        p = self.cfg.perception
+        if p.backend in ("yolo-tpu", "yolo_tpu"):
+            return make_perception(
+                p.backend, ckpt=p.ckpt or None, scale=p.scale,
+                fps_throttle=p.fps_throttle, conf=p.conf, device=self.device)
+        if p.backend == "yolo":
+            kw = {"model_path": p.ckpt} if p.ckpt else {}
+            return make_perception("yolo", fps_throttle=p.fps_throttle, **kw)
+        return make_perception("stub", fps_throttle=p.fps_throttle)
 
     async def start(self) -> None:
         mode = self.cfg.transport.mode
