@@ -39,6 +39,12 @@ def main(argv=None) -> None:
     p.add_argument("--vad", action="store_true", default=False,
                    help="voice activity detection on the backend "
                         "(reference whisper_online.py:628-629)")
+    p.add_argument("--output-format", default="",
+                   choices=["", "txt", "vtt", "srt"],
+                   help="also write the transcript in this format "
+                        "(reference musetalk/whisper/whisper/utils.py:47-88)")
+    p.add_argument("--output-file", default="-",
+                   help="destination for --output-format ('-' = stdout)")
     args = p.parse_args(argv)
 
     from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
@@ -49,8 +55,24 @@ def main(argv=None) -> None:
     if args.vad:
         backend.use_vad()
 
+    def write_out(segments):
+        if not args.output_format:
+            return
+        import sys
+
+        from mere_fusion_tpu.asr.writers import WRITERS
+
+        writer = WRITERS[args.output_format]
+        if args.output_file == "-":
+            writer(segments, sys.stdout)
+        else:
+            with open(args.output_file, "w", encoding="utf-8") as f:
+                writer(segments, f)
+
     if args.mode == "batch":
         import time
+
+        from mere_fusion_tpu.asr.writers import chunks_to_segments
 
         t0 = time.time()
         res = backend.transcribe_long(audio, batch_size=args.batch_size)
@@ -59,12 +81,16 @@ def main(argv=None) -> None:
             print(f"[{ch['start']:7.1f}-{ch['end']:7.1f}] {ch['text']}")
         print(f"-- {res['duration']:.1f} s audio in {dt:.1f} s "
               f"({res['duration']/max(dt,1e-9):.1f}x realtime)")
+        write_out(chunks_to_segments(res["chunks"]))
         return
 
     if args.mode == "offline":
         res = backend.transcribe(audio)
         words = backend.ts_words(res)
         print(backend.sep.join(w.text for w in words))
+        if words:
+            write_out([{"start": words[0].beg, "end": words[-1].end,
+                        "text": backend.sep.join(w.text for w in words)}])
         return
 
     st = StreamingTranscriber(backend, buffer_trimming=("segment", args.buffer_trim))
@@ -76,6 +102,9 @@ def main(argv=None) -> None:
         print(f"{e.emitted_at*1000:8.0f} ms  [{e.beg}-{e.end}]  {e.text}")
     print(f"-- transcript: {result.transcript}")
     print(f"-- mean emission latency: {result.mean_latency*1000:.0f} ms")
+    from mere_fusion_tpu.asr.writers import emissions_to_segments
+
+    write_out(emissions_to_segments(result.emissions))
 
 
 if __name__ == "__main__":

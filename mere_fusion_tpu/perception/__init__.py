@@ -120,10 +120,13 @@ class TPUYoloPerception:
         if detector is not None:
             self.detector = detector
         elif ckpt is not None:
-            from mere_fusion_tpu.utils.yolo_convert import convert_yolo_file
+            # serving-tree loader: .pt converted on the fly or an orbax dir
+            # from tools/convert_ckpt; ONE committed copy per (ckpt, chip)
+            # shared by all sessions placed there (engines/__init__.py)
+            from mere_fusion_tpu.engines import shared_device_tree
 
-            self.detector = YoloDetector(convert_yolo_file(ckpt), scale=scale,
-                                         device=device)
+            variables = shared_device_tree("yolo", ckpt, device)
+            self.detector = YoloDetector(variables, scale=scale)
         else:
             # random weights keep the pipeline exercisable without a ckpt
             self.detector = YoloDetector.init_random(scale=scale)

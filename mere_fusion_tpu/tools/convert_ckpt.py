@@ -73,6 +73,15 @@ def convert_with_meta(family: str, in_path: str,
             out = {**out, "density": tc.density_from_ernerf(
                 model_sd, mean_density=sd.get("mean_density"))}
         return out, meta
+    if family == "yolo":
+        # ultralytics yolov10*.pt (tensors extracted without ultralytics);
+        # perception backend "yolo-tpu" serves these (yolo_opencv.py:42)
+        from mere_fusion_tpu.utils.yolo_convert import (
+            convert_yolo,
+            load_ultralytics_state_dict,
+        )
+
+        return convert_yolo(load_ultralytics_state_dict(in_path)), meta
     raise ValueError(f"unknown family {family!r}")
 
 
@@ -81,7 +90,7 @@ def main(argv=None) -> None:
     p.add_argument("family",
                    choices=["wav2lip", "wav2lip-disc", "syncnet", "whisper",
                             "vae", "musetalk-unet", "s3fd", "bisenet",
-                            "fan", "ernerf"])
+                            "fan", "ernerf", "yolo"])
     p.add_argument("input")
     p.add_argument("out_dir")
     p.add_argument("--unet-config", default=None)

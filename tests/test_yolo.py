@@ -493,3 +493,34 @@ def test_session_builds_perception_from_config(twin):
     s = Session("sid", engine=object(), cfg=cfg)
     p = s._build_perception()
     assert isinstance(p, StubPerception) and p.fps_throttle == 4
+
+
+def test_convert_ckpt_cli_and_serving_tree(tmp_path, twin):
+    """family=yolo through the converter CLI → orbax dir → serving loader:
+    the tree round-trips bit-exactly and commits once per (ckpt, device)."""
+    t, variables = twin
+    ckpt = tmp_path / "yolov10_tiny.pt"
+    torch.save({"model": t}, str(ckpt))
+
+    out = tmp_path / "orbax"
+    from mere_fusion_tpu.tools.convert_ckpt import main as convert_main
+
+    convert_main(["yolo", str(ckpt), str(out)])
+
+    from mere_fusion_tpu.engines import shared_device_tree
+
+    tree = shared_device_tree("yolo", str(out))
+    again = shared_device_tree("yolo", str(out))
+    assert tree is again  # per-(ckpt, chip) cache
+    want = jax.tree.leaves(variables)
+    got = jax.tree.leaves(tree)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # the tree drives the detector end-to-end
+    det = YoloDetector(tree, scale="l", nc=NC, imgsz=IMGSZ, max_det=5,
+                       names=[f"c{i}" for i in range(NC)],
+                       dtype=jnp.float32, spec=TINY_SPEC)
+    frame = np.random.default_rng(4).integers(
+        0, 255, (80, 80, 3)).astype(np.uint8)
+    assert len(det.detect(frame, conf=0.0)) == 5
