@@ -67,22 +67,7 @@ class YoloPerception:
         summary = "scene contains " + (", ".join(parts) if parts else "nothing notable")
 
         if person_seen and self.use_deepface:
-            try:
-                from deepface import DeepFace
-
-                faces = DeepFace.analyze(
-                    frame_bgr, actions=("age", "gender", "emotion"),
-                    enforce_detection=False, silent=True,
-                )
-                if faces:
-                    f = faces[0]
-                    summary += (
-                        f"; person appears {f.get('age', '?')} years old, "
-                        f"{f.get('dominant_gender', '?')}, "
-                        f"{f.get('dominant_emotion', '?')}"
-                    )
-            except Exception:
-                pass
+            summary += _deepface_summary(frame_bgr)
         if self.use_ocr:
             try:
                 if self._reader is None:
