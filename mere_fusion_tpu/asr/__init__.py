@@ -23,4 +23,6 @@ from mere_fusion_tpu.asr.normalizers import (  # noqa: F401
     BasicTextNormalizer,
     EnglishTextNormalizer,
 )
+from mere_fusion_tpu.asr.numwords import EnglishNumberNormalizer  # noqa: F401
+from mere_fusion_tpu.asr.spelling import EnglishSpellingNormalizer  # noqa: F401
 from mere_fusion_tpu.asr.vad import speech_segments, has_speech  # noqa: F401

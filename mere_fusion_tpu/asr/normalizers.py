@@ -10,20 +10,22 @@ and contracted forms.
 asides dropped, unicode symbols/punctuation → spaces (optionally with
 diacritic stripping via NFKD), lowercase, collapsed whitespace.
 
-``EnglishTextNormalizer`` covers the high-frequency transformations:
-bracket removal, filler-word removal, contraction expansion (including
-common irregulars), possessive normalization, punctuation stripping with
-currency/decimal preservation, and whitespace collapse. The reference
-additionally rewrites number words to digits and applies a 1,700-entry
-British→American spelling table (english.json); those long-tail rewrites
-are out of scope here and documented as such — both sides of a comparison
-should be passed through the SAME normalizer, which makes the comparison
-valid without them.
+``EnglishTextNormalizer`` applies the reference's full pipeline: bracket
+and filler removal, contraction/title expansion, digit-comma and period
+handling, symbol stripping that preserves numeric punctuation, spelled-out
+number rewriting (``numwords.EnglishNumberNormalizer``), British→American
+spelling normalization (``spelling.EnglishSpellingNormalizer``), and
+whitespace collapse.  Parity with the reference module is asserted
+directly in tests/test_normalizers.py (the reference normalizers import
+standalone, bypassing the vendored package's ffmpeg-importing __init__).
 """
 from __future__ import annotations
 
 import re
 import unicodedata
+
+from mere_fusion_tpu.asr.numwords import EnglishNumberNormalizer  # noqa: F401
+from mere_fusion_tpu.asr.spelling import EnglishSpellingNormalizer  # noqa: F401
 
 ADDITIONAL_DIACRITICS = {
     "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE",
@@ -77,64 +79,95 @@ class BasicTextNormalizer:
         return re.sub(r"\s+", " ", s).strip()
 
 
-_FILLERS = r"\b(hmm+|mm+|mhm+|uh+|um+|huh|ah+|er+)\b"
+_FILLERS = r"\b(hmm|mm|mhm|mmm|uh|um)\b"
 
-_CONTRACTION_IRREGULARS = {
-    "won't": "will not", "can't": "can not", "shan't": "shall not",
-    "cannot": "can not", "let's": "let us", "ain't": "aint",
-    "y'all": "you all", "wanna": "want to", "gonna": "going to",
-    "gotta": "got to", "gimme": "give me", "lemme": "let me",
-    "'cause": "because", "cuz": "because", "ma'am": "madam",
-    "o'clock": "oclock", "ol'": "old",
-}
-
-_CONTRACTION_SUFFIXES = [
+# Ordered rewrite rules; order matters (irregulars and multi-word forms
+# must fire before the generic suffix rules at the end).
+_REWRITES = (
+    # irregular contractions and informal forms
+    (r"\bwon't\b", "will not"),
+    (r"\bcan't\b", "can not"),
+    (r"\blet's\b", "let us"),
+    (r"\bain't\b", "aint"),
+    (r"\by'all\b", "you all"),
+    (r"\bwanna\b", "want to"),
+    (r"\bgotta\b", "got to"),
+    (r"\bgonna\b", "going to"),
+    (r"\bi'ma\b", "i am going to"),
+    (r"\bimma\b", "i am going to"),
+    (r"\bwoulda\b", "would have"),
+    (r"\bcoulda\b", "could have"),
+    (r"\bshoulda\b", "should have"),
+    (r"\bma'am\b", "madam"),
+    # abbreviated titles (the trailing space keeps a following period
+    # from gluing to the expansion)
+    (r"\bmr\b", "mister "),
+    (r"\bmrs\b", "missus "),
+    (r"\bst\b", "saint "),
+    (r"\bdr\b", "doctor "),
+    (r"\bprof\b", "professor "),
+    (r"\bcapt\b", "captain "),
+    (r"\bgov\b", "governor "),
+    (r"\bald\b", "alderman "),
+    (r"\bgen\b", "general "),
+    (r"\bsen\b", "senator "),
+    (r"\brep\b", "representative "),
+    (r"\bpres\b", "president "),
+    (r"\brev\b", "reverend "),
+    (r"\bhon\b", "honorable "),
+    (r"\basst\b", "assistant "),
+    (r"\bassoc\b", "associate "),
+    (r"\blt\b", "lieutenant "),
+    (r"\bcol\b", "colonel "),
+    (r"\bjr\b", "junior "),
+    (r"\bsr\b", "senior "),
+    (r"\besq\b", "esquire "),
+    # perfect tenses must resolve before the generic 's/'d rules
+    (r"'d been\b", " had been"),
+    (r"'s been\b", " has been"),
+    (r"'d gone\b", " had gone"),
+    (r"'s gone\b", " has gone"),
+    (r"'d done\b", " had done"),
+    (r"'s got\b", " has got"),
+    # generic contraction suffixes
     (r"n't\b", " not"),
     (r"'re\b", " are"),
-    (r"'ve\b", " have"),
-    (r"'ll\b", " will"),
-    (r"'m\b", " am"),
+    (r"'s\b", " is"),
     (r"'d\b", " would"),
-]
-
-_TITLES = {
-    "mr": "mister", "mrs": "missus", "st": "saint", "dr": "doctor",
-    "prof": "professor", "capt": "captain", "gov": "governor",
-    "ald": "alderman", "gen": "general", "sen": "senator",
-    "rep": "representative", "pres": "president", "rev": "reverend",
-    "hon": "honorable", "asst": "assistant", "assoc": "associate",
-    "lt": "lieutenant", "col": "colonel", "jr": "junior", "sr": "senior",
-    "esq": "esquire",
-}
+    (r"'ll\b", " will"),
+    (r"'t\b", " not"),
+    (r"'ve\b", " have"),
+    (r"'m\b", " am"),
+)
 
 
 class EnglishTextNormalizer:
-    """High-frequency subset of the reference English normalizer
-    (reference: musetalk/whisper/whisper/normalizers/english.py) — see the
-    module docstring for the documented scope."""
+    """Full English transcript normalizer matching the reference pipeline
+    (reference: musetalk/whisper/whisper/normalizers/english.py:458-543)."""
+
+    def __init__(self):
+        self.numbers = EnglishNumberNormalizer()
+        self.spellings = EnglishSpellingNormalizer()
 
     def __call__(self, s: str) -> str:
         s = s.lower()
-        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)
-        s = re.sub(r"\(([^)]+?)\)", "", s)
+        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)   # <asides> and [asides]
+        s = re.sub(r"\(([^)]+?)\)", "", s)        # (asides)
         s = re.sub(_FILLERS, "", s)
-        s = re.sub(r"\s+'", "'", s)               # standalone apostrophes
+        s = re.sub(r"\s+'", "'", s)               # re-attach apostrophes
 
-        for src, dst in _CONTRACTION_IRREGULARS.items():
-            s = s.replace(src, dst)
-        for pat, repl in _CONTRACTION_SUFFIXES:
-            s = re.sub(pat, repl, s)
-        s = re.sub(r"(\w)'s\b", r"\1 is", s)      # he's -> he is (approx.)
+        for pattern, replacement in _REWRITES:
+            s = re.sub(pattern, replacement, s)
 
-        # titles: "mr." / "dr." etc.
-        def title(m):
-            return _TITLES.get(m.group(1), m.group(1)) + " "
+        s = re.sub(r"(\d),(\d)", r"\1\2", s)      # 1,000 -> 1000
+        s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # keep only numeric periods
+        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
 
-        s = re.sub(r"\b(" + "|".join(_TITLES) + r")\.?\s", title, s + " ")
+        s = self.numbers(s)
+        s = self.spellings(s)
 
-        # punctuation: keep intra-number separators and currency
-        s = re.sub(r"[.,](?![0-9])", " ", s)
-        s = re.sub(r"(?<=[a-z])-(?=[a-z])", " ", s)   # compound words
-        s = re.sub(r"[^\w\s$£€.,%-]", " ", s)
-        s = re.sub(r"\s+", " ", s)
-        return s.strip()
+        # drop numeric symbols that ended up with no digits around them
+        s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
+        s = re.sub(r"([^0-9])%", r"\1 ", s)
+
+        return re.sub(r"\s+", " ", s)
