@@ -99,7 +99,7 @@ class TPUYoloPerception:
     def __init__(self, ckpt: Optional[str] = None, scale: str = "x",
                  fps_throttle: int = 10, conf: float = 0.25,
                  use_deepface: bool = True, use_ocr: bool = True,
-                 detector=None, device=None):
+                 detector=None, device=None, face_attrs=None):
         from mere_fusion_tpu.models.yolo import YoloDetector
 
         if detector is not None:
@@ -119,6 +119,7 @@ class TPUYoloPerception:
         self.conf = conf
         self.use_deepface = use_deepface
         self.use_ocr = use_ocr
+        self.face_attrs = make_face_attrs(face_attrs)
         self._count = 0
         self._reader = None
 
@@ -135,7 +136,9 @@ class TPUYoloPerception:
         parts = [f"{n} {label}(s)" for label, n in sorted(counts.items())]
         summary = "scene contains " + (
             ", ".join(parts) if parts else "nothing notable")
-        if person_seen and self.use_deepface:
+        if person_seen and self.face_attrs is not None:
+            summary += _face_attr_summary(frame_bgr, self.face_attrs)
+        elif person_seen and self.use_deepface:
             summary += _deepface_summary(frame_bgr)
         if self.use_ocr:
             summary += self._ocr_summary(frame_bgr)
@@ -153,6 +156,39 @@ class TPUYoloPerception:
         except Exception:
             pass
         return ""
+
+
+def make_face_attrs(spec):
+    """Resolve a face-attrs spec into a FaceAttributeAnalyzer (or None).
+
+    ``spec``: None → disabled (deepface fallback applies); "random" →
+    narrow random-weight nets so the pipeline runs without checkpoints;
+    a dict of DeepFace .h5 paths (keys age/gender/race/emotion) → real
+    weights via utils/keras_convert.py; or an already-built analyzer.
+    """
+    if spec is None or spec is False:
+        return None
+    from mere_fusion_tpu.models.face_attrs import FaceAttributeAnalyzer
+
+    if isinstance(spec, FaceAttributeAnalyzer):
+        return spec
+    if spec == "random":
+        return FaceAttributeAnalyzer.init_random(
+            tasks=("age", "gender", "emotion"))
+    if isinstance(spec, dict):
+        return FaceAttributeAnalyzer.from_h5(**spec)
+    raise ValueError(f"unknown face_attrs spec {spec!r}")
+
+
+def _face_attr_summary(frame_bgr: np.ndarray, analyzer) -> str:
+    """Same sentence contract as _deepface_summary, on our TPU nets."""
+    faces = analyzer.analyze(frame_bgr)
+    if not faces:
+        return ""
+    f = faces[0]
+    return (f"; person appears {f.get('age', '?')} years old, "
+            f"{f.get('dominant_gender', '?')}, "
+            f"{f.get('dominant_emotion', '?')}")
 
 
 def _deepface_summary(frame_bgr: np.ndarray) -> str:

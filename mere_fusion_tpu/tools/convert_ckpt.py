@@ -29,8 +29,21 @@ def convert_with_meta(family: str, in_path: str,
     right model from a converted orbax dir (family.json)."""
     from mere_fusion_tpu.utils import torch_convert as tc
 
-    sd = tc.load_torch_checkpoint(in_path)
     meta: dict = {}
+    if family.startswith("face-"):
+        # DeepFace Keras .h5 weight files (age/gender/race/emotion), not
+        # torch checkpoints (reference consumption: yolo_opencv.py:202-217)
+        from mere_fusion_tpu.utils import keras_convert as kc
+
+        task = family[len("face-"):]
+        if task == "emotion":
+            return kc.convert_emotion_h5(in_path), meta
+        n_cls = {"age": 101, "gender": 2, "race": 6}.get(task)
+        if n_cls is None:
+            raise ValueError(f"unknown family {family!r}")
+        return kc.convert_vggface_h5(in_path, n_classes=n_cls), meta
+
+    sd = tc.load_torch_checkpoint(in_path)
     if family == "wav2lip":
         return tc.convert_wav2lip(sd), meta
     if family == "wav2lip-disc":
@@ -90,7 +103,8 @@ def main(argv=None) -> None:
     p.add_argument("family",
                    choices=["wav2lip", "wav2lip-disc", "syncnet", "whisper",
                             "vae", "musetalk-unet", "s3fd", "bisenet",
-                            "fan", "ernerf", "yolo"])
+                            "fan", "ernerf", "yolo", "face-age",
+                            "face-gender", "face-race", "face-emotion"])
     p.add_argument("input")
     p.add_argument("out_dir")
     p.add_argument("--unet-config", default=None)

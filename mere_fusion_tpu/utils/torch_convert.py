@@ -412,3 +412,47 @@ def load_torch_checkpoint(path: str) -> dict:
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     return ckpt
+
+
+def _ordered_conv_dense(sd: Mapping[str, Any]):
+    """(kind, flax_kernel, bias) per weighted layer, in state-dict order.
+
+    Used by the face-attribute converters: torch preserves module insertion
+    order in state dicts, so a plain sequential twin maps positionally.
+    Dense kernels assume the twin flattens in NHWC order (Keras Flatten
+    semantics) — see tests/test_face_attrs.py.
+    """
+    out = []
+    for k in sd:
+        if not k.endswith(".weight"):
+            continue
+        w = _np(sd[k])
+        b = _np(sd[k[: -len(".weight")] + ".bias"])
+        if w.ndim == 4:
+            out.append(("conv", w.transpose(2, 3, 1, 0), b))
+        elif w.ndim == 2:
+            out.append(("dense", w.transpose(1, 0), b))
+    return out
+
+
+def convert_vggface_attr(state_dict: Mapping[str, Any]) -> dict:
+    """Torch VGG-Face attribute twin → VGGFaceAttr variables (13 convs +
+    fc_0/fc_1 + head, models/face_attrs.py)."""
+    layers = _ordered_conv_dense(state_dict)
+    names = [f"conv_{i}" for i in range(13)] + ["fc_0", "fc_1", "head"]
+    if len(layers) != len(names):
+        raise ValueError(f"expected {len(names)} weighted layers, "
+                         f"got {len(layers)}")
+    return {"params": {n: {"kernel": k, "bias": b}
+                       for n, (_, k, b) in zip(names, layers)}}
+
+
+def convert_emotion_net(state_dict: Mapping[str, Any]) -> dict:
+    """Torch emotion-CNN twin → EmotionNet variables."""
+    layers = _ordered_conv_dense(state_dict)
+    names = [f"conv_{i}" for i in range(5)] + [f"dense_{i}" for i in range(3)]
+    if len(layers) != len(names):
+        raise ValueError(f"expected {len(names)} weighted layers, "
+                         f"got {len(layers)}")
+    return {"params": {n: {"kernel": k, "bias": b}
+                       for n, (_, k, b) in zip(names, layers)}}
