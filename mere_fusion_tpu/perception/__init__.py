@@ -99,7 +99,7 @@ class TPUYoloPerception:
     def __init__(self, ckpt: Optional[str] = None, scale: str = "x",
                  fps_throttle: int = 10, conf: float = 0.25,
                  use_deepface: bool = True, use_ocr: bool = True,
-                 detector=None, device=None, face_attrs=None):
+                 detector=None, device=None, face_attrs=None, ocr=None):
         from mere_fusion_tpu.models.yolo import YoloDetector
 
         if detector is not None:
@@ -120,6 +120,7 @@ class TPUYoloPerception:
         self.use_deepface = use_deepface
         self.use_ocr = use_ocr
         self.face_attrs = make_face_attrs(face_attrs)
+        self.ocr = make_ocr(ocr)
         self._count = 0
         self._reader = None
 
@@ -145,6 +146,12 @@ class TPUYoloPerception:
         return summary
 
     def _ocr_summary(self, frame_bgr: np.ndarray) -> str:
+        if self.ocr is not None:
+            # our TPU CRAFT+CRNN reader (models/ocr.py) — same consumption
+            # as the reference's easyocr call (yolo_opencv.py:195-199)
+            texts = [t[1] for t in self.ocr.readtext(frame_bgr)]
+            return ("; visible text: " + " | ".join(texts[:5])
+                    if texts else "")
         try:
             if self._reader is None:
                 import easyocr
@@ -178,6 +185,40 @@ def make_face_attrs(spec):
     if isinstance(spec, dict):
         return FaceAttributeAnalyzer.from_h5(**spec)
     raise ValueError(f"unknown face_attrs spec {spec!r}")
+
+
+def make_ocr(spec):
+    """Resolve an OCR spec into a TextReader (or None → easyocr fallback).
+
+    ``spec``: None/False → disabled; "random" → random-weight reader (narrow
+    detector) so the pipeline runs without checkpoints; a dict of kwargs
+    with ``craft``/``crnn`` checkpoint paths (torch .pth, converted on the
+    fly) or prebuilt trees; or an already-built TextReader.
+    """
+    if spec is None or spec is False:
+        return None
+    from mere_fusion_tpu.models.ocr import TextReader
+
+    if isinstance(spec, TextReader):
+        return spec
+    if spec == "random":
+        return TextReader(width=0.25)
+    if isinstance(spec, dict):
+        kw = dict(spec)
+        if isinstance(kw.get("craft"), str):
+            from mere_fusion_tpu.utils.torch_convert import (
+                convert_craft, load_torch_checkpoint)
+
+            kw["det_variables"] = convert_craft(
+                load_torch_checkpoint(kw.pop("craft")))
+        if isinstance(kw.get("crnn"), str):
+            from mere_fusion_tpu.utils.torch_convert import (
+                convert_crnn, load_torch_checkpoint)
+
+            kw["rec_variables"] = convert_crnn(
+                load_torch_checkpoint(kw.pop("crnn")))
+        return TextReader(**kw)
+    raise ValueError(f"unknown ocr spec {spec!r}")
 
 
 def _face_attr_summary(frame_bgr: np.ndarray, analyzer) -> str:

@@ -86,6 +86,12 @@ def convert_with_meta(family: str, in_path: str,
             out = {**out, "density": tc.density_from_ernerf(
                 model_sd, mean_density=sd.get("mean_density"))}
         return out, meta
+    if family == "craft":
+        # EasyOCR text detector (craft_mlt_25k.pth; yolo_opencv.py:189-199)
+        return tc.convert_craft(sd), meta
+    if family == "crnn":
+        # EasyOCR recognizer (english_g2.pth family)
+        return tc.convert_crnn(sd), meta
     if family == "yolo":
         # ultralytics yolov10*.pt (tensors extracted without ultralytics);
         # perception backend "yolo-tpu" serves these (yolo_opencv.py:42)
@@ -104,7 +110,8 @@ def main(argv=None) -> None:
                    choices=["wav2lip", "wav2lip-disc", "syncnet", "whisper",
                             "vae", "musetalk-unet", "s3fd", "bisenet",
                             "fan", "ernerf", "yolo", "face-age",
-                            "face-gender", "face-race", "face-emotion"])
+                            "face-gender", "face-race", "face-emotion",
+                            "craft", "crnn"])
     p.add_argument("input")
     p.add_argument("out_dir")
     p.add_argument("--unet-config", default=None)

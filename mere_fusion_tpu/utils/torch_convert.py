@@ -456,3 +456,129 @@ def convert_emotion_net(state_dict: Mapping[str, Any]) -> dict:
                          f"got {len(layers)}")
     return {"params": {n: {"kernel": k, "bias": b}
                        for n, (_, k, b) in zip(names, layers)}}
+
+
+def _grouped_torch_layers(sd: Mapping[str, Any]):
+    """(module_path, {leaf: array}) per weighted module, in state-dict
+    order, with num_batches_tracked dropped. Torch preserves module
+    insertion order, so sequential twins map positionally (used by the OCR
+    converters below)."""
+    groups: dict = {}
+    order: list = []
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        mod, leaf = k.rsplit(".", 1) if "." in k else ("", k)
+        if mod not in groups:
+            groups[mod] = {}
+            order.append(mod)
+        groups[mod][leaf] = _np(sd[k])
+    return [(m, groups[m]) for m in order]
+
+
+def _classify_layer(leaves: Mapping[str, np.ndarray]) -> str:
+    if "running_mean" in leaves:
+        return "bn"
+    if "weight_ih_l0" in leaves:
+        return "lstm"
+    w = leaves.get("weight")
+    if w is not None and w.ndim == 4:
+        return "conv"
+    if w is not None and w.ndim == 2:
+        return "linear"
+    return "other"
+
+
+def _conv_slot(leaves) -> dict:
+    out = {"kernel": leaves["weight"].transpose(2, 3, 1, 0)}
+    if "bias" in leaves:
+        out["bias"] = leaves["bias"]
+    return out
+
+
+def _bn_slot(leaves) -> tuple[dict, dict]:
+    return ({"scale": leaves["weight"], "bias": leaves["bias"]},
+            {"mean": leaves["running_mean"], "var": leaves["running_var"]})
+
+
+def convert_craft(state_dict: Mapping[str, Any]) -> dict:
+    """CRAFT detector .pth (e.g. EasyOCR craft_mlt_25k.pth, consumed by the
+    reference via easyocr.Reader — yolo_opencv.py:189-199) → our flax CRAFT
+    (models/ocr.py). Order-based: 13 VGG conv+bn pairs, fc6/fc7 plain convs,
+    4 double_conv decoder blocks (conv+bn ×2 each), 5-conv cls head."""
+    layers = _grouped_torch_layers(strip_prefix(state_dict))
+    stage_names = [f"s{i+1}_{j}" for i, reps in enumerate((2, 2, 3, 3, 3))
+                   for j in range(reps)]
+    params: dict = {}
+    stats: dict = {}
+    convs = [(m, lv) for m, lv in layers if _classify_layer(lv) == "conv"]
+    bns = [(m, lv) for m, lv in layers if _classify_layer(lv) == "bn"]
+    n_conv_want = 13 + 2 + 8 + 5
+    n_bn_want = 13 + 8
+    if len(convs) != n_conv_want or len(bns) != n_bn_want:
+        raise ValueError(
+            f"CRAFT checkpoint shape: want {n_conv_want} convs/"
+            f"{n_bn_want} bns, got {len(convs)}/{len(bns)} "
+            f"({[m for m, _ in layers][:8]}...)")
+    ci = bi = 0
+    for name in stage_names:
+        params[name] = {"conv": _conv_slot(convs[ci][1])}
+        p, s = _bn_slot(bns[bi][1])
+        params[name]["bn"], stats[name] = p, {"bn": s}
+        ci += 1
+        bi += 1
+    params["fc6"] = _conv_slot(convs[ci][1]); ci += 1
+    params["fc7"] = _conv_slot(convs[ci][1]); ci += 1
+    for k in range(4):
+        blk: dict = {}
+        sblk: dict = {}
+        for j in range(2):
+            blk[f"conv_{j}"] = _conv_slot(convs[ci][1]); ci += 1
+            p, s = _bn_slot(bns[bi][1]); bi += 1
+            blk[f"bn_{j}"], sblk[f"bn_{j}"] = p, s
+        params[f"up_{k}"], stats[f"up_{k}"] = blk, sblk
+    for j in range(5):
+        params[f"cls_{j}"] = _conv_slot(convs[ci][1]); ci += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def _lstm_slots(leaves) -> dict:
+    out = {}
+    for d, suf in (("fw", ""), ("bw", "_reverse")):
+        for ours, theirs in (("w_ih", "weight_ih_l0"), ("w_hh", "weight_hh_l0"),
+                             ("b_ih", "bias_ih_l0"), ("b_hh", "bias_hh_l0")):
+            out[f"{ours}_{d}"] = leaves[theirs + suf]
+    return out
+
+
+def convert_crnn(state_dict: Mapping[str, Any]) -> dict:
+    """CRNN recognizer .pth (EasyOCR english_g2 "None-VGG-BiLSTM-CTC"
+    family) → our flax CRNN (models/ocr.py). Order-based: 7 extractor convs
+    (+bn on conv_4/conv_5), two torch bi-LSTMs + projections, CTC head."""
+    layers = _grouped_torch_layers(strip_prefix(state_dict))
+    convs, bns, lstms, linears = [], [], [], []
+    for m, lv in layers:
+        kind = _classify_layer(lv)
+        if kind == "conv":
+            convs.append(lv)
+        elif kind == "bn":
+            bns.append(lv)
+        elif kind == "lstm":
+            lstms.append(lv)
+        elif kind == "linear":
+            linears.append(lv)
+    if (len(convs), len(bns), len(lstms), len(linears)) != (7, 2, 2, 3):
+        raise ValueError(
+            "CRNN checkpoint shape: want 7 convs / 2 bns / 2 lstms / "
+            f"3 linears, got {len(convs)}/{len(bns)}/{len(lstms)}/"
+            f"{len(linears)}")
+    params: dict = {f"conv_{i}": _conv_slot(lv) for i, lv in enumerate(convs)}
+    stats: dict = {}
+    for i, lv in zip((4, 5), bns):
+        params[f"bn_{i}"], stats[f"bn_{i}"] = _bn_slot(lv)
+    lin = [{"kernel": lv["weight"].transpose(1, 0), "bias": lv["bias"]}
+           for lv in linears]
+    for i in range(2):
+        params[f"rnn_{i}"] = {**_lstm_slots(lstms[i]), "proj": lin[i]}
+    params["head"] = lin[2]
+    return {"params": params, "batch_stats": stats}
