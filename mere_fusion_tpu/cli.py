@@ -47,6 +47,8 @@ _FLAG_TO_KEY = {
     "yolo_ckpt": "perception.ckpt",
     "yolo_scale": "perception.scale",
     "perception_fps": "perception.fps_throttle",
+    "face_attrs": "perception.face_attrs",
+    "ocr": "perception.ocr",
 }
 
 
@@ -112,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["n", "s", "m", "b", "l", "x"])
     p.add_argument("--perception_fps", type=int, default=10,
                    help="analyze every Nth camera frame")
+    p.add_argument("--face_attrs", default="",
+                   help="TPU face attributes for yolo-tpu: 'random' or "
+                        "'age=age.h5,gender=gender.h5,...' (DeepFace .h5 "
+                        "weights); empty = deepface import fallback")
+    p.add_argument("--ocr", default="",
+                   help="TPU scene-text OCR for yolo-tpu: 'random' or "
+                        "'craft=craft_mlt_25k.pth,crnn=english_g2.pth'; "
+                        "empty = easyocr import fallback")
     p.add_argument("--llm", default="", help="llm backend (openai|vllm|qwen|echo)")
     p.add_argument("--llm_url", default="")
     p.add_argument("--llm_model", default="gpt-3.5-turbo")

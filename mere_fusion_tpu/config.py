@@ -95,6 +95,12 @@ class PerceptionConfig:
     scale: str = "x"                  # yolo-tpu model scale (n/s/m/b/l/x)
     fps_throttle: int = 10            # analyze every Nth frame
     conf: float = 0.25                # detection confidence threshold
+    face_attrs: str = ""              # "" (deepface fallback) | "random" |
+                                      # "age=age.h5,gender=gender.h5,..."
+                                      # (TPU VGG-Face heads, models/face_attrs)
+    ocr: str = ""                     # "" (easyocr fallback) | "random" |
+                                      # "craft=craft.pth,crnn=english_g2.pth"
+                                      # (TPU CRAFT+CRNN reader, models/ocr)
 
 
 @dataclass(frozen=True)

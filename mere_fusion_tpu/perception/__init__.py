@@ -165,6 +165,29 @@ class TPUYoloPerception:
         return ""
 
 
+def parse_perception_spec(s: str):
+    """CLI/config string → make_face_attrs / make_ocr spec.
+
+    ``""`` → None (disabled / import-fallback), ``"random"`` → random
+    weights, ``"key=path,key2=path2"`` → kwargs dict (e.g.
+    ``age=age.h5,gender=gender.h5`` or ``craft=craft_mlt_25k.pth,
+    crnn=english_g2.pth``).
+    """
+    if not s:
+        return None
+    if s == "random":
+        return "random"
+    out = {}
+    for part in s.split(","):
+        k, eq, v = part.partition("=")
+        if not eq or not k.strip() or not v.strip():
+            raise ValueError(
+                f"perception spec {s!r}: expected 'random' or "
+                "comma-separated key=path pairs")
+        out[k.strip()] = v.strip()
+    return out
+
+
 def make_face_attrs(spec):
     """Resolve a face-attrs spec into a FaceAttributeAnalyzer (or None).
 

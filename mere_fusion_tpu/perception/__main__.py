@@ -108,14 +108,23 @@ def main(argv=None) -> None:
                    help="frames to process (0 = all)")
     p.add_argument("--no-deepface", action="store_true")
     p.add_argument("--no-ocr", action="store_true")
+    p.add_argument("--face-attrs", default="", dest="face_attrs",
+                   help="TPU face attributes (yolo-tpu): 'random' or "
+                        "'age=age.h5,gender=gender.h5,...'")
+    p.add_argument("--ocr", default="",
+                   help="TPU scene-text OCR (yolo-tpu): 'random' or "
+                        "'craft=craft_mlt_25k.pth,crnn=english_g2.pth'")
     args = p.parse_args(argv)
 
-    from mere_fusion_tpu.perception import make_perception
+    from mere_fusion_tpu.perception import (make_perception,
+                                            parse_perception_spec)
 
     kw: dict = {"fps_throttle": args.fpsthrottle}
     if args.backend in ("yolo-tpu", "yolo_tpu"):
         kw.update(ckpt=args.ckpt or None, scale=args.scale, conf=args.conf,
-                  use_deepface=not args.no_deepface, use_ocr=not args.no_ocr)
+                  use_deepface=not args.no_deepface, use_ocr=not args.no_ocr,
+                  face_attrs=parse_perception_spec(args.face_attrs),
+                  ocr=parse_perception_spec(args.ocr))
     elif args.backend == "yolo":
         kw.update(use_deepface=not args.no_deepface, use_ocr=not args.no_ocr)
         if args.ckpt:

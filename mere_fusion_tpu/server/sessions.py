@@ -85,13 +85,16 @@ class Session:
         """Perception backend from config: the flax YOLOv10 summarizer runs
         on this session's placed chip; detectors build lazily here (first
         incoming track), never on the session-start critical path."""
-        from mere_fusion_tpu.perception import make_perception
+        from mere_fusion_tpu.perception import (make_perception,
+                                                 parse_perception_spec)
 
         p = self.cfg.perception
         if p.backend in ("yolo-tpu", "yolo_tpu"):
             return make_perception(
                 p.backend, ckpt=p.ckpt or None, scale=p.scale,
-                fps_throttle=p.fps_throttle, conf=p.conf, device=self.device)
+                fps_throttle=p.fps_throttle, conf=p.conf, device=self.device,
+                face_attrs=parse_perception_spec(p.face_attrs),
+                ocr=parse_perception_spec(p.ocr))
         if p.backend == "yolo":
             kw = {"model_path": p.ckpt} if p.ckpt else {}
             return make_perception("yolo", fps_throttle=p.fps_throttle, **kw)

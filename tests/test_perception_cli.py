@@ -51,3 +51,47 @@ def test_rtp_mode_gated_without_ffmpeg(monkeypatch):
     monkeypatch.setattr(shutil, "which", lambda _: None)
     with pytest.raises(RuntimeError, match="ffmpeg"):
         list(iter_frames("rtp://0.0.0.0:19292"))
+
+
+def test_parse_perception_spec():
+    from mere_fusion_tpu.perception import parse_perception_spec
+
+    assert parse_perception_spec("") is None
+    assert parse_perception_spec("random") == "random"
+    assert parse_perception_spec("craft=a.pth,crnn=b.pth") == {
+        "craft": "a.pth", "crnn": "b.pth"}
+    with pytest.raises(ValueError, match="key=path"):
+        parse_perception_spec("justapath.pth")
+    with pytest.raises(ValueError, match="key=path"):
+        parse_perception_spec("craft=,crnn=b")
+
+
+def test_cli_specs_reach_the_backend(image_dir, monkeypatch):
+    """--face-attrs/--ocr strings arrive parsed at TPUYoloPerception."""
+    import mere_fusion_tpu.perception as P
+
+    seen = {}
+
+    class FakePerception:
+        def __init__(self, **kw):
+            seen.update(kw)
+
+        def process_frame(self, frame):
+            return None
+
+    monkeypatch.setattr(P, "TPUYoloPerception", FakePerception)
+    main([str(image_dir), "--backend", "yolo-tpu", "--face-attrs", "random",
+          "--ocr", "craft=a.pth,crnn=b.pth", "--framelimit", "1"])
+    assert seen["face_attrs"] == "random"
+    assert seen["ocr"] == {"craft": "a.pth", "crnn": "b.pth"}
+
+
+def test_server_cli_maps_perception_specs():
+    from mere_fusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--perception", "yolo-tpu", "--face_attrs", "random",
+         "--ocr", "craft=a.pth,crnn=b.pth"])
+    cfg = config_from_args(args)
+    assert cfg.perception.face_attrs == "random"
+    assert cfg.perception.ocr == "craft=a.pth,crnn=b.pth"
