@@ -156,6 +156,11 @@ def main(argv=None) -> None:
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.cache/mere_fusion_jax")))
+    # API keys from a .env file in the cwd, reference app.py:10 behavior
+    # (dependency-free parser; existing environment wins)
+    from mere_fusion_tpu.utils.env import load_dotenv
+
+    load_dotenv()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

@@ -160,6 +160,19 @@ def make_llm(name: str, **kw) -> LLMAdapter:
         "gemini": GeminiLLM,
         "echo": EchoLLM,
     }
+    # API keys default from the environment (reference loads them from .env
+    # via dotenv and os.environ, app.py:10, llm/Gemini.py:12)
+    if not kw.get("api_key"):
+        from mere_fusion_tpu.utils.env import env_api_key
+
+        if name in ("openai", "chatgpt"):
+            key = env_api_key("OPENAI_API_KEY")
+        elif name == "gemini":
+            key = env_api_key("GEMINI_API_KEY", "GOOGLE_API_KEY")
+        else:
+            key = ""
+        if key:
+            kw["api_key"] = key
     try:
         return table[name](**kw)
     except KeyError:
