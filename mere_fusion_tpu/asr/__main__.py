@@ -47,6 +47,10 @@ def main(argv=None) -> None:
                    help="destination for --output-format ('-' = stdout)")
     args = p.parse_args(argv)
 
+    from mere_fusion_tpu.utils.env import load_dotenv
+
+    load_dotenv()  # openai-api backend reads OPENAI_API_KEY (ref app.py:10)
+
     from mere_fusion_tpu.asr import StreamingTranscriber, make_backend
     from mere_fusion_tpu.asr.simulate import simulate_streaming
 

@@ -35,6 +35,13 @@ def load_dotenv(path: str = ".env", override: bool = False) -> dict:
                 continue
             if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
                 value = value[1:-1]
+            else:
+                # python-dotenv strips ` # trailing comment` from unquoted
+                # values; match it so `KEY=val # prod` loads just `val`.
+                for i, ch in enumerate(value):
+                    if ch == "#" and i > 0 and value[i - 1] in " \t":
+                        value = value[:i].rstrip()
+                        break
             loaded[key] = value
             if override or key not in os.environ:
                 os.environ[key] = value

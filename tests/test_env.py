@@ -14,25 +14,36 @@ def test_load_dotenv_parses_and_respects_existing(tmp_path, monkeypatch):
         "export QUOTED='hello world'\n"
         'DOUBLE="two words"\n'
         "SPACED = padded \n"
+        "COMMENTED=sk-x # prod key\n"
+        'KEEPHASH="a # not-a-comment"\n'
         "NOEQUALS\n"
         "=novalue\n"
     )
     monkeypatch.setenv("OPENAI_API_KEY", "sk-envwins")
-    monkeypatch.delenv("QUOTED", raising=False)
-    monkeypatch.delenv("DOUBLE", raising=False)
-    monkeypatch.delenv("SPACED", raising=False)
+    # Pre-seed every key the loader will touch so monkeypatch teardown
+    # removes/restores them (delenv on an absent var records nothing and the
+    # loaded values would leak into the rest of the pytest session).
+    for key in ("QUOTED", "DOUBLE", "SPACED", "COMMENTED", "KEEPHASH"):
+        monkeypatch.setenv(key, "pre-seeded")
 
-    loaded = load_dotenv(str(p))
+    loaded = load_dotenv(str(p), override=True)
     assert loaded["OPENAI_API_KEY"] == "sk-filekey"
-    assert os.environ["OPENAI_API_KEY"] == "sk-envwins"  # existing wins
     assert os.environ["QUOTED"] == "hello world"
     assert os.environ["DOUBLE"] == "two words"
     assert os.environ["SPACED"] == "padded"
+    # unquoted trailing ` # comment` is stripped (python-dotenv semantics)
+    assert os.environ["COMMENTED"] == "sk-x"
+    # quoted values keep embedded hashes
+    assert os.environ["KEEPHASH"] == "a # not-a-comment"
     assert "NOEQUALS" not in loaded and "" not in loaded
+    assert os.environ["OPENAI_API_KEY"] == "sk-filekey"  # override wins
 
-    load_dotenv(str(p), override=True)
-    assert os.environ["OPENAI_API_KEY"] == "sk-filekey"
-    monkeypatch.setenv("OPENAI_API_KEY", "sk-envwins")  # restore for safety
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-envwins")
+    monkeypatch.setenv("QUOTED", "pre-existing")
+    loaded = load_dotenv(str(p))
+    assert loaded["OPENAI_API_KEY"] == "sk-filekey"
+    assert os.environ["OPENAI_API_KEY"] == "sk-envwins"  # existing wins
+    assert os.environ["QUOTED"] == "pre-existing"
 
 
 def test_load_dotenv_missing_file_ok(tmp_path):
