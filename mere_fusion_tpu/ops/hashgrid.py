@@ -103,6 +103,38 @@ def _corner_index(pg: list, spec: GridSpec, resolution: int, hsize: int) -> jnp.
     return index % jnp.uint32(hsize)
 
 
+def corner_indices_weights(x: jnp.ndarray, spec: GridSpec, bound: float):
+    """Per-level corner table rows + bilinear weights for x [N, D].
+
+    Returns (idx [N, L, 2^D] uint32 LOCAL to each level's table,
+    w [N, L, 2^D] float32). Shared by the gather path below and the MXU
+    one-hot-matmul path in ops.hash_mxu."""
+    x01 = (x + bound) / (2.0 * bound)
+    D = spec.input_dim
+    corners = list(itertools.product((0, 1), repeat=D))
+    idx_levels = []
+    w_levels = []
+    for scale, resolution, hsize, _offset in spec.level_params():
+        pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
+        pf = jnp.floor(pos)
+        frac = pos - pf
+        pfi = pf.astype(jnp.uint32)
+        idx_corners = []
+        w_corners = []
+        for corner in corners:
+            w = jnp.ones(x.shape[:-1], x01.dtype)
+            pg = []
+            for d, c in enumerate(corner):
+                w = w * (frac[..., d] if c else (1.0 - frac[..., d]))
+                pg.append(pfi[..., d] + jnp.uint32(c))
+            idx_corners.append(_corner_index(pg, spec, resolution, hsize))
+            w_corners.append(w)
+        idx_levels.append(jnp.stack(idx_corners, axis=-1))   # [N, 2^D]
+        w_levels.append(jnp.stack(w_corners, axis=-1))
+    return (jnp.stack(idx_levels, axis=-2),                  # [N, L, 2^D]
+            jnp.stack(w_levels, axis=-2).astype(jnp.float32))
+
+
 def grid_encode(
     table: jax.Array, x: jnp.ndarray, spec: GridSpec, bound: float = 1.0
 ) -> jnp.ndarray:
@@ -114,31 +146,20 @@ def grid_encode(
     gather ops; XLA runs them serially at ~0.5 ms apiece on TPU, which made
     the encode — not the MLPs — the training bottleneck (measured 24 ms per
     plane at 64 K samples vs ~1 ms fused). Autodiff turns the single gather
-    into a single scatter-add, matching gridencoder.cu:227's semantics."""
-    x01 = (x + bound) / (2.0 * bound)
-    D = spec.input_dim
-    corners = list(itertools.product((0, 1), repeat=D))
-    idx_levels = []
-    w_levels = []
-    for scale, resolution, hsize, offset in spec.level_params():
-        pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
-        pf = jnp.floor(pos)
-        frac = pos - pf
-        pfi = pf.astype(jnp.uint32)
-        for corner in corners:
-            w = jnp.ones(x.shape[:-1], x01.dtype)
-            pg = []
-            for d, c in enumerate(corner):
-                w = w * (frac[..., d] if c else (1.0 - frac[..., d]))
-                pg.append(pfi[..., d] + jnp.uint32(c))
-            idx = _corner_index(pg, spec, resolution, hsize)
-            idx_levels.append(jnp.uint32(offset) + idx)
-            w_levels.append(w)
-    idx = jnp.stack(idx_levels, axis=-1)          # [N, L·2^D]
-    w = jnp.stack(w_levels, axis=-1)              # [N, L·2^D]
-    emb = table[idx]                              # ONE gather [N, L·2^D, C]
+    into a single scatter-add, matching gridencoder.cu:227's semantics.
+
+    For large 2-D batches on TPU, ops.hash_mxu.grid_encode_mxu computes the
+    same values with one-hot MXU matmuls instead of gathers (~20× faster);
+    NeRFNetwork.encode_x dispatches there."""
+    idx_local, w = corner_indices_weights(x, spec, bound)
+    offsets = jnp.asarray(
+        [off for (_, _, _, off) in spec.level_params()], jnp.uint32
+    )
+    idx = idx_local + offsets[:, None]
+    n_corners = idx.shape[-1]
+    emb = table[idx.reshape(*x.shape[:-1], -1)]   # ONE gather [N, L·2^D, C]
     L = spec.num_levels
-    out = (w[..., None] * emb).reshape(
-        *x.shape[:-1], L, len(corners), spec.level_dim
+    out = (w.reshape(*x.shape[:-1], -1)[..., None] * emb).reshape(
+        *x.shape[:-1], L, n_corners, spec.level_dim
     ).sum(axis=-2)                                # corner lerp per level
     return out.reshape(*x.shape[:-1], L * spec.level_dim)
