@@ -28,6 +28,9 @@ _FLAG_TO_KEY = {
     "transport": "transport.mode",
     "push_url": "transport.push_url",
     "pull_url": "transport.pull_url",
+    "rtp_host": "transport.rtp_host",
+    "rtp_audio_port": "transport.rtp_audio_port",
+    "rtp_video_port": "transport.rtp_video_port",
     "max_session": "server.max_sessions",
     "listenport": "server.listen_port",
     "avatar_ckpt": "avatar.ckpt",
@@ -70,9 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref_text", default="")
     p.add_argument("--asr_backend", default="jax-whisper")
     p.add_argument("--transport", default="webrtc",
-                   choices=["webrtc", "rtmp", "loopback"])
+                   choices=["webrtc", "rtmp", "rtp", "loopback"])
     p.add_argument("--push_url", default="http://localhost:1985/rtc/v1/publish/")
     p.add_argument("--pull_url", default="http://localhost:1985/rtc/v1/play/")
+    p.add_argument("--rtp_host", default="127.0.0.1",
+                   help="--transport rtp: destination host")
+    p.add_argument("--rtp_audio_port", type=int, default=5004,
+                   help="--transport rtp: L16 audio UDP port (RTCP on +1)")
+    p.add_argument("--rtp_video_port", type=int, default=5006,
+                   help="--transport rtp: RFC4175 video UDP port (RTCP on +1)")
     p.add_argument("--max_session", type=int, default=10)
     p.add_argument("--listenport", type=int, default=8010)
     p.add_argument("--customopt", default="", help="path to custom idle-track json")

@@ -105,9 +105,15 @@ class PerceptionConfig:
 
 @dataclass(frozen=True)
 class TransportConfig:
-    mode: str = "webrtc"              # webrtc | rtmp | loopback
+    mode: str = "webrtc"              # webrtc | rtmp | rtp | loopback
     push_url: str = "http://localhost:1985/rtc/v1/publish/"
     pull_url: str = "http://localhost:1985/rtc/v1/play/"
+    # --transport rtp: dependency-free RTP/UDP output (L16 audio + RFC 4175
+    # video; RTCP sender reports on port+1). Reference exposes rtmp/rtcpush
+    # transports (app.py:699); this is the ffmpeg/aiortc-free live leg.
+    rtp_host: str = "127.0.0.1"
+    rtp_audio_port: int = 5004
+    rtp_video_port: int = 5006
 
 
 @dataclass(frozen=True)

@@ -113,6 +113,8 @@ class Session:
                 await self._start_webrtc()
             elif mode == "rtmp":
                 await self._start_rtmp()
+            elif mode == "rtp":
+                await self._start_rtp()
             else:
                 raise ValueError(f"unsupported transport mode {mode!r}")
         except Exception:
@@ -136,6 +138,25 @@ class Session:
         sink = RtmpTrackSink(streamer)
         import threading
 
+        quit_event = threading.Event()
+        self._consumers = [
+            asyncio.create_task(
+                sink.run(self.player.video, self.player.audio, quit_event)
+            )
+        ]
+
+    # ---- native RTP push (no ffmpeg/aiortc: L16 audio + RFC 4175 video over
+    # UDP, RTCP SRs on port+1 — the rtp analog of the reference's
+    # rtmp/rtcpush transports, app.py:699) ------------------------------------
+    async def _start_rtp(self) -> None:
+        import threading
+
+        from mere_fusion_tpu.transport.rtp_send import RtpSender, RtpTrackSink
+
+        t = self.cfg.transport
+        sender = RtpSender(t.rtp_host, t.rtp_audio_port, t.rtp_video_port)
+        self._rtp = sender
+        sink = RtpTrackSink(sender)
         quit_event = threading.Event()
         self._consumers = [
             asyncio.create_task(
@@ -224,6 +245,8 @@ class Session:
             task.cancel()
         if getattr(self, "_rtmp", None) is not None:
             self._rtmp.close()
+        if getattr(self, "_rtp", None) is not None:
+            self._rtp.close()
         for pc in self._pcs:
             await pc.close()
         if self.player is not None:
