@@ -221,6 +221,61 @@ def bench_ernerf() -> dict:
         }
 
 
+def bench_ernerf_train() -> dict:
+    """Full ER-NeRF training step at reference scale (4096 rays × 16 steps,
+    12 levels→512 triplanes, grid 128, composite loss + EMA; reference
+    schedule ernerf/scripts/train_obama.sh). Hash lookups ride the one-hot
+    MXU kernel (ops/hash_mxu.py); states chain through the optimizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mere_fusion_tpu.models.ernerf.network import NeRFNetConfig, NeRFNetwork
+    from mere_fusion_tpu.train.ernerf_train import (
+        NeRFTrainConfig,
+        init_nerf_train,
+        make_nerf_train_step,
+    )
+
+    net_cfg = NeRFNetConfig(individual_dim=4, num_train_frames=4)
+    tcfg = NeRFTrainConfig(grid_size=128, n_candidates=64, n_steps=16,
+                           iters=200_000)
+    n = 4096
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(np.zeros((n, 3), np.float32) + [0, 0, -2.0]),
+        "rays_d": jnp.asarray(np.abs(d) * [0.2, 0.2, 1.0] / 1.2),
+        "rgb": jnp.asarray(rng.uniform(0.4, 0.6, (n, 3)).astype(np.float32)),
+        "bg_color": jnp.ones(3),
+        "auds": jnp.asarray(
+            rng.standard_normal((8, 44, 16)).astype(np.float32) * 0.1),
+        "eye": jnp.asarray([[0.25]]),
+        "index": jnp.zeros((), jnp.int32),
+        "face_mask": jnp.asarray(rng.uniform(size=n) > 0.5),
+    }
+    network = NeRFNetwork(net_cfg)
+    variables = network.init(
+        jax.random.key(0), jnp.zeros((8, 44, 16)), jnp.zeros((4, 3)),
+        jnp.ones((4, 3)) / np.sqrt(3.0), jnp.zeros((1, 4)),
+        jnp.zeros((1, 1)), method=NeRFNetwork.full_init)
+    tx, state = init_nerf_train(network, variables, tcfg)
+    step = make_nerf_train_step(network, tx, tcfg)
+    state, m = step(state, batch, jax.random.key(0))
+    float(m["loss"])  # compile + sync
+    iters = 20
+    best_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cur = state
+        for i in range(iters):
+            cur, m = step(cur, batch, jax.random.key(i))
+        np.asarray(m["loss"])
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+    return {"ms_per_step": best_dt * 1e3, "it_s": 1.0 / best_dt}
+
+
 _PROBE_CODE = "import jax; print(jax.default_backend())"
 
 
@@ -263,12 +318,14 @@ def main() -> None:
     wait_for_backend()
     wl = bench_wav2lip()
     extra = {"wav2lip_ms_per_batch16": round(wl["ms_per_batch16"], 2)}
-    for name, fn in (("musetalk", bench_musetalk), ("ernerf_512", bench_ernerf)):
+    for name, fn in (("musetalk", bench_musetalk), ("ernerf_512", bench_ernerf),
+                     ("ernerf_train", bench_ernerf_train)):
         try:
             r = fn()
             for k, v in r.items():
                 extra[f"{name}_{k}"] = round(v, 2) if isinstance(v, float) else v
-            extra[f"{name}_vs_baseline"] = round(r["fps"] / 25.0, 2)
+            if "fps" in r:
+                extra[f"{name}_vs_baseline"] = round(r["fps"] / 25.0, 2)
         except Exception as e:  # keep the headline alive if one engine breaks
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
 
