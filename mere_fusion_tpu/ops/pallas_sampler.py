@@ -53,6 +53,7 @@ class SamplerSpec:
     wu: int = 64             # window extent along the contract axis
     wv: int = 32             # window extent along the lateral axis
     levels: int = 5          # mip levels (level 0 = full resolution)
+    ahead: int = 4           # DMA prefetch depth, in jobs (kg windows each)
 
     @property
     def cp(self) -> int:     # padded channels: v*cp must tile to 128 lanes
@@ -138,10 +139,21 @@ def pack_planes_major(planes: dict, spec: SamplerSpec) -> jax.Array:
 
 def _sampler_kernel(spec: SamplerSpec,
                     jobs_ref, uv_ref, planes_ref, out_ref, win, sem):
-    """One grid step = one (tile, plane) job = spec.kg windowed passes."""
+    """One grid step = one (tile, plane) job = spec.kg windowed passes.
+
+    DMA pipelining: each (job, group) window is a small (~64 KB) HBM→VMEM
+    copy whose wire latency exceeds the group's matmul time, so a 2-deep
+    pipeline serializes on DMA latency (measured 6.3 µs/job at 512² dense —
+    the frame bottleneck). Windows are therefore prefetched `spec.ahead`
+    JOBS ahead (ahead·kg copies in flight) into a rotating slot ring:
+    pair (j, g) lives in slot (j % ahead)·kg + g, is waited right before
+    its matmul, and its slot is re-armed with pair (j+ahead, g) immediately
+    after — keeping the DMA engine continuously queued so throughput
+    approaches the HBM-bandwidth floor instead of the latency product."""
     wu, wv, cp, sg, kg = spec.wu, spec.wv, spec.cp, spec.sg, spec.kg
-    assert kg % 2 == 0, "even depth-group count keeps DMA slot parity"
+    ahead = spec.ahead
     j = pl.program_id(0)
+    nj = pl.num_programs(0)
     stride = 1 + 2 * kg   # per-job scalars: plane, kg*(ou, ov)
 
     def copy(job, g, slot):
@@ -157,18 +169,20 @@ def _sampler_kernel(spec: SamplerSpec,
 
     @pl.when(j == 0)
     def _():
-        copy(0, 0, 0).start()
+        for a in range(ahead):                   # static unroll
+            @pl.when(a < nj)
+            def _(a=a):
+                for g in range(kg):
+                    copy(a, g, a * kg + g).start()
+
+    # loop-invariant tent lattices
+    uu = jax.lax.broadcasted_iota(jnp.int32, (sg, wu), 1).astype(jnp.float32)
+    vx = (jax.lax.broadcasted_iota(jnp.int32, (sg, wv * cp), 1) // cp
+          ).astype(jnp.float32)
+    cyc = (j % ahead) * kg
 
     for g in range(kg):                          # static unroll
-        slot = g % 2
-        # prefetch the next window (next group, or the next job's first)
-        if g + 1 < kg:
-            copy(j, g + 1, 1 - slot).start()
-        else:
-            @pl.when(j + 1 < pl.num_programs(0))
-            def _():
-                copy(j + 1, 0, 1 - slot).start()
-
+        slot = cyc + g
         base = j * stride
         ou = jobs_ref[base + 1 + 2 * g].astype(jnp.float32)
         ov = jobs_ref[base + 1 + 2 * g + 1].astype(jnp.float32)
@@ -178,21 +192,25 @@ def _sampler_kernel(spec: SamplerSpec,
         u = jnp.clip(u, 0.0, wu - 1.001)
         v = jnp.clip(v, 0.0, wv - 1.001)
         # bilinear two-hot == tent weights at integer lanes
-        uu = jax.lax.broadcasted_iota(jnp.int32, (sg, wu), 1
-                                      ).astype(jnp.float32)
         tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u[:, None])
                          ).astype(jnp.bfloat16)
-        vx = (jax.lax.broadcasted_iota(jnp.int32, (sg, wv * cp), 1) // cp
-              ).astype(jnp.float32)
         tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v[:, None]))
-        gx = jax.lax.broadcasted_iota(jnp.int32, (wv * cp, cp), 0) % cp
-        gc = jax.lax.broadcasted_iota(jnp.int32, (wv * cp, cp), 1)
-        G = (gx == gc).astype(jnp.float32)
         copy(j, g, slot).wait()
         m1 = jnp.dot(tu, win[slot], preferred_element_type=jnp.float32)
-        out_ref[0, g] = jnp.dot(m1 * tvc, G,
-                                preferred_element_type=jnp.float32
-                                ).astype(jnp.bfloat16)
+        # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: a lane-fold
+        # tree (log2(wv) shift+adds, f32-exact) — as a matmul against a
+        # [wv·cp, cp] selector the MXU pads N=cp to 128 lanes, wasting 8×
+        # of the kernel's MXU time on zeros (measured ~30% of the frame)
+        acc = m1 * tvc
+        half = wv * cp
+        while half > cp:
+            half //= 2
+            acc = acc[:, :half] + acc[:, half:2 * half]
+        out_ref[0, g] = acc.astype(jnp.bfloat16)
+        # re-arm the slot with the same group of the job `ahead` steps out
+        @pl.when(j + ahead < nj)
+        def _(g=g, slot=slot):
+            copy(j + ahead, g, slot).start()
 
 
 def sample_tiles(planes_major: jax.Array, jobs: jax.Array, uv: jax.Array,
@@ -224,8 +242,9 @@ def sample_tiles(planes_major: jax.Array, jobs: jax.Array, uv: jax.Array,
         out_shape=jax.ShapeDtypeStruct((j, spec.kg, spec.sg, spec.cp),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.wu, spec.wv * spec.cp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((spec.ahead * spec.kg, spec.wu, spec.wv * spec.cp),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((spec.ahead * spec.kg,)),
         ],
         interpret=interpret,
     )(jobs, uv, planes_major)
