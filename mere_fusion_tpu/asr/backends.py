@@ -182,7 +182,7 @@ class JaxWhisperBackend:
         import jax.numpy as jnp
 
         from mere_fusion_tpu.models.whisper import EOT, Whisper
-        from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
+        from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
 
         duration = len(audio) / SAMPLE_RATE
         speech = None
@@ -196,7 +196,8 @@ class JaxWhisperBackend:
         window = self.dims.n_audio_ctx * 2 * 160  # 30 s for the tiny config
         padded = np.zeros(window, dtype=np.float32)
         padded[: min(len(audio), window)] = audio[:window]
-        mel = melspectrogram(jnp.asarray(padded), WHISPER_MEL)[None]
+        mel = melspectrogram(jnp.asarray(padded),
+                             whisper_mel_config(self.dims.n_mels))[None]
         xa = self._encode(mel)
         prompt = jnp.asarray([self._sot], jnp.int32)
         tokens = np.asarray(self._decode(xa, prompt, len(self._sot)))[0]
@@ -230,17 +231,18 @@ class JaxWhisperBackend:
         import jax.numpy as jnp
 
         from mere_fusion_tpu.models.whisper import EOT
-        from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
+        from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
 
         window = self.dims.n_audio_ctx * 2 * 160
         duration = len(audio) / SAMPLE_RATE
         n_chunks = max(1, -(-len(audio) // window))
+        mel_cfg = whisper_mel_config(self.dims.n_mels)
         mels = []
         for c in range(n_chunks):
             padded = np.zeros(window, dtype=np.float32)
             part = audio[c * window:(c + 1) * window]
             padded[: len(part)] = part
-            mels.append(melspectrogram(jnp.asarray(padded), WHISPER_MEL))
+            mels.append(melspectrogram(jnp.asarray(padded), mel_cfg))
         mels = jnp.stack(mels)
 
         prompt_one = jnp.asarray([self._sot], jnp.int32)

@@ -62,12 +62,13 @@ class WhisperFeatureExtractor:
     def audio2feat(self, audio: np.ndarray) -> np.ndarray:
         """float32 PCM @16 kHz → per-layer embeddings [T50, L+1, 384],
         trimmed to the actual audio duration at 50 Hz."""
-        from mere_fusion_tpu.ops import WHISPER_MEL, melspectrogram
+        from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
 
         n = len(audio)
         padded = np.zeros(self.window_samples, dtype=np.float32)
         padded[: min(n, self.window_samples)] = audio[: self.window_samples]
-        mel = melspectrogram(self.jnp.asarray(padded), WHISPER_MEL)[None]
+        mel = melspectrogram(self.jnp.asarray(padded),
+                             whisper_mel_config(self.dims.n_mels))[None]
         emb = np.asarray(self._embed(mel))[0]          # [L+1, T', D]
         emb = emb.transpose(1, 0, 2)                   # [T', L+1, D]
         n_frames = int(math.ceil(n / SAMPLE_RATE * FEATURE_HZ))

@@ -43,6 +43,22 @@ class WhisperDims:
 
 TINY = WhisperDims()
 TINY_EN = WhisperDims(n_vocab=51864)
+# published OpenAI checkpoint dims (the reference server defaults to
+# --model large-v2, whisper_online.py:613; WhisperDims(**ckpt["dims"]) loads
+# any of these from a .pt — presets are for weightless construction/tests)
+BASE = WhisperDims(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                   n_text_state=512, n_text_head=8, n_text_layer=6)
+SMALL = WhisperDims(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                    n_text_state=768, n_text_head=12, n_text_layer=12)
+MEDIUM = WhisperDims(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                     n_text_state=1024, n_text_head=16, n_text_layer=24)
+LARGE_V2 = WhisperDims(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                       n_text_state=1280, n_text_head=20, n_text_layer=32)
+LARGE_V3 = WhisperDims(n_mels=128, n_vocab=51866,
+                       n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                       n_text_state=1280, n_text_head=20, n_text_layer=32)
+SIZE_DIMS = {"tiny": TINY, "tiny.en": TINY_EN, "base": BASE, "small": SMALL,
+             "medium": MEDIUM, "large-v2": LARGE_V2, "large-v3": LARGE_V3}
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:

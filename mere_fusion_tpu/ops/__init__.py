@@ -6,6 +6,8 @@ from mere_fusion_tpu.ops.mel import (  # noqa: F401
     MelConfig,
     WAV2LIP_MEL,
     WHISPER_MEL,
+    WHISPER_MEL_128,
+    whisper_mel_config,
     mel_filterbank,
     melspectrogram,
 )

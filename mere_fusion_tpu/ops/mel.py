@@ -50,6 +50,35 @@ WHISPER_MEL = MelConfig(
     log_style="log10",
 )
 
+# large-v3 front-end: identical pipeline, 128 mel bins (OpenAI whisper
+# generates its mel_128 asset with the same librosa slaney filterbank this
+# module reimplements, just n_mels=128; reference vendored copy supports 80
+# only — musetalk/whisper/whisper/audio.py:87)
+WHISPER_MEL_128 = MelConfig(
+    n_fft=400,
+    hop=160,
+    win=400,
+    n_mels=128,
+    fmin=0.0,
+    fmax=8000.0,
+    power=2.0,
+    preemph=None,
+    drop_last_frame=True,
+    log_style="log10",
+)
+
+
+def whisper_mel_config(n_mels: int) -> MelConfig:
+    """Whisper log-mel config for a checkpoint's dims.n_mels (80 for
+    tiny…large-v2, 128 for large-v3)."""
+    if n_mels == 80:
+        return WHISPER_MEL
+    if n_mels == 128:
+        return WHISPER_MEL_128
+    import dataclasses
+
+    return dataclasses.replace(WHISPER_MEL, n_mels=n_mels)
+
 
 def _hz_to_mel(freq: np.ndarray) -> np.ndarray:
     """Slaney mel scale (librosa default, htk=False)."""
