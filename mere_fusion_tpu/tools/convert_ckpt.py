@@ -86,6 +86,10 @@ def convert_with_meta(family: str, in_path: str,
             out = {**out, "density": tc.density_from_ernerf(
                 model_sd, mean_density=sd.get("mean_density"))}
         return out, meta
+    if family == "rtmpose":
+        # DWPose wholebody landmarker (models/dwpose/dw-ll_ucoco_384.pth,
+        # musetalk/utils/preprocessing.py:17-18)
+        return tc.convert_rtmpose(sd), meta
     if family == "craft":
         # EasyOCR text detector (craft_mlt_25k.pth; yolo_opencv.py:189-199)
         return tc.convert_craft(sd), meta
@@ -111,7 +115,7 @@ def main(argv=None) -> None:
                             "vae", "musetalk-unet", "s3fd", "bisenet",
                             "fan", "ernerf", "yolo", "face-age",
                             "face-gender", "face-race", "face-emotion",
-                            "craft", "crnn"])
+                            "craft", "crnn", "rtmpose"])
     p.add_argument("input")
     p.add_argument("out_dir")
     p.add_argument("--unet-config", default=None)

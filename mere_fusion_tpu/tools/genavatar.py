@@ -256,6 +256,10 @@ def main(argv=None) -> None:
                         "only useful for smoke runs)")
     p.add_argument("--fan_ckpt", default=None,
                    help="2DFAN4 .pth for landmark-refined musetalk boxes")
+    p.add_argument("--dwpose_ckpt", default=None,
+                   help="RTMPose wholebody dw-ll_ucoco_384.pth — the "
+                        "reference's own musetalk landmarker (takes "
+                        "precedence over --fan_ckpt)")
     p.add_argument("--bisenet_ckpt", default=None,
                    help="79999_iter.pth for parsing-based blend masks")
     p.add_argument("--vae_ckpt", default=None,
@@ -286,7 +290,12 @@ def main(argv=None) -> None:
         else:
             models = MuseModels()
         landmark_detector = None
-        if args.fan_ckpt:
+        if args.dwpose_ckpt:
+            from mere_fusion_tpu.models.rtmpose import WholebodyLandmarker
+
+            landmark_detector = WholebodyLandmarker.from_checkpoint(
+                args.dwpose_ckpt)
+        elif args.fan_ckpt:
             from mere_fusion_tpu.models.fan import LandmarkDetector
 
             landmark_detector = LandmarkDetector.from_checkpoints(

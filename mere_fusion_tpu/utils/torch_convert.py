@@ -582,3 +582,91 @@ def convert_crnn(state_dict: Mapping[str, Any]) -> dict:
         params[f"rnn_{i}"] = {**_lstm_slots(lstms[i]), "proj": lin[i]}
     params["head"] = lin[2]
     return {"params": params, "batch_stats": stats}
+
+
+def _convmodule(sd: Mapping, base: str) -> tuple[dict, dict]:
+    """mmcv ConvModule (conv bias-free + BN) → ConvBN leaves. Depthwise
+    convs (groups == out channels, in/groups == 1) transpose to flax's
+    (kh, kw, 1, cout) layout like any other conv."""
+    w = _np(sd[f"{base}.conv.weight"]).transpose(2, 3, 1, 0)
+    params = {
+        "conv": {"kernel": w},
+        "bn": {"scale": _np(sd[f"{base}.bn.weight"]),
+               "bias": _np(sd[f"{base}.bn.bias"])},
+    }
+    stats = {"bn": {"mean": _np(sd[f"{base}.bn.running_mean"]),
+                    "var": _np(sd[f"{base}.bn.running_var"])}}
+    return params, stats
+
+
+def convert_rtmpose(state_dict: Mapping[str, Any], deepen: float = 1.0,
+                    widen: float = 1.0) -> dict:
+    """DWPose/RTMPose wholebody .pth (mmpose `dw-ll_ucoco_384.pth`,
+    reference musetalk/utils/preprocessing.py:17-18) → flax RTMPose
+    variables.
+
+    Walks the same module structure mmdet's CSPNeXt + mmpose's RTMCCHead
+    declare for the reference config (arch P5, out stage 4, channel
+    attention, GAU head): stem convs, per-stage downsample conv +
+    (SPP) + CSPLayer, then final_layer/mlp/gau/cls_x/cls_y. Missing keys
+    raise KeyError — layout disagreements fail loudly, never silently."""
+    from mere_fusion_tpu.models.rtmpose import P5_ARCH
+
+    sd = strip_prefix(state_dict)
+    params: dict = {"backbone": {}, "head": {}}
+    stats: dict = {"backbone": {}}
+    bk_p, bk_s = params["backbone"], stats["backbone"]
+
+    def put(name: str, base: str):
+        bk_p[name], bk_s[name] = _convmodule(sd, base)
+
+    for i in range(3):
+        put(f"stem_{i}", f"backbone.stem.{i}")
+    for i, (_, _, n, _, use_spp) in enumerate(P5_ARCH):
+        stage = f"backbone.stage{i + 1}"
+        put(f"stage{i + 1}_0", f"{stage}.0")
+        idx = 1
+        if use_spp:
+            spp_p, spp_s = {}, {}
+            for c in ("conv1", "conv2"):
+                spp_p[c], spp_s[c] = _convmodule(sd, f"{stage}.{idx}.{c}")
+            bk_p[f"stage{i + 1}_{idx}"] = spp_p
+            bk_s[f"stage{i + 1}_{idx}"] = spp_s
+            idx += 1
+        csp = f"{stage}.{idx}"
+        csp_p, csp_s = {}, {}
+        for c in ("main_conv", "short_conv", "final_conv"):
+            csp_p[c], csp_s[c] = _convmodule(sd, f"{csp}.{c}")
+        for b in range(max(round(n * deepen), 1)):
+            blk_p, blk_s = {}, {}
+            blk_p["conv1"], blk_s["conv1"] = _convmodule(
+                sd, f"{csp}.blocks.{b}.conv1")
+            for part in ("depthwise_conv", "pointwise_conv"):
+                blk_p[f"conv2_{part}"], blk_s[f"conv2_{part}"] = _convmodule(
+                    sd, f"{csp}.blocks.{b}.conv2.{part}")
+            csp_p[f"blocks_{b}"] = blk_p
+            csp_s[f"blocks_{b}"] = blk_s
+        csp_p["attention"] = {"fc": {
+            "kernel": _np(sd[f"{csp}.attention.fc.weight"]
+                          ).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{csp}.attention.fc.bias"])}}
+        bk_p[f"stage{i + 1}_{idx}"] = csp_p
+        bk_s[f"stage{i + 1}_{idx}"] = csp_s
+
+    hd = params["head"]
+    hd["final_layer"] = {
+        "kernel": _np(sd["head.final_layer.weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd["head.final_layer.bias"])}
+    hd["mlp_ln"] = {"g": _np(sd["head.mlp.0.g"])}
+    hd["mlp"] = {"kernel": _np(sd["head.mlp.1.weight"]).T}
+    hd["gau"] = {
+        "gamma": _np(sd["head.gau.gamma"]),
+        "beta": _np(sd["head.gau.beta"]),
+        "res_scale": _np(sd["head.gau.res_scale.scale"]),
+        "ln": {"g": _np(sd["head.gau.ln.g"])},
+        "uv": {"kernel": _np(sd["head.gau.uv.weight"]).T},
+        "o": {"kernel": _np(sd["head.gau.o.weight"]).T},
+    }
+    hd["cls_x"] = {"kernel": _np(sd["head.cls_x.weight"]).T}
+    hd["cls_y"] = {"kernel": _np(sd["head.cls_y.weight"]).T}
+    return {"params": params, "batch_stats": stats}
