@@ -175,7 +175,42 @@ class BaseReal:
             # reference's H.264+AAC MP4 (basereal.py:77-131)
             self._record_flv(path)
             return
-        vid_path, aud_path = path + ".video.mp4", path + ".audio.wav"
+        if path.endswith(".split.mp4"):
+            self._record_split(path)
+            return
+        # default: single-file MP4 (MJPEG + PCM16, transport/mp4) — a
+        # parseable .mp4 artifact with zero external deps, mirroring the
+        # reference's one-file recording contract (basereal.py:77-131)
+        from mere_fusion_tpu.transport.mp4 import MP4Writer
+
+        writer = None
+        with open(path, "wb") as f:
+            while self.recording:
+                try:
+                    frame: VideoImage = self.recordq_video.get(
+                        block=True, timeout=1)
+                except queue.Empty:
+                    continue
+                if writer is None:
+                    h, w = frame.image.shape[:2]
+                    writer = MP4Writer(f, w, h, fps=self.fps,
+                                       sample_rate=self.sample_rate)
+                writer.write_video(frame.image)
+                for _ in range(2):  # two 20 ms audio chunks per video frame
+                    try:
+                        chunk: AudioChunk = self.recordq_audio.get(
+                            block=True, timeout=1)
+                        writer.write_audio(chunk.samples)
+                    except queue.Empty:
+                        break
+            if writer is not None:
+                writer.close()
+
+    def _record_split(self, path: str) -> None:
+        """cv2.VideoWriter MPEG-4 video + wav, ffmpeg-muxed when present —
+        better compression than MJPEG when an encoder stack exists."""
+        base = path[: -len(".split.mp4")] + ".mp4"
+        vid_path, aud_path = base + ".video.mp4", base + ".audio.wav"
         writer = None
         wav = wave.open(aud_path, "wb")
         wav.setnchannels(1)
@@ -203,7 +238,7 @@ class BaseReal:
             if writer is not None:
                 writer.release()
             wav.close()
-            self._mux(vid_path, aud_path, path)
+            self._mux(vid_path, aud_path, base)
 
     def _record_flv(self, path: str) -> None:
         from mere_fusion_tpu.transport.flv import FLVWriter

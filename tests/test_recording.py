@@ -1,4 +1,6 @@
+import io
 import os
+import struct
 import time
 
 import numpy as np
@@ -6,9 +8,22 @@ import numpy as np
 from mere_fusion_tpu.config import Config
 from mere_fusion_tpu.engines.base import BaseReal
 from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
+from mere_fusion_tpu.transport.mp4 import MP4Writer, parse_boxes
 
 
-def test_recording_writes_media(tmp_path):
+def _children(data, start, end):
+    return {t: (s, e) for t, s, e in parse_boxes(data, start, end)}
+
+
+def _walk(data, span, *path):
+    for typ in path:
+        kids = _children(data, *span)
+        assert typ in kids, f"missing box {typ!r}; have {list(kids)}"
+        span = kids[typ]
+    return span
+
+
+def test_recording_writes_single_mp4(tmp_path):
     cfg = Config().override(**{"tts.backend": "procedural"})
     engine = BaseReal(cfg)
     out = str(tmp_path / "session.mp4")
@@ -23,13 +38,112 @@ def test_recording_writes_media(tmp_path):
     time.sleep(1.0)
     engine.stop_recording()
     for _ in range(50):  # wait for the writer thread to flush
-        candidates = [out, out + ".video.mp4"]
-        if any(os.path.exists(p) and os.path.getsize(p) > 0 for p in candidates):
-            break
+        if os.path.exists(out) and os.path.getsize(out) > 0:
+            try:
+                data = open(out, "rb").read()
+                if any(t == b"moov" for t, _, _ in parse_boxes(data)):
+                    break
+            except ValueError:
+                pass
         time.sleep(0.2)
-    assert any(
-        os.path.exists(p) and os.path.getsize(p) > 0
-        for p in [out, out + ".video.mp4"]
-    ), "recording must produce a video file"
-    # audio: either muxed into out or kept as the split wav
-    assert os.path.exists(out) or os.path.getsize(out + ".audio.wav") > 44
+    data = open(out, "rb").read()
+    top = [t for t, _, _ in parse_boxes(data)]
+    assert top == [b"ftyp", b"mdat", b"moov"], top
+
+
+def test_mp4_box_layout_and_samples():
+    """Mux a known stream in-memory and verify the full ISO-BMFF layout:
+    ftyp/mdat/moov tree, both sample tables, and that the first video
+    sample decodes back to the input frame (reference single-file
+    recording contract: basereal.py:77-131)."""
+    import cv2
+
+    f = io.BytesIO()
+    w = MP4Writer(f, 32, 24, fps=25.0, sample_rate=16000)
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[:, :16] = (255, 0, 0)
+    n_frames, n_chunks = 7, 14
+    for i in range(n_frames):
+        w.write_video(img)
+        w.write_audio(np.full(320, 100 * i, np.int16))
+        w.write_audio((np.ones(320, np.float32) * 0.25))
+    w.close()
+    data = f.getvalue()
+
+    kids = _children(data, 0, len(data))
+    assert set(kids) == {b"ftyp", b"mdat", b"moov"}
+    moov = kids[b"moov"]
+    traks = [(s, e) for t, s, e in parse_boxes(data, *moov) if t == b"trak"]
+    assert len(traks) == 2
+
+    # --- video track ---
+    stbl = _walk(data, traks[0], b"mdia", b"minf", b"stbl")
+    tables = _children(data, *stbl)
+    s, e = tables[b"stsd"]
+    assert data[s + 8 + 4:s + 8 + 8] == b"mp4v"
+    # esds inside the visual sample entry declares OTI 0x6C (JPEG)
+    assert b"esds" in data[s:e] and b"\x6c" in data[s:e]
+    s, e = tables[b"stsz"]
+    _, _, count = struct.unpack(">III", data[s:s + 12])
+    assert count == n_frames
+    sizes = struct.unpack(f">{count}I", data[s + 12:s + 12 + 4 * count])
+    s, e = tables[b"stco"]
+    (n_off,) = struct.unpack(">I", data[s + 4:s + 8])
+    offsets = struct.unpack(f">{n_off}I", data[s + 8:s + 8 + 4 * n_off])
+    assert n_off == n_frames
+    # first video sample is a decodable JPEG of the input frame
+    jpeg = data[offsets[0]:offsets[0] + sizes[0]]
+    assert jpeg[:2] == b"\xff\xd8" and jpeg[-2:] == b"\xff\xd9"
+    dec = cv2.imdecode(np.frombuffer(jpeg, np.uint8), cv2.IMREAD_COLOR)
+    assert dec.shape == (24, 32, 3)
+    assert abs(int(dec[5, 5, 0]) - 255) < 30 and int(dec[5, 28, 0]) < 30
+    # stts: all frames at 90000/25
+    s, e = tables[b"stts"]
+    assert struct.unpack(">III", data[s + 4:s + 16]) == (1, n_frames, 3600)
+
+    # --- audio track ---
+    stbl = _walk(data, traks[1], b"mdia", b"minf", b"stbl")
+    tables = _children(data, *stbl)
+    s, e = tables[b"stsd"]
+    assert data[s + 8 + 4:s + 8 + 8] == b"sowt"
+    s, e = tables[b"stsz"]
+    sample_size, count = struct.unpack(">II", data[s + 4:s + 12])
+    assert (sample_size, count) == (2, n_chunks * 320)
+    s, e = tables[b"stco"]
+    (n_off,) = struct.unpack(">I", data[s + 4:s + 8])
+    offsets_a = struct.unpack(f">{n_off}I", data[s + 8:s + 8 + 4 * n_off])
+    assert n_off == n_chunks
+    # PCM round-trips: chunk 2 was written as frame i=1 -> constant 100
+    pcm = np.frombuffer(data[offsets_a[2]:offsets_a[2] + 640], "<i2")
+    assert (pcm == 100).all()
+    # float chunk scaled to int16: 0.25 -> 8192
+    pcm = np.frombuffer(data[offsets_a[1]:offsets_a[1] + 640], "<i2")
+    assert (pcm == 8192).all()
+
+
+def test_mp4_audio_reblocking_and_tail_pad():
+    """Odd-sized audio writes re-block to 320-sample chunks; a short tail
+    is zero-padded on close so stsc stays a single fixed entry."""
+    f = io.BytesIO()
+    w = MP4Writer(f, 16, 16)
+    w.write_video(np.zeros((16, 16, 3), np.uint8))
+    w.write_audio(np.arange(500, dtype=np.int16))     # 1 chunk + 180 rem
+    w.write_audio(np.arange(100, dtype=np.int16))     # rem 280
+    w.close()                                          # padded final chunk
+    data = f.getvalue()
+    moov = _children(data, 0, len(data))[b"moov"]
+    traks = [(s, e) for t, s, e in parse_boxes(data, *moov) if t == b"trak"]
+    stbl = _walk(data, traks[1], b"mdia", b"minf", b"stbl")
+    tables = _children(data, *stbl)
+    s, _ = tables[b"stsz"]
+    sample_size, count = struct.unpack(">II", data[s + 4:s + 12])
+    assert (sample_size, count) == (2, 640)           # 2 chunks total
+    s, _ = tables[b"stco"]
+    (n_off,) = struct.unpack(">I", data[s + 4:s + 8])
+    assert n_off == 2
+    off = struct.unpack(">2I", data[s + 8:s + 16])
+    tail = np.frombuffer(data[off[1]:off[1] + 640], "<i2")
+    # 180 leftover from write 1, then 100 from write 2, then zeros
+    assert (tail[:180] == np.arange(320, 500)).all()
+    assert (tail[180:280] == np.arange(100)).all()
+    assert (tail[280:] == 0).all()
