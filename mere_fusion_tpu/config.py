@@ -114,6 +114,10 @@ class TransportConfig:
     rtp_host: str = "127.0.0.1"
     rtp_audio_port: int = 5004
     rtp_video_port: int = 5006
+    # webrtc: the produce (push) negotiation only starts once the consume
+    # (pull) pc actually reaches connectionState "connected"; timeout tears
+    # the session down (reference app.py:471-478, 15 s wait_for)
+    connect_timeout: float = 15.0
 
 
 @dataclass(frozen=True)

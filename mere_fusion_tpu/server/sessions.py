@@ -183,6 +183,7 @@ class Session:
         from mere_fusion_tpu.server.signaling import (
             attach_state_watcher,
             negotiate,
+            wait_connected,
         )
 
         if pc_factory is None:
@@ -214,6 +215,12 @@ class Session:
             f"webrtc://localhost/live/stream_{sid}",
             post_json=post_json, make_answer=make_answer,
         )
+
+        # the produce negotiation only starts once the pull side actually
+        # connects (reference app.py:471-478); timeout/death propagates to
+        # start()'s close-on-failure path
+        await wait_connected(consume_pc,
+                             timeout=self.cfg.transport.connect_timeout)
 
         # push the avatar stream
         produce_pc = pc_factory()

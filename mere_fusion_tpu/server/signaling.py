@@ -82,6 +82,46 @@ async def negotiate(
                           f"{last}")
 
 
+async def wait_connected(pc, timeout: float = 15.0) -> None:
+    """Block until ``pc.connectionState`` reaches "connected".
+
+    Reference app.py:471-478: the produce negotiation only starts once the
+    consume pc is actually connected, with a 15 s wait_for that tears the
+    session down on timeout. aiortc contract (docs/aiortc_contract.md §C7):
+    connectionState moves new → connecting → connected asynchronously after
+    the answer is applied, signalled via "connectionstatechange"; a pc may
+    also already BE connected when this is called (the event will not
+    re-fire), so the current state must be checked both before registering
+    the listener and inside it. "failed"/"closed" while waiting is terminal.
+    """
+    loop = asyncio.get_event_loop()
+    fut: asyncio.Future = loop.create_future()
+
+    def check() -> None:
+        if fut.done():
+            return
+        state = pc.connectionState
+        if state == "connected":
+            fut.set_result(None)
+        elif state in ("failed", "closed"):
+            fut.set_exception(
+                ConnectionError(f"pc became {state} while waiting to connect")
+            )
+
+    @pc.on("connectionstatechange")
+    async def _on_state() -> None:
+        check()
+
+    check()  # already connected (or already dead) before we listened
+    try:
+        await asyncio.wait_for(fut, timeout)
+    except asyncio.TimeoutError:
+        raise ConnectionError(
+            f"pc not connected within {timeout}s (state="
+            f"{pc.connectionState!r})"
+        ) from None
+
+
 def attach_state_watcher(
     pc, on_dead: Callable[[str], Any], label: str = "pc"
 ) -> None:

@@ -1,8 +1,11 @@
-"""SRS signaling state machine with fake peer connections (aiortc absent).
+"""SRS signaling state machine against the contract-enforcing aiortc fake.
 
 Covers the offer/answer exchange, retry/backoff, timeout exhaustion, SRS
-error answers, and the connection-state teardown watcher
-(reference: app.py:282-291, 406-478, 434-512).
+error answers, the connection-state teardown watcher, the consume-connected
+gate, and the aiortc call-order contract of docs/aiortc_contract.md
+(reference: app.py:282-291, 406-478, 427-512). The fake
+(tests/aiortc_fake.py) raises wherever real aiortc would, so these tests
+fail if session code ever assumes something the library doesn't do.
 """
 from __future__ import annotations
 
@@ -11,60 +14,29 @@ from types import SimpleNamespace
 
 import pytest
 
-from mere_fusion_tpu.server.signaling import attach_state_watcher, negotiate
+from tests.aiortc_fake import (
+    ContractFakePC,
+    InternalError,
+    InvalidAccessError,
+    InvalidStateError,
+    make_answer,
+)
+from mere_fusion_tpu.server.signaling import (
+    attach_state_watcher,
+    negotiate,
+    wait_connected,
+)
 
 
-class FakePC:
-    def __init__(self):
-        self.handlers = {}
-        self.local = None
-        self.remote = None
-        self.transceivers = []
-        self.tracks = []
-        self.connectionState = "new"
-        self.closed = False
-
-    async def createOffer(self):
-        return SimpleNamespace(sdp="v=0 offer", type="offer")
-
-    async def setLocalDescription(self, desc):
-        self.local = desc
-
-    @property
-    def localDescription(self):
-        return self.local
-
-    async def setRemoteDescription(self, desc):
-        self.remote = desc
-
-    def addTransceiver(self, kind, direction=None):
-        self.transceivers.append((kind, direction))
-
-    def addTrack(self, track):
-        self.tracks.append(track)
-
-    def on(self, name):
-        def deco(fn):
-            self.handlers[name] = fn
-            return fn
-
-        return deco
-
-    async def fire(self, name):
-        result = self.handlers[name]()
-        if asyncio.iscoroutine(result):
-            await result
-
-    async def close(self):
-        self.closed = True
-
-
-def make_answer(sdp):
-    return SimpleNamespace(sdp=sdp, type="answer")
+def make_pc(**kw):
+    """A pc with one recvonly audio transceiver (createOffer needs media, C1)."""
+    pc = ContractFakePC(**kw)
+    pc.addTransceiver("audio", direction="recvonly")
+    return pc
 
 
 def test_negotiate_success():
-    pc = FakePC()
+    pc = make_pc()
     posts = []
 
     async def post_json(url, payload, timeout):
@@ -73,23 +45,26 @@ def test_negotiate_success():
 
     asyncio.run(negotiate(pc, "http://srs/api", "webrtc://host/live/s1",
                           post_json=post_json, make_answer=make_answer))
-    assert pc.local.sdp == "v=0 offer"
-    assert pc.remote.sdp == "v=0 answer" and pc.remote.type == "answer"
+    assert pc.localDescription.sdp == "v=0 m=audio(recvonly)"
+    assert pc.remoteDescription.sdp == "v=0 answer"
+    assert pc.signalingState == "stable"
     url, payload, timeout = posts[0]
     assert url == "http://srs/api"
     assert payload == {"api": "http://srs/api",
                        "streamurl": "webrtc://host/live/s1",
-                       "sdp": "v=0 offer"}
+                       "sdp": "v=0 m=audio(recvonly)"}
     assert timeout == 15.0
 
 
 def test_negotiate_retries_with_backoff_then_succeeds():
-    pc = FakePC()
-    sleeps, calls = [], [0]
+    """Retries re-POST the SAME local offer; the signaling state stays
+    have-local-offer across attempts so the eventual answer is legal (C2)."""
+    pc = make_pc()
+    sleeps, calls = [], []
 
     async def post_json(url, payload, timeout):
-        calls[0] += 1
-        if calls[0] < 3:
+        calls.append(payload["sdp"])
+        if len(calls) < 3:
             raise OSError("connection refused")
         return {"sdp": "late answer"}
 
@@ -98,13 +73,13 @@ def test_negotiate_retries_with_backoff_then_succeeds():
 
     asyncio.run(negotiate(pc, "u", "s", post_json=post_json,
                           make_answer=make_answer, sleep=sleep))
-    assert calls[0] == 3
+    assert len(calls) == 3 and len(set(calls)) == 1  # same offer re-POSTed
     assert sleeps == [1, 2]
-    assert pc.remote.sdp == "late answer"
+    assert pc.remoteDescription.sdp == "late answer"
 
 
 def test_negotiate_exhausts_and_raises():
-    pc = FakePC()
+    pc = make_pc()
     sleeps = []
 
     async def post_json(url, payload, timeout):
@@ -117,13 +92,13 @@ def test_negotiate_exhausts_and_raises():
         asyncio.run(negotiate(pc, "u", "s", post_json=post_json,
                               make_answer=make_answer, sleep=sleep))
     assert sleeps == [1, 2]  # no sleep after the final attempt
-    assert pc.remote is None
+    assert pc.remoteDescription is None
 
 
 def test_negotiate_rejects_sdp_less_answer():
     """An SRS error body (code != 0, no sdp) must not be applied as an
     answer — it retries and ultimately raises."""
-    pc = FakePC()
+    pc = make_pc()
 
     async def post_json(url, payload, timeout):
         return {"code": 400}
@@ -134,48 +109,199 @@ def test_negotiate_rejects_sdp_less_answer():
     with pytest.raises(ConnectionError, match="missing sdp"):
         asyncio.run(negotiate(pc, "u", "s", post_json=post_json,
                               make_answer=make_answer, sleep=sleep))
-    assert pc.remote is None
+    assert pc.remoteDescription is None
+
+
+# ---- aiortc contract points directly (docs/aiortc_contract.md) --------------
+
+
+def test_contract_offer_requires_media():
+    """C1: createOffer with no transceivers/tracks raises, like aiortc."""
+    pc = ContractFakePC()
+
+    async def post_json(url, payload, timeout):  # pragma: no cover
+        return {"sdp": "x"}
+
+    with pytest.raises(InternalError, match="no media"):
+        asyncio.run(negotiate(pc, "u", "s", post_json=post_json,
+                              make_answer=make_answer))
+
+
+def test_contract_media_added_after_offer_missing_from_sdp():
+    """C1: the offer snapshots m-lines; a track added later is absent."""
+    pc = make_pc()
+
+    async def drive():
+        offer = await pc.createOffer()
+        pc.addTrack(SimpleNamespace(kind="video"))
+        return offer
+
+    offer = asyncio.run(drive())
+    assert "video" not in offer.sdp
+
+
+def test_contract_answer_requires_have_local_offer():
+    """C2: setRemoteDescription(answer) in stable raises InvalidStateError."""
+    pc = make_pc()
+    with pytest.raises(InvalidStateError, match="stable"):
+        asyncio.run(pc.setRemoteDescription(make_answer("v=0 a")))
+
+
+def test_contract_double_add_track_raises():
+    """C9: a track that already has a sender is rejected."""
+    pc = ContractFakePC()
+    track = SimpleNamespace(kind="audio")
+    pc.addTrack(track)
+    with pytest.raises(InvalidAccessError):
+        pc.addTrack(track)
+
+
+def test_contract_closed_pc_rejects_media_and_offers():
+    """C8: addTrack/createOffer after close raise InvalidStateError."""
+    pc = make_pc()
+
+    async def drive():
+        await pc.close()
+        await pc.close()  # idempotent
+        with pytest.raises(InvalidStateError):
+            pc.addTrack(SimpleNamespace(kind="audio"))
+        with pytest.raises(InvalidStateError):
+            await pc.createOffer()
+
+    asyncio.run(drive())
+
+
+def test_contract_track_fires_during_set_remote_description():
+    """C4: recv transceivers emit track inside setRemoteDescription — a
+    handler registered after negotiate would lose them."""
+    pc = ContractFakePC()
+    pc.addTransceiver("audio", direction="recvonly")
+    pc.addTransceiver("video", direction="recvonly")
+    got = []
+    pc.on("track", lambda t: got.append(t.kind))
+
+    async def post_json(url, payload, timeout):
+        assert got == []  # nothing before the answer is applied
+        return {"sdp": "v=0 answer"}
+
+    asyncio.run(negotiate(pc, "u", "s", post_json=post_json,
+                          make_answer=make_answer))
+    assert got == ["audio", "video"]
+
+
+def test_wait_connected_resolves_on_async_transition():
+    """C7: connected is reached via scheduled connectionstatechange events
+    after the answer — wait_connected resolves without polling."""
+    pc = make_pc()
+
+    async def post_json(url, payload, timeout):
+        return {"sdp": "v=0 answer"}
+
+    async def drive():
+        await negotiate(pc, "u", "s", post_json=post_json,
+                        make_answer=make_answer)
+        assert pc.connectionState == "new"  # never connected synchronously
+        await wait_connected(pc, timeout=1.0)
+        assert pc.connectionState == "connected"
+
+    asyncio.run(drive())
+
+
+def test_wait_connected_checks_state_before_listening():
+    """C7: the event won't re-fire for a state reached before the listener
+    was attached — an already-connected pc must resolve immediately."""
+    pc = make_pc()
+    pc.connectionState = "connected"
+    asyncio.run(wait_connected(pc, timeout=0.01))
+
+
+def test_wait_connected_timeout_and_death():
+    pc = make_pc(connect_after_answer=False)
+    with pytest.raises(ConnectionError, match="not connected within"):
+        asyncio.run(wait_connected(pc, timeout=0.05))
+
+    dead = make_pc(connect_after_answer=False)
+
+    async def drive():
+        task = asyncio.ensure_future(wait_connected(dead, timeout=5.0))
+        await asyncio.sleep(0)
+        dead.connectionState = "failed"
+        await dead.emit("connectionstatechange")
+        with pytest.raises(ConnectionError, match="failed"):
+            await task
+
+    asyncio.run(drive())
 
 
 def test_state_watcher_fires_once():
-    pc = FakePC()
+    pc = make_pc(connect_after_answer=False)
     dead = []
     attach_state_watcher(pc, lambda state: dead.append(state))
 
     async def drive():
         pc.connectionState = "connected"
-        await pc.fire("connectionstatechange")
+        await pc.emit("connectionstatechange")
         pc.connectionState = "failed"
-        await pc.fire("connectionstatechange")
+        await pc.emit("connectionstatechange")
         pc.connectionState = "closed"
-        await pc.fire("connectionstatechange")
+        await pc.emit("connectionstatechange")
 
     asyncio.run(drive())
     assert dead == ["failed"]
 
 
-def test_session_webrtc_negotiates_both_pcs_and_tears_down():
-    """Session._start_webrtc with fakes: consume pc pulls stream_<sid>,
-    produce pc pushes processed_stream_<sid>; a failed connection closes
-    the session (reference app.py:406-478)."""
+def test_state_watcher_ignores_transient_disconnected():
+    """'disconnected' routinely recovers (ICE blip) — the watcher must not
+    tear down on it, and must still react to a later terminal state."""
+    pc = make_pc(connect_after_answer=False)
+    dead = []
+    attach_state_watcher(pc, lambda state: dead.append(state))
+
+    async def drive():
+        pc.connectionState = "disconnected"
+        await pc.emit("connectionstatechange")
+        pc.connectionState = "connected"
+        await pc.emit("connectionstatechange")
+        pc.connectionState = "failed"
+        await pc.emit("connectionstatechange")
+
+    asyncio.run(drive())
+    assert dead == ["failed"]
+
+
+# ---- the full dual-PC sequence of app.py:427-512 ----------------------------
+
+
+def test_session_webrtc_negotiates_both_pcs_and_tears_down(monkeypatch):
+    """Session._start_webrtc against the contract fake: consume pc pulls
+    stream_<sid> with recvonly m-lines in its offer, its tracks reach the
+    upstream attach during negotiate, the produce negotiation starts only
+    AFTER the consume pc connects (app.py:471-478), and a failed connection
+    closes the session exactly once (app.py:406-478)."""
+    import mere_fusion_tpu.server.upstream as upstream
     from mere_fusion_tpu.config import Config
     from mere_fusion_tpu.server.sessions import Session
 
     cfg = Config().override(**{"transport.mode": "webrtc"})
     session = Session("s7", engine=SimpleNamespace(), cfg=cfg)
-    session.player = SimpleNamespace(audio="ATRACK", video="VTRACK",
+    session.player = SimpleNamespace(audio=SimpleNamespace(kind="audio"),
+                                     video=SimpleNamespace(kind="video"),
                                      stop=lambda: None)
+    attached = []
+    monkeypatch.setattr(upstream, "attach_upstream_track",
+                        lambda sess, track: attached.append(track.kind))
     pcs = []
 
     def pc_factory():
-        pc = FakePC()
+        pc = ContractFakePC()
         pcs.append(pc)
         return pc
 
     posts = []
 
     async def post_json(url, payload, timeout):
-        posts.append((url, payload["streamurl"]))
+        posts.append((url, payload["streamurl"], payload["sdp"],
+                      pcs[0].connectionState))
         return {"sdp": "answer"}
 
     closed = []
@@ -190,41 +316,64 @@ def test_session_webrtc_negotiates_both_pcs_and_tears_down():
                                     post_json=post_json,
                                     make_answer=make_answer)
         consume, produce = pcs
-        assert consume.transceivers == [("audio", "recvonly"),
-                                        ("video", "recvonly")]
-        assert "track" in consume.handlers
-        assert produce.tracks == ["ATRACK", "VTRACK"]
+        # consume offer declared both recvonly m-lines (C1)
+        assert "m=audio(recvonly)" in posts[0][2]
+        assert "m=video(recvonly)" in posts[0][2]
+        # both remote tracks were delivered during the consume negotiate (C4)
+        assert attached == ["audio", "video"]
+        # produce offer carried the player's tracks (C1)
+        assert "send" in posts[1][2]
+        # produce POST happened only after the consume pc connected
+        assert posts[1][3] == "connected"
         assert session._pcs == [consume, produce]
         # connection dies -> session torn down exactly once
         consume.connectionState = "failed"
-        await consume.fire("connectionstatechange")
-        await consume.fire("connectionstatechange")
+        await consume.emit("connectionstatechange")
+        await consume.emit("connectionstatechange")
 
     asyncio.run(drive())
-    assert [s for _, s in posts] == ["webrtc://localhost/live/stream_s7",
-                                     "webrtc://localhost/live/processed_stream_s7"]
+    assert [s for _, s, _, _ in posts] == [
+        "webrtc://localhost/live/stream_s7",
+        "webrtc://localhost/live/processed_stream_s7"]
     assert posts[0][0] == cfg.transport.pull_url
     assert posts[1][0] == cfg.transport.push_url
     assert closed == [True]
 
 
-def test_state_watcher_ignores_transient_disconnected():
-    """'disconnected' routinely recovers (ICE blip) — the watcher must not
-    tear down on it, and must still react to a later terminal state."""
-    pc = FakePC()
-    dead = []
-    attach_state_watcher(pc, lambda state: dead.append(state))
+def test_session_webrtc_consume_never_connects_tears_down():
+    """app.py:471-478: if the pull side never reaches connected within the
+    timeout, the session start fails (start()'s close-on-failure path owns
+    the cleanup)."""
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.server.sessions import Session
+
+    cfg = Config().override(**{"transport.mode": "webrtc",
+                               "transport.connect_timeout": 0.05})
+    session = Session("s9", engine=SimpleNamespace(), cfg=cfg)
+    session.player = SimpleNamespace(audio=SimpleNamespace(kind="audio"),
+                                     video=SimpleNamespace(kind="video"),
+                                     stop=lambda: None)
+    pcs = []
+
+    def pc_factory():
+        pc = ContractFakePC(connect_after_answer=False)
+        pcs.append(pc)
+        return pc
+
+    async def post_json(url, payload, timeout):
+        return {"sdp": "answer"}
 
     async def drive():
-        pc.connectionState = "disconnected"
-        await pc.fire("connectionstatechange")
-        pc.connectionState = "connected"
-        await pc.fire("connectionstatechange")
-        pc.connectionState = "failed"
-        await pc.fire("connectionstatechange")
+        with pytest.raises(ConnectionError, match="not connected"):
+            await session._start_webrtc(pc_factory=pc_factory,
+                                        post_json=post_json,
+                                        make_answer=make_answer)
+        assert len(pcs) == 1  # produce pc never built
+        assert pcs[0] in session._pcs  # close() can still reach it
+        await session.close()
+        assert pcs[0].closed
 
     asyncio.run(drive())
-    assert dead == ["failed"]
 
 
 def test_failed_produce_negotiation_still_closes_consume_pc():
@@ -237,11 +386,13 @@ def test_failed_produce_negotiation_still_closes_consume_pc():
 
     cfg = Config().override(**{"transport.mode": "webrtc"})
     session = Session("s8", engine=SimpleNamespace(), cfg=cfg)
-    session.player = SimpleNamespace(audio="A", video="V", stop=lambda: None)
+    session.player = SimpleNamespace(audio=SimpleNamespace(kind="audio"),
+                                     video=SimpleNamespace(kind="video"),
+                                     stop=lambda: None)
     pcs = []
 
     def pc_factory():
-        pc = FakePC()
+        pc = ContractFakePC()
         pcs.append(pc)
         return pc
 
@@ -253,26 +404,11 @@ def test_failed_produce_negotiation_still_closes_consume_pc():
             return {"sdp": "answer"}      # consume succeeds
         raise OSError("SRS push down")    # every produce attempt fails
 
-    async def sleep(t):
-        pass
-
     async def drive():
-        import mere_fusion_tpu.server.signaling as sig
-        orig = sig.negotiate
-
-        async def fast_negotiate(pc, api, stream, **kw):
-            return await orig(pc, api, stream, sleep=sleep, **kw)
-
-        sig_negotiate = fast_negotiate
-        try:
-            # patch the retry sleep out via module attribute
-            sig.negotiate, saved = sig_negotiate, sig.negotiate
-            with pytest.raises(ConnectionError):
-                await session._start_webrtc(pc_factory=pc_factory,
-                                            post_json=post_json,
-                                            make_answer=make_answer)
-        finally:
-            sig.negotiate = saved
+        with pytest.raises(ConnectionError):
+            await session._start_webrtc(pc_factory=pc_factory,
+                                        post_json=post_json,
+                                        make_answer=make_answer)
         assert pcs[0] in session._pcs and pcs[1] in session._pcs
         await session.close()
         assert pcs[0].closed and pcs[1].closed
