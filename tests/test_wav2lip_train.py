@@ -44,3 +44,52 @@ def test_full_recipe_with_sync_and_disc():
     )
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_gan_recipe_converges_and_trains_disc():
+    """Short convergence run of the full hq recipe on synthetic pairs:
+    generator L1 drops, frozen-syncnet sync score improves once the gate
+    flips sync_wt on (reference schedule hparams.py:87), and the
+    discriminator actually learns (real/fake BCE both drop) — the
+    alternating GAN schedule of wav2lip/models/wav2lip.py:127-184."""
+    from mere_fusion_tpu.train.wav2lip_train import (
+        SYNC_GATE_THRESHOLD,
+        init_gan_state,
+        make_gan_train_step,
+    )
+
+    model, disc, tx, disc_tx, state = init_gan_state(
+        jax.random.key(0), lr=3e-4, disc_lr=3e-4)
+    sync = SyncNet()
+    sync_vars = sync.init(
+        jax.random.key(1),
+        jnp.zeros((2, 80, 16)),
+        jnp.zeros((2, 48, 96, 15)),
+    )
+    step = jax.jit(make_gan_train_step(model, disc, tx, disc_tx,
+                                       syncnet=sync, syncnet_vars=sync_vars))
+    batch = make_batch()
+    hist = []
+    sync_wt = 0.0  # host-side gate, per the reference schedule
+    for i in range(14):
+        state, m = step(state, batch, jnp.float32(sync_wt))
+        m = {k: float(v) for k, v in m.items()}
+        if sync_wt == 0.0 and m["sync"] < SYNC_GATE_THRESHOLD:
+            sync_wt = 0.03
+        hist.append(m)
+    # Adversarial training is not monotone (the disc pushes back as it
+    # learns), so convergence is judged on best-over-history: the generator
+    # reaches a better L1 and sync score than it started with, and the
+    # discriminator learns to call fakes fake (its fake-side BCE drops well
+    # below the ln2 ≈ 0.69 chance level it starts at).
+    assert min(m["l1"] for m in hist[1:]) < hist[0]["l1"]
+    assert min(m["sync"] for m in hist[1:]) < hist[0]["sync"]
+    assert min(m["disc_fake"] for m in hist) < 0.35
+    # and the disc pressure actually reaches the generator's perceptual term
+    assert max(m["perceptual"] for m in hist) > 1.0
+    assert all(np.isfinite(m["loss"]) for m in hist)
+    # the gate flipped at some point (random-weight sync loss starts near
+    # ln2 ≈ 0.69 < 0.75, so sync_wt engages early) and the sync term is live
+    assert sync_wt == 0.03
+    assert hist[-1]["sync"] != 0.0
+    assert int(state.gen.step) == 14
