@@ -113,6 +113,23 @@ class ResnetBlockT(nn.Module):
         return x + h
 
 
+# Attention implementation switch (profiling + serving):
+#   "auto"  — "fused" on TPU, "xla" elsewhere (pallas needs interpret mode
+#             off-TPU), resolved at trace time
+#   "xla"   — einsum QK^T → softmax → AV (materializes the [B,h,Lq,Lk]
+#             score matrix in HBM; the parity-test reference path)
+#   "fused" — Pallas in-VMEM attention for the large self-attn seqs
+#   "skip"  — out = to_out(q): removes the attention matmuls but keeps every
+#             parameter and activation shape (time-attribution probes only)
+ATTN_IMPL = "auto"
+
+
+def _resolve_attn_impl() -> str:
+    if ATTN_IMPL == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return ATTN_IMPL
+
+
 class CrossAttention(nn.Module):
     query_dim: int
     heads: int
@@ -120,6 +137,7 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
@@ -129,15 +147,28 @@ class CrossAttention(nn.Module):
 
         b, lq, _ = q.shape
         lk = k.shape[1]
+        impl = _resolve_attn_impl()
+        if impl == "skip":
+            return nn.Dense(inner, dtype=self.dtype, name="to_out")(q)
         q = q.reshape(b, lq, self.heads, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
-        attn = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            / math.sqrt(head_dim),
-            axis=-1,
-        ).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # only the long self-attn seqs win: measured on v5e at batch 16,
+        # L=1024/d=40 runs 1.45 ms fused vs 2.15 ms einsum, while L=256/d=80
+        # is faster on the einsum path (0.64 vs 0.71 ms) — the score matrix
+        # there is small enough that HBM traffic no longer dominates
+        if impl == "fused" and is_self and lq >= 512:
+            from mere_fusion_tpu.ops.attention import self_attention_fused
+
+            out = self_attention_fused(q, k, v)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+                / math.sqrt(head_dim),
+                axis=-1,
+            ).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
