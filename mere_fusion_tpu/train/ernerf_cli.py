@@ -45,6 +45,14 @@ def main(argv=None) -> None:
                    help="evaluation mode: render every training frame from "
                         "the workspace's EMA params and report PSNR/SSIM "
                         "(reference main.py --test / Trainer.evaluate)")
+    p.add_argument("--viewer_port", type=int, default=None,
+                   help="start the interactive HTTP training viewer on this "
+                        "port (0 = auto): MJPEG /preview of the in-flight "
+                        "weights + POST /camera orbit + /stats, the "
+                        "reference GUI's train mode (gui.py:140-162) "
+                        "reworked for headless TPU hosts")
+    p.add_argument("--viewer_size", type=int, default=256,
+                   help="training-viewer render resolution")
     p.add_argument("--torso", action="store_true",
                    help="torso fine-tune stage: train only the 2-D torso "
                         "nets against torso_imgs/ with the head frozen "
@@ -198,6 +206,17 @@ def main(argv=None) -> None:
 
     from mere_fusion_tpu.train.logger import ScalarLogger, StopFlag
 
+    viewer = None
+    if args.viewer_port is not None:
+        from mere_fusion_tpu.train.viewer import TrainingViewer
+
+        viewer = TrainingViewer(
+            _make_viewer_render(network, net_cfg, tcfg, dataset,
+                                args.viewer_size),
+            width=args.viewer_size, height=args.viewer_size,
+            port=args.viewer_port)
+        print(f"[train] viewer: http://127.0.0.1:{viewer.port}/preview")
+
     slog = ScalarLogger(args.workspace)
     stop = StopFlag.install()
     rng = np.random.default_rng(args.seed)
@@ -222,6 +241,8 @@ def main(argv=None) -> None:
                 ]),
                 tcfg
             )
+        if viewer is not None:
+            viewer.tick(state, it, metrics)
         if it % 100 == 0:
             loss = float(metrics["loss"])
             rate = (it - it0 + 1) / (time.time() - t0)
@@ -236,9 +257,56 @@ def main(argv=None) -> None:
     ckpt.save(it + 1 if stop else args.iters, state,
               {"loss": float(metrics["loss"])})
     stop.uninstall()
+    if viewer is not None:
+        viewer.close()
     slog.close()
     ckpt.close()
     print("[train] done")
+
+
+def _make_viewer_render(network, net_cfg, tcfg, dataset, size: int):
+    """Render closure for the training viewer: current (non-EMA) params +
+    density grid → one orbit-camera frame at the viewer resolution, with the
+    dataset's first attention window as the (frozen) audio condition — the
+    reference train GUI likewise renders whatever its loader last yielded
+    (gui.py:163-231 test_step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mere_fusion_tpu.models.ernerf.network import NeRFNetwork
+    from mere_fusion_tpu.models.ernerf.renderer import get_rays, render_rays
+
+    auds = jnp.asarray(dataset.auds[np.clip(np.arange(8), 0,
+                                            len(dataset) - 1)])
+    eye = jnp.asarray([[float(np.mean(dataset.eye_area))]], np.float32)
+
+    @jax.jit
+    def render(params, density, pose, intrinsics):
+        variables = {"params": params}
+        enc_a = network.apply(variables, auds,
+                              method=NeRFNetwork.encode_audio)
+        ind = (network.apply(variables, 0,
+                             method=NeRFNetwork.individual_code)
+               if net_cfg.individual_dim > 0 else None)
+        rays_o, rays_d = get_rays(pose, intrinsics, size, size)
+
+        def apply_fn(xyz, dirs, training):
+            return network.apply(variables, xyz, dirs, enc_a, ind, eye,
+                                 training=training)
+
+        out = render_rays(
+            apply_fn, rays_o, rays_d, density, bound=tcfg.bound,
+            grid_size=tcfg.grid_size, bg_color=jnp.ones(3),
+            n_candidates=tcfg.n_candidates, n_steps=tcfg.n_steps,
+        )
+        return jnp.clip(out["image"].reshape(size, size, 3), 0.0, 1.0)
+
+    def render_fn(state, pose, intrinsics):
+        return render(state.params, state.density, jnp.asarray(pose),
+                      jnp.asarray(intrinsics))
+
+    return render_fn
 
 
 def _evaluate(args, dataset, net_cfg, tcfg) -> None:
