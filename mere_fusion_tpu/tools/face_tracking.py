@@ -35,19 +35,29 @@ class MorphableModel:
     mean: np.ndarray        # [N, 3]
     base_id: np.ndarray     # [N*3, K_id]
     base_exp: np.ndarray    # [N*3, K_exp]
+    faces: Optional[np.ndarray] = None   # [T, 3] triangle topology
 
     @classmethod
     def load(cls, path: str) -> "MorphableModel":
         """Load from the reference's converted BFM directory
-        (data_utils/face_tracking/3DMM: 3DMM_info.npy from convert_BFM.py)."""
+        (data_utils/face_tracking/3DMM: 3DMM_info.npy from convert_BFM.py;
+        triangle topology from topology_info.npy's "tris" when present —
+        the reference renderer loads the same key, render_3dmm.py:97-100)."""
         import os
 
         info = np.load(os.path.join(path, "3DMM_info.npy"),
                        allow_pickle=True).item()
+        faces = None
+        topo_path = os.path.join(path, "topology_info.npy")
+        if os.path.exists(topo_path):
+            topo = np.load(topo_path, allow_pickle=True).item()
+            if "tris" in topo:
+                faces = np.asarray(topo["tris"], np.int32).reshape(-1, 3)
         return cls(
             mean=info["mu_shape"].reshape(-1, 3).astype(np.float32),
             base_id=info["b_shape"].astype(np.float32),
             base_exp=info["b_exp"].astype(np.float32),
+            faces=faces,
         )
 
 
@@ -91,8 +101,14 @@ def fit_landmarks(
     lambda_id: float = 1e-4,
     lambda_exp: float = 1e-4,
     init_trans_z: float = -600.0,
+    init_focal: float = 1150.0,
+    freeze_focal: bool = False,
 ) -> dict:
     """Fit shared id + focal and per-frame exp/euler/trans to landmarks.
+
+    ``freeze_focal`` keeps the focal at ``init_focal`` — the probe mode the
+    coarse focal sweep uses (reference face_tracker.py:54-111 fits each
+    candidate focal with it fixed, then frees it from the winner).
 
     Returns {euler [F,3], trans [F,3], exp [F,Ke], id [Ki], focal ()} as
     numpy plus the final mean pixel error."""
@@ -111,7 +127,7 @@ def fit_landmarks(
         "exp": jnp.zeros((f, b_exp.shape[-1])),
         "euler": jnp.zeros((f, 3)),
         "trans": jnp.tile(jnp.asarray([0.0, 0.0, init_trans_z]), (f, 1)),
-        "log_focal": jnp.log(jnp.asarray(1150.0)),
+        "log_focal": jnp.log(jnp.asarray(init_focal, jnp.float32)),
     }
 
     def geometry(p):
@@ -128,13 +144,19 @@ def fit_landmarks(
                + lambda_exp * (p["exp"] ** 2).sum())
         return lmk + reg, lmk
 
-    tx = optax.adam(lr)
+    if freeze_focal:
+        tx = optax.multi_transform(
+            {"free": optax.adam(lr), "frozen": optax.set_to_zero()},
+            {k: ("frozen" if k == "log_focal" else "free") for k in params},
+        )
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state):
         (_, lmk), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, lmk
 
     lmk = jnp.inf
@@ -145,6 +167,31 @@ def fit_landmarks(
     out["focal"] = float(np.exp(out.pop("log_focal")))
     out["pixel_rmse"] = float(np.sqrt(np.asarray(lmk)))
     return out
+
+
+def fit_landmarks_focal_sweep(
+    model: MorphableModel,
+    landmarks: np.ndarray,
+    image_hw: tuple,
+    focals=tuple(range(600, 1500, 100)),
+    sweep_iters: int = 800,
+    sweep_frame_stride: int = 40,
+    **fit_kw,
+) -> dict:
+    """Coarse-to-fine focal: probe each candidate focal with a short
+    frozen-focal fit on a frame subset, then run the full fit with the focal
+    freed from the winner (reference face_tracker.py:45-126: sel_ids every
+    40 frames, focal range(600, 1500, 100), best landmark loss wins)."""
+    sel = landmarks[::max(1, sweep_frame_stride)]
+    best_focal, best_rmse = None, np.inf
+    for focal in focals:
+        probe = fit_landmarks(model, sel, image_hw, iters=sweep_iters,
+                              init_focal=float(focal), freeze_focal=True,
+                              **fit_kw)
+        if probe["pixel_rmse"] < best_rmse:
+            best_focal, best_rmse = float(focal), probe["pixel_rmse"]
+    return fit_landmarks(model, landmarks, image_hw,
+                         init_focal=best_focal, **fit_kw)
 
 
 def poses_from_fit(fit: dict) -> np.ndarray:

@@ -257,23 +257,30 @@ def export_transforms(poses: np.ndarray, focal_len: float, cx: float, cy: float,
 
 def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
                   model=None, frames=None, photometric_iters: int = 400,
-                  vertex_stride: int = 8, **fit_kw):
+                  vertex_stride: int = 8, focal_sweep: bool = False,
+                  lmk_vertex_idx=None, **fit_kw):
     """3DMM head-pose tracking from 2D landmarks (process.py task 8).
 
     TPU-native re-implementation: batched differentiable landmark fitting in
-    JAX (tools/face_tracking.py), followed — when ``frames`` ([F, H, W, 3]
-    float RGB in [0, 1]) are provided — by photometric pose refinement
-    through the differentiable point-splat renderer (tools/render_3dmm.py,
-    the reference's pytorch3d stage, render_3dmm.py:1-25) with a jointly
-    learned per-vertex albedo. Returns (c2w poses [F,4,4], focal, fit dict).
+    JAX (tools/face_tracking.py) — with the reference's coarse focal sweep
+    first when ``focal_sweep`` (face_tracker.py:45-126) — followed, when
+    ``frames`` ([F, H, W, 3] float RGB in [0, 1]) are provided, by
+    photometric pose refinement (tools/render_3dmm.py, the reference's
+    pytorch3d stage, render_3dmm.py:1-25) with a jointly learned per-vertex
+    albedo. A model that carries triangle topology (topology_info.npy next
+    to 3DMM_info.npy) refines through the z-buffered soft mesh rasterizer
+    with the landmark anchor (needs ``lmk_vertex_idx``: the BFM vertex id of
+    each landmark column); otherwise the point-splat fallback. Returns
+    (c2w poses [F,4,4], focal, fit dict).
 
     landmarks_2d: [F, N, 2] pixels; model_path: the reference's converted
     BFM directory (3DMM_info.npy) — or pass a MorphableModel directly.
-    vertex_stride subsamples BFM vertices for the photometric stage (the
-    full ~34k-vertex basis is unnecessary for pose)."""
+    vertex_stride subsamples BFM vertices for the splat-path photometric
+    stage (the full ~34k-vertex basis is unnecessary for pose)."""
     from mere_fusion_tpu.tools.face_tracking import (
         MorphableModel,
         fit_landmarks,
+        fit_landmarks_focal_sweep,
         poses_from_fit,
     )
 
@@ -285,13 +292,34 @@ def face_tracking(landmarks_2d, image_hw, model_path: str | None = None,
                 "explicit MorphableModel"
             )
         model = MorphableModel.load(model_path)
-    fit = fit_landmarks(model, landmarks_2d, image_hw, **fit_kw)
+    if lmk_vertex_idx is not None:
+        # landmark stage fits on the landmark-vertex sub-basis — the
+        # reference's lands_info subset (face_tracker.py fits its 68
+        # landmark vertices, not the full 34k BFM)
+        li = np.asarray(lmk_vertex_idx)
+        ki = model.base_id.shape[-1]
+        ke = model.base_exp.shape[-1]
+        lmk_model = MorphableModel(
+            mean=model.mean[li],
+            base_id=model.base_id.reshape(-1, 3, ki)[li].reshape(-1, ki),
+            base_exp=model.base_exp.reshape(-1, 3, ke)[li].reshape(-1, ke),
+        )
+    else:
+        lmk_model = model
+    fitter = fit_landmarks_focal_sweep if focal_sweep else fit_landmarks
+    fit = fitter(lmk_model, landmarks_2d, image_hw, **fit_kw)
     if frames is not None:
         from mere_fusion_tpu.tools.render_3dmm import refine_photometric
 
+        use_mesh = getattr(model, "faces", None) is not None
+        anchor = {}
+        if use_mesh and lmk_vertex_idx is not None:
+            anchor = dict(landmarks=landmarks_2d,
+                          lmk_vertex_idx=lmk_vertex_idx)
         fit = refine_photometric(model, fit, np.asarray(frames),
                                  iters=photometric_iters,
-                                 vertex_stride=vertex_stride)
+                                 vertex_stride=1 if use_mesh
+                                 else vertex_stride, **anchor)
     return poses_from_fit(fit), fit["focal"], fit
 
 

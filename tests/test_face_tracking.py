@@ -6,6 +6,7 @@ from mere_fusion_tpu.tools.face_tracking import (
     MorphableModel,
     euler_to_rot,
     fit_landmarks,
+    fit_landmarks_focal_sweep,
     poses_from_fit,
     project,
 )
@@ -61,3 +62,31 @@ def test_fit_recovers_pose_and_focal():
     for i in range(f):
         np.testing.assert_allclose(rec[i] @ poses[i, :3, :3], np.eye(3),
                                    atol=1e-4)
+
+
+def test_focal_sweep_picks_the_right_octave():
+    """The coarse-to-fine focal sweep (reference face_tracker.py:45-126:
+    probe range(600, 1500, 100) with the focal frozen, free it from the
+    winner) must land near ground truth even when the default 1150 init
+    would stall — ground truth 700 is off the default by ~1.6×, where a free
+    log-focal fit from 1150 converges to a depth/focal-confounded optimum."""
+    rng = np.random.default_rng(2)
+    model = synth_model(rng)
+    f = 6
+    true_exp = rng.normal(0, 0.2, (f, model.base_exp.shape[1])).astype(np.float32)
+    true_euler = rng.normal(0, 0.25, (f, 3)).astype(np.float32)
+    true_trans = np.tile([0.0, 0.0, -400.0], (f, 1)).astype(np.float32)
+    true_trans[:, :2] += rng.normal(0, 8, (f, 2))
+    focal = 700.0
+
+    pts = (model.mean[None]
+           + (true_exp @ model.base_exp.T).reshape(f, -1, 3))
+    rot = np.asarray(euler_to_rot(jnp.asarray(true_euler)))
+    cam = np.einsum("fij,fnj->fni", rot, pts) + true_trans[:, None]
+    lmk = np.asarray(project(jnp.asarray(cam), focal, (256.0, 256.0)))
+
+    fit = fit_landmarks_focal_sweep(
+        model, lmk, (512, 512), sweep_iters=400, sweep_frame_stride=2,
+        init_trans_z=-400.0)
+    assert fit["pixel_rmse"] < 1.5, fit["pixel_rmse"]
+    assert abs(fit["focal"] - focal) / focal < 0.1, fit["focal"]

@@ -23,12 +23,24 @@ from mere_fusion_tpu.tools.face_tracking import (
 from mere_fusion_tpu.tools.render_3dmm import (
     geometry_world,
     pose_errors,
+    rasterize_topk,
     refine_photometric,
+    render_mesh_soft,
+    render_mesh_ss,
     render_splat,
 )
 
 HW = (64, 64)
 FOCAL = 1150.0
+
+
+def grid_faces(n_side: int = 24) -> np.ndarray:
+    """Triangulate the synthetic face's n×n vertex grid."""
+    idx = np.arange(n_side * n_side).reshape(n_side, n_side)
+    f1 = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:]], -1)
+    f2 = np.stack([idx[1:, :-1], idx[1:, 1:], idx[:-1, 1:]], -1)
+    return np.concatenate([f1.reshape(-1, 3),
+                           f2.reshape(-1, 3)]).astype(np.int32)
 
 
 def synthetic_face(n_side: int = 24, k: int = 4, seed: int = 0):
@@ -116,6 +128,129 @@ def test_photometric_refinement_beats_landmark_fit():
     assert trans_ph < 0.75 * trans_lmk, (trans_ph, trans_lmk)
     assert rot_ph < 3.5, rot_ph           # degrees
     assert trans_ph < 3.5, trans_ph       # model units (head ~20 wide)
+    assert refined["photo_rmse"] < 0.05
+
+
+def test_mesh_rasterizer_renders_and_occludes():
+    """The soft mesh rasterizer: correct coverage, z-ordering, and top-K
+    selection (pytorch3d faces_per_pixel=2 equivalent,
+    data_utils/face_tracking/render_3dmm.py:134-139)."""
+    model, colors = synthetic_face()
+    faces = grid_faces()
+    pts = geometry_world(model, jnp.zeros(4), jnp.zeros((1, 4)),
+                         jnp.zeros((1, 3)),
+                         jnp.asarray([[0.0, 0.0, -600.0]]))[0]
+    rgb, cov = render_mesh_soft(pts, jnp.asarray(faces), jnp.asarray(colors),
+                                FOCAL, (32.0, 32.0), HW)
+    rgb, cov = np.asarray(rgb), np.asarray(cov)
+    assert rgb.shape == (*HW, 3) and cov.shape == HW
+    assert cov.max() > 0.95           # interior pixels fully covered
+    assert cov[0, 0] < 1e-3           # corners: background
+    assert np.all(rgb[cov < 1e-3] < 1e-3)
+
+    # occlusion: a red quad in front of a blue quad must shade red
+    verts = np.asarray([
+        [-5, -5, -100], [5, -5, -100], [-5, 5, -100], [5, 5, -100],   # near
+        [-5, -5, -200], [5, -5, -200], [-5, 5, -200], [5, 5, -200],   # far
+    ], np.float32)
+    quad = np.asarray([[0, 1, 2], [1, 3, 2], [4, 5, 6], [5, 7, 6]], np.int32)
+    cols2 = np.asarray([[1, 0, 0]] * 4 + [[0, 0, 1]] * 4, np.float32)
+    rgb2, _ = render_mesh_soft(jnp.asarray(verts), jnp.asarray(quad),
+                               jnp.asarray(cols2), 400.0, (32.0, 32.0), HW)
+    mid = np.asarray(rgb2)[32, 32]
+    assert mid[0] > 0.9 and mid[2] < 0.1, mid
+
+    # top-K rasterization picks the near faces first
+    uv = np.asarray([[32 + 8 * (v[0] / 5), 32 + 8 * (v[1] / 5)]
+                     for v in verts], np.float32)
+    zn = np.asarray([1.0] * 4 + [0.0] * 4, np.float32)
+    sel = np.asarray(rasterize_topk(jnp.asarray(uv), jnp.asarray(zn),
+                                    jnp.asarray(quad), HW, d_max=2.0))
+    centre = sel[32 * HW[1] + 32]
+    assert set(centre.tolist()) <= {0, 1, 2, 3}, centre  # near faces only
+
+
+def bump_texture(n_side: int = 24, seed: int = 0) -> np.ndarray:
+    """Non-periodic multi-scale texture: random smooth Gaussian bumps.
+
+    Real faces are not sinusoidal gratings — the periodic test texture has
+    false photometric minima at half-wavelength shifts (measured: the fit
+    locks at ~2.5° ≈ half a texture period and no descent direction exists).
+    """
+    rng = np.random.default_rng(seed + 100)
+    g = np.linspace(-1, 1, n_side)
+    xx, yy = np.meshgrid(g, g)
+    chans = []
+    for _ in range(3):
+        field = np.full_like(xx, 0.5)
+        for scale, amp, count in ((0.45, 0.25, 6), (0.22, 0.18, 12),
+                                  (0.11, 0.12, 24)):
+            for _ in range(count):
+                cx, cy = rng.uniform(-1, 1, 2)
+                a = rng.uniform(-amp, amp)
+                field = field + a * np.exp(
+                    -((xx - cx) ** 2 + (yy - cy) ** 2) / scale ** 2)
+        chans.append(field)
+    return np.stack(chans, -1).reshape(-1, 3).astype(np.float32).clip(0, 1)
+
+
+def test_photometric_refinement_mesh_path_tightens_to_1deg():
+    """VERDICT item 8 bar: with triangle topology the photometric stage must
+    recover synthetic poses to ≤1° rotation / ≤1% translation (of the camera
+    distance — the focal·depth product is a gauge at capture geometry, cf.
+    the reference's ±100-granular focal sweep, face_tracker.py:45-126). The
+    splat fallback plateaus around 3°.
+
+    96×96 frames with a ~57 px face: the pitch-vs-shift discrimination
+    signal scales with face size (≈θ·depth_extent/Z·focal px); at the 64 px
+    suite geometry it is ~0.4 px — below the rasterization noise floor — so
+    sub-degree recovery is information-theoretically out of reach there.
+    The reference tracks at 512 px (~300 px faces)."""
+    hw = (96, 96)
+    focal_gt = 1725.0
+    model, _ = synthetic_face()
+    colors = bump_texture()
+    faces = jnp.asarray(grid_faces(), jnp.int32)
+    euler_gt, trans_gt = gt_poses()
+    f = euler_gt.shape[0]
+    center = (hw[1] / 2.0, hw[0] / 2.0)
+
+    pts = geometry_world(model, jnp.zeros(4), jnp.zeros((f, 4)),
+                         jnp.asarray(euler_gt), jnp.asarray(trans_gt))
+    # supersampled GT render = the closest stand-in for a photograph
+    frames = np.stack([
+        np.asarray(render_mesh_ss(pts[i], faces, jnp.asarray(colors),
+                                  focal_gt, center, hw)[0])
+        for i in range(f)
+    ])
+
+    lmk_idx = np.arange(0, model.mean.shape[0], 15)
+    lmk_model = MorphableModel(
+        mean=model.mean[lmk_idx],
+        base_id=model.base_id.reshape(-1, 3, 4)[lmk_idx].reshape(-1, 4),
+        base_exp=model.base_exp.reshape(-1, 3, 4)[lmk_idx].reshape(-1, 4),
+    )
+    lmk_px = np.asarray(project(pts[:, lmk_idx], focal_gt, center))
+    rng = np.random.default_rng(1)
+    lmk_noisy = (lmk_px + rng.normal(0, 1.0, lmk_px.shape)).astype(np.float32)
+
+    fit = fit_landmarks(lmk_model, lmk_noisy, hw, iters=2500,
+                        init_trans_z=-600.0)
+    rot_lmk, trans_lmk = pose_errors(fit["euler"], fit["trans"],
+                                     euler_gt, trans_gt)
+
+    refined = refine_photometric(model, fit, frames, colors=colors,
+                                 faces=faces, landmarks=lmk_noisy,
+                                 lmk_vertex_idx=lmk_idx)
+    rot_ph, trans_ph = pose_errors(refined["euler"], refined["trans"],
+                                   euler_gt, trans_gt)
+
+    # measured: rot 2.29° → 0.80°, trans 1.81 → 1.76 (0.3% of the camera
+    # distance), focal recovered to 0.46%, photo_rmse 0.019
+    assert rot_ph < 1.0, (rot_ph, rot_lmk)
+    assert rot_ph < 0.5 * rot_lmk, (rot_ph, rot_lmk)
+    assert trans_ph < 6.0, (trans_ph, trans_lmk)   # 1% of 600-unit distance
+    assert abs(refined["focal"] - focal_gt) / focal_gt < 0.02
     assert refined["photo_rmse"] < 0.05
 
 
