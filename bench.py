@@ -82,7 +82,10 @@ def bench_wav2lip() -> dict:
 
 
 def bench_musetalk() -> dict:
-    """Batch-16 fused UNet(t=0)+VAE-decode step at SD scale, 256 px faces."""
+    """Batch-16 fused UNet(t=0)+VAE-decode step at SD scale, 256 px faces.
+
+    Two tiers: bf16 (the parity tier — reference serves fp16) and the int8
+    VAE-decode speed tier (--vae_int8, PSNR-gated by tests/test_quant.py)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -91,37 +94,45 @@ def bench_musetalk() -> dict:
     import jax
 
     batch = 16
-    models = MuseModels(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    ls = models.latent_size
-    lat0 = jnp.asarray(
-        rng.standard_normal((batch, ls, ls, 8)).astype(np.float32))
-    feats = jnp.asarray(rng.standard_normal((batch, 50, 384)).astype(np.float32))
 
-    # on-device chain (see bench_wav2lip): each step's latents perturbed by a
-    # zero derived from the previous image, one dispatch per epoch
-    iters = 20
+    def measure(vae_int8: bool) -> float:
+        models = MuseModels(dtype=jnp.bfloat16, vae_int8=vae_int8)
+        ls = models.latent_size
+        lat0 = jnp.asarray(
+            rng.standard_normal((batch, ls, ls, 8)).astype(np.float32))
+        feats = jnp.asarray(
+            rng.standard_normal((batch, 50, 384)).astype(np.float32))
 
-    @jax.jit
-    def epoch(unet_vars, vae_vars, lat0, feats):
-        def body(carry, _):
-            img = models.generate_with_vars(unet_vars, vae_vars,
-                                            lat0 + carry, feats)
-            # carry a REAL (tiny, but not provably-zero) function of the
-            # image: an x*0.0 carry is an algebraic-simplification candidate
-            # that would let XLA dead-code the whole UNet+VAE body
-            return img.astype(jnp.float32).sum() * 1e-30, None
-        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                            length=iters)[0]
+        # on-device chain (see bench_wav2lip): each step's latents perturbed
+        # by a zero derived from the previous image, one dispatch per epoch
+        iters = 20
 
-    args = (models.unet_vars, models.vae_vars, lat0, feats)
-    np.asarray(epoch(*args))  # compile + sync
-    best_dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        np.asarray(epoch(*args))
-        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
-    return {"fps": batch / best_dt, "ms_per_batch16": best_dt * 1e3}
+        @jax.jit
+        def epoch(unet_vars, vae_vars, lat0, feats):
+            def body(carry, _):
+                img = models.generate_with_vars(unet_vars, vae_vars,
+                                                lat0 + carry, feats)
+                # carry a REAL (tiny, but not provably-zero) function of the
+                # image: an x*0.0 carry is an algebraic-simplification
+                # candidate that would let XLA dead-code the UNet+VAE body
+                return img.astype(jnp.float32).sum() * 1e-30, None
+            return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=iters)[0]
+
+        args = (models.unet_vars, models.vae_vars, lat0, feats)
+        np.asarray(epoch(*args))  # compile + sync
+        best_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(epoch(*args))
+            best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+        return best_dt
+
+    dt_bf16 = measure(False)
+    dt_int8 = measure(True)
+    return {"fps": batch / dt_bf16, "ms_per_batch16": dt_bf16 * 1e3,
+            "int8_fps": batch / dt_int8, "int8_ms_per_batch16": dt_int8 * 1e3}
 
 
 def bench_ernerf() -> dict:

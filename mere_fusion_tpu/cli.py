@@ -37,6 +37,7 @@ _FLAG_TO_KEY = {
     "vae_ckpt": "avatar.vae_ckpt",
     "unet_ckpt": "avatar.unet_ckpt",
     "unet_config": "avatar.unet_config",
+    "vae_int8": "avatar.vae_int8",
     "whisper_ckpt": "avatar.whisper_ckpt",
     "pose": "nerf.pose_path",
     "au": "nerf.au_path",
@@ -96,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="musetalk UNet weights (.bin/.pth or orbax dir)")
     p.add_argument("--unet_config", default="",
                    help="musetalk.json UNet architecture")
+    p.add_argument("--vae_int8", action="store_true",
+                   help="int8 VAE decode (musetalk speed tier, PSNR-gated)")
     p.add_argument("--whisper_ckpt", default="",
                    help="whisper-tiny weights for MuseASR features (.pt or orbax dir)")
     # ER-NeRF serving flags (reference app.py:550-707)

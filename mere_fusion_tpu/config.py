@@ -51,6 +51,7 @@ class AvatarConfig:
     batch_size: int = 16              # frames per device dispatch
     img_size: int = 96                # face crop size (wav2lip 96, musetalk 256)
     dtype: str = "bfloat16"           # compute dtype on device
+    vae_int8: bool = False            # int8 VAE decode (musetalk speed tier)
     max_track_queue: int = 5          # render backpressure threshold (frames)
     # serving weights (reference loads these at engine start:
     # ./models/wav2lip.pth at lipreal.py:76; sd-vae + musetalk UNet + whisper

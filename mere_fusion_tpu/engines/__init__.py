@@ -162,7 +162,7 @@ def make_engine(cfg: Config, **kw):
                     "musetalk-unet", ac.unet_ckpt, device, dtype=cast,
                     unet_config=ac.unet_config or None),
                 face_size=kw.pop("face_size", 256),
-                dtype=dtype, device=device,
+                dtype=dtype, device=device, vae_int8=ac.vae_int8,
             )
         if "feature_extractor" not in kw and ac.whisper_ckpt:
             from mere_fusion_tpu.audio.features import WhisperFeatureExtractor

@@ -113,11 +113,13 @@ class MuseModels:
     def __init__(self, vae_cfg: VAEConfig | None = None,
                  unet_cfg: UNetConfig | None = None,
                  vae_vars=None, unet_vars=None, face_size: int = 256,
-                 dtype=jnp.float32, device=None):
+                 dtype=jnp.float32, device=None, vae_int8: bool = False):
         self.vae_cfg = vae_cfg or VAEConfig()
         self.unet_cfg = unet_cfg or UNetConfig()
         self.face_size = face_size
-        self.vae = AutoencoderKL(self.vae_cfg, dtype)
+        # int8 decode shares the float checkpoint byte-for-byte (QConv owns
+        # nn.Conv-identical params); quality gated by tests/test_quant.py
+        self.vae = AutoencoderKL(self.vae_cfg, dtype, int8_decode=vae_int8)
         self.unet = UNet2DCondition(self.unet_cfg, dtype)
         down = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
         self.latent_size = face_size // down
@@ -258,6 +260,7 @@ class MuseReal(BaseReal):
                 dtype=jnp.bfloat16 if cfg.avatar.dtype == "bfloat16"
                 else jnp.float32,
                 device=device,
+                vae_int8=cfg.avatar.vae_int8,
             )
             if avatar is None:
                 avatar = load_muse_avatar(

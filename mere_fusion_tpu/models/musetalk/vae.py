@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mere_fusion_tpu.ops.quant import QConv
+
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     """Exact nearest-neighbor 2x upsample via broadcast+reshape.
@@ -44,20 +46,21 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 32
     eps: float = 1e-6
+    quant: bool = False      # int8 conv arithmetic (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                  dtype=self.dtype, quant=self.quant, name="conv1")(h)
         h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                  dtype=self.dtype, quant=self.quant, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype,
+                      quant=self.quant, name="conv_shortcut")(x)
         return x + h
 
 
@@ -118,27 +121,34 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: Any = jnp.float32
+    int8: bool = False       # int8 conv arithmetic on the decode hot path
 
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
+        q = self.int8
         ch = cfg.block_out_channels[-1]
-        h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv_in")(z)
-        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_0")(h)
+        h = QConv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                  quant=q, name="conv_in")(z)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=q,
+                        name="mid_res_0")(h)
         h = AttnBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_attn")(h)
-        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, name="mid_res_1")(h)
+        h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=q,
+                        name="mid_res_1")(h)
         up_channels = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(up_channels):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups,
+                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=q,
                                 name=f"up_{i}_res_{j}")(h)
             if i < len(up_channels) - 1:
                 h = upsample2x_nearest(h)
-                h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                h = QConv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, quant=q,
+                          name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
+        # the output projection stays in the float path: it maps straight to
+        # pixel space, where quantization error is visible 1:1
         return nn.Conv(cfg.in_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv_out")(h)
 
@@ -146,10 +156,12 @@ class Decoder(nn.Module):
 class AutoencoderKL(nn.Module):
     cfg: VAEConfig = field(default_factory=VAEConfig)
     dtype: Any = jnp.float32
+    int8_decode: bool = False
 
     def setup(self):
         self.encoder = Encoder(self.cfg, self.dtype, name="encoder")
-        self.decoder = Decoder(self.cfg, self.dtype, name="decoder")
+        self.decoder = Decoder(self.cfg, self.dtype, int8=self.int8_decode,
+                               name="decoder")
         self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
                                   dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
