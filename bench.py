@@ -232,6 +232,61 @@ def bench_ernerf() -> dict:
         }
 
 
+def bench_a2ff() -> dict:
+    """Audio-to-first-frame latency through the live wav2lip serving path
+    (BASELINE.md north star: < 300 ms p50). Procedural TTS → BaseASR →
+    batch-16 device step → track queue; the engine's lip.first_frame meter
+    runs from the silence→speech transition to the first generated frame
+    handed to the track (reference instrumentation point: lipreal.py's
+    per-100-frame fps print has no latency analogue — this is stricter)."""
+    import asyncio
+    import tempfile
+    import threading
+    from types import SimpleNamespace
+
+    from mere_fusion_tpu.config import Config
+    from mere_fusion_tpu.engines.avatar import synthesize_avatar
+    from mere_fusion_tpu.engines.lip import LipReal
+    from mere_fusion_tpu.runtime.metrics import metrics
+
+    avatar = synthesize_avatar(tempfile.mkdtemp(), n_frames=6)
+    cfg = Config().override(**{"tts.backend": "procedural"})
+    engine = LipReal(cfg, avatar=avatar)
+    meter = metrics.latency("lip.first_frame")
+    samples = []
+
+    async def drive():
+        loop = asyncio.get_running_loop()
+        video_track = SimpleNamespace(_queue=asyncio.Queue())
+        audio_track = SimpleNamespace(_queue=asyncio.Queue())
+        quit_event = threading.Event()
+        t = threading.Thread(
+            target=engine.render,
+            args=(quit_event, loop, audio_track, video_track), daemon=True)
+        t.start()
+        try:
+            for u in range(4):
+                count0 = meter.count
+                engine.put_msg_txt("hello there this is a longer utterance")
+                deadline = time.monotonic() + 180
+                while meter.count == count0 and time.monotonic() < deadline:
+                    await asyncio.wait_for(video_track._queue.get(),
+                                           timeout=180)
+                if u > 0:      # utterance 0 pays the jit compile — discard
+                    samples.append(meter.last)
+                # sustained silence so the next utterance re-arms the clock
+                for _ in range(3 * cfg.avatar.batch_size):
+                    await asyncio.wait_for(video_track._queue.get(),
+                                           timeout=180)
+        finally:
+            quit_event.set()
+            t.join(timeout=10)
+
+    asyncio.run(drive())
+    ms = sorted(s * 1e3 for s in samples)
+    return {"p50_ms": ms[len(ms) // 2], "max_ms": ms[-1]}
+
+
 def bench_ernerf_train() -> dict:
     """Full ER-NeRF training step at reference scale (4096 rays × 16 steps,
     12 levels→512 triplanes, grid 128, composite loss + EMA; reference
@@ -330,7 +385,8 @@ def main() -> None:
     wl = bench_wav2lip()
     extra = {"wav2lip_ms_per_batch16": round(wl["ms_per_batch16"], 2)}
     for name, fn in (("musetalk", bench_musetalk), ("ernerf_512", bench_ernerf),
-                     ("ernerf_train", bench_ernerf_train)):
+                     ("ernerf_train", bench_ernerf_train),
+                     ("a2ff", bench_a2ff)):
         try:
             r = fn()
             for k, v in r.items():
