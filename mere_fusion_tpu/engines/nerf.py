@@ -597,12 +597,13 @@ class NeRFReal(BaseReal):
                     active = int(n_active)
                     metrics.gauge("nerf.active_tiles", active)
                     # overflow_jobs covers the BUDGETED tiles only (the
-                    # planner never sees unselected ones); dropped_tiles is
-                    # the first-order quality signal when active > budget
+                    # planner never sees unselected ones). dropped_tiles is
+                    # structurally 0 — the budget ladder escalates to full
+                    # coverage — kept as a guard against regressions.
                     metrics.gauge("nerf.overflow_jobs", int(n_overflow))
                     metrics.gauge(
                         "nerf.dropped_tiles",
-                        max(0, active - self.cfg.nerf.tile_budget))
+                        max(0, active - self._render_step.ladder_top))
             else:
                 rgb = np.asarray(
                     self._render_step(

@@ -36,9 +36,12 @@ changes measured to matter:
 Samples that leave their texture window clamp to its edge; the planner
 reports the overflow-job fraction through runtime metrics so the
 degradation is observable rather than silent. Since tiles are compacted
-BEFORE sample planning, n_overflow covers the budgeted tiles only — the
-engine additionally reports nerf.dropped_tiles (active minus budget) as the
-first-order quality signal for overloaded frames.
+BEFORE sample planning, n_overflow covers the budgeted tiles only. The
+budget ladder extends up to FULL tile coverage: a pose whose active count
+exceeds nerf.tile_budget escalates to a larger precompiled variant instead
+of truncating, so every active tile always renders (matching the
+reference, which marches every ray — renderer.py:229-271) and the
+nerf.dropped_tiles metric is structurally zero.
 """
 from __future__ import annotations
 
@@ -168,9 +171,14 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         # before any sample math), then build positions/jobs for only the
         # budgeted tiles: 4x less planning VPU work at full occupancy.
         # o_t/d_t/sp/va arrive tiled from the pose cache (span_fn).
+        # At full coverage (budget == t) compaction is the identity — skip
+        # the top_k sort and keep raster tile order.
         sp = sp.astype(jnp.float32)
         active = va.any(axis=1)                            # [T]
-        _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
+        if budget == t:
+            sel = jnp.arange(t, dtype=jnp.int32)
+        else:
+            _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
         n_active = active.sum()
 
         va_s = va[sel]
@@ -231,8 +239,19 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
       return frame_fn
 
-    budget_ladder = sorted({budget, max(1, 3 * budget // 4),
-                            max(1, budget // 2), max(1, budget // 4)})
+    # The ladder spans from budget/4 up to FULL tile coverage (t): a pose
+    # whose active count exceeds nerf.tile_budget escalates to a larger
+    # precompiled variant instead of truncating — every ray always renders,
+    # matching the reference (ernerf/nerf_triplane/renderer.py:229-271,
+    # which marches every ray regardless of occupancy). nerf.tile_budget is
+    # therefore a *ladder shape* hint, not a coverage cap.
+    ladder = {budget, max(1, 3 * budget // 4),
+              max(1, budget // 2), max(1, budget // 4)}
+    b_up = budget
+    while b_up < t:
+        b_up = min(2 * b_up, t)
+        ladder.add(b_up)
+    budget_ladder = sorted(ladder)
     frame_fns: dict = {}  # budget → compiled variant
 
     span_cache: dict = {}
@@ -275,13 +294,15 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
                 span_cache[pose_key] = (sp, va, active_host)
             else:
                 # cache at capacity: render like an uncached pose — no
-                # insert, no readback, full tile budget
+                # insert, no readback, full coverage
                 sp, va, _ = span_fn(pose, density)
         else:
-            # uncached path (free orbit camera): no readback, full budget
+            # uncached path (free orbit camera): no readback; the active
+            # count is unknown, so render at full coverage (correctness
+            # over speed — truncation is never an option)
             sp, va, _ = span_fn(pose, density)
-        b = (budget if active_host is None
-             else next((c for c in budget_ladder if c >= active_host), budget))
+        b = (t if active_host is None
+             else next((c for c in budget_ladder if c >= active_host), t))
         fn = frame_fns.get(b)
         if fn is None:
             fn = frame_fns[b] = make_frame_fn(b)
@@ -332,4 +353,6 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         np.asarray(img)  # drain the warmup executions
 
     step.warmup = warmup
+    step.ladder = tuple(budget_ladder)
+    step.ladder_top = t           # full coverage: no frame can drop tiles
     return step

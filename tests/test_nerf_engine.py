@@ -451,3 +451,59 @@ def test_span_cache_pose_cap_bounds_prefill_and_growth(dataset):
     step(d0["pose"], auds, jnp.asarray(d0["eye"]), engine.density,
          engine._bg_dev, pose_key=0)
     assert len(frees["span_cache"]) == 2
+
+
+def test_over_budget_pose_escalates_to_full_coverage(dataset):
+    """A pose with more active tiles than nerf.tile_budget must NOT
+    truncate: the budget ladder escalates to a larger precompiled variant
+    (up to full coverage), and the frame matches an uncapped render
+    exactly. The reference marches every ray regardless of occupancy
+    (ernerf/nerf_triplane/renderer.py:229-271)."""
+    cfg = CFG.override(**{
+        "nerf.sample_mode": "pallas",
+        "nerf.tile_budget": 16,       # 64×64 frame → 64 tiles ≫ budget
+        "nerf.pallas_depth_groups": 4,
+    })
+    engine = NeRFReal(cfg, dataset=dataset)   # default density: all occupied
+    step = engine._render_step
+    frees = dict(zip(step.__code__.co_freevars,
+                     [c.cell_contents for c in step.__closure__]))
+    assert frees["budget_ladder"] == [4, 8, 12, 16, 32, 64]
+    assert step.ladder_top == 64
+
+    data = dataset.collate(0)
+    auds = jnp.zeros((8, engine.network.cfg.audio_in_dim, 16))
+    bg = jnp.asarray(data["bg_color"])
+    img, n_act, _ = step(data["pose"], auds, jnp.asarray(data["eye"]),
+                         engine.density, bg, pose_key=0)
+    active = frees["span_cache"][0][-1]
+    assert active > cfg.nerf.tile_budget, (
+        f"scene not over budget: {active} active tiles")
+    # no truncation is possible: the chosen variant covers every active tile
+    chosen = min(b for b in frees["frame_fns"] if b >= active)
+    assert chosen >= active
+    assert max(0, active - step.ladder_top) == 0   # dropped_tiles guard
+
+    # the escalated render must match an uncapped (full-coverage) render
+    full = frees["make_frame_fn"](64)
+    sp, va, _ = frees["span_cache"][0]
+    enc_shape = frees["enc_a_shape"]
+    img_full, _, n_act_full, _ = full(
+        frees["variables"], frees["planes_major"], data["pose"],
+        sp, va, auds, jnp.asarray(data["eye"]), bg,
+        jnp.zeros(enc_shape.shape, enc_shape.dtype), jnp.asarray(False),
+    )
+    a = np.asarray(img, np.float32)
+    b = np.asarray(img_full, np.float32)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 80, f"escalated vs uncapped render PSNR {psnr:.1f} dB"
+    assert int(n_act) == int(n_act_full) == active
+
+    # the uncached path (orbit camera / over-cap pose) must also render at
+    # full coverage — the active count is unknown, truncation is never OK
+    img_uc, n_uc, _ = step(data["pose"], auds, jnp.asarray(data["eye"]),
+                           engine.density, bg, pose_key=None)
+    mse = ((np.asarray(img_uc, np.float32) - b) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 80, f"uncached vs uncapped render PSNR {psnr:.1f} dB"
