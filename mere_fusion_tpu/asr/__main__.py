@@ -36,6 +36,12 @@ def main(argv=None) -> None:
                    choices=["offline", "unaware", "online", "batch"])
     p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--buffer-trim", type=float, default=15.0)
+    p.add_argument("--language", default="en",
+                   help="ISO language code, or 'auto' to detect on the "
+                        "first buffer (reference decoding.py:19)")
+    p.add_argument("--beam-size", type=int, default=5,
+                   help="beam width for the t=0 decode "
+                        "(reference whisper_online.py:137-139)")
     p.add_argument("--vad", action="store_true", default=False,
                    help="voice activity detection on the backend "
                         "(reference whisper_online.py:628-629)")
@@ -55,7 +61,10 @@ def main(argv=None) -> None:
     from mere_fusion_tpu.asr.simulate import simulate_streaming
 
     audio = load_wav_16k(args.audio)
-    backend = make_backend(args.backend)
+    bk_kw = {}
+    if args.backend == "jax-whisper":
+        bk_kw = {"language": args.language, "beam_size": args.beam_size}
+    backend = make_backend(args.backend, **bk_kw)
     if args.vad:
         backend.use_vad()
 

@@ -86,9 +86,24 @@ class JaxWhisperBackend:
     sep = ""
 
     def __init__(self, variables=None, dims=None, tokenizer=None,
-                 language_index: int = 0, beam_size: int = 1,
+                 language_index: int | None = None, language: str = "en",
+                 beam_size: int = 5, best_of: int = 5,
+                 temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                 compression_ratio_threshold: float | None = 2.4,
+                 logprob_threshold: float | None = -1.0,
+                 no_speech_threshold: float | None = 0.6,
+                 prompt_bucket: int = 96,
                  word_timestamps: bool = True, use_vad: bool = False,
                  device=None):
+        """Defaults mirror the reference pipeline: beam 5 ("b5 is faster
+        and better than b1", whisper_online.py:137-139), temperature
+        fallback ladder (0.0→1.0 by 0.2) gated on gzip compression ratio
+        2.4 / avg logprob -1.0 / no-speech 0.6 (reference
+        transcribe.py:25-57,156-176), and previous-text conditioning via
+        <|startofprev|> + up to ``prompt_bucket`` prompt tokens
+        (decoding.py:515-530; a fixed bucket keeps the decode one compiled
+        shape). language="auto" detects on the first speech buffer
+        (decoding.py:19 detect_language)."""
         import jax
         import jax.numpy as jnp
 
@@ -98,6 +113,9 @@ class JaxWhisperBackend:
             make_cached_beam_decoder,
             make_cached_greedy_decoder,
             sot_sequence,
+        )
+        from mere_fusion_tpu.models.whisper import (
+            language_index as lang_code_index,
         )
 
         self.jnp = jnp
@@ -123,23 +141,39 @@ class JaxWhisperBackend:
             except (FileNotFoundError, OSError):
                 tokenizer = None  # token-id text fallback
         self.tokenizer = tokenizer
+        self.language_auto = language == "auto" and language_index is None
+        self.detected_language: Optional[str] = None
+        if language_index is None:
+            language_index = (0 if language in ("auto", None)
+                              else lang_code_index(language, self.dims.n_vocab))
         self._sot = sot_sequence(language_index)
         suppress = None
         if self.tokenizer is not None:
             from mere_fusion_tpu.models.whisper import non_speech_token_ids
 
             suppress = non_speech_token_ids(self.tokenizer)
+        self._suppress = suppress
+        self.temperatures = tuple(temperatures)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        # prompt tokens are capped at n_ctx//2 - 1 (decoding.py:529); the
+        # fixed bucket below that keeps one compiled decode shape per mode
+        self.prompt_bucket = min(prompt_bucket, self.dims.n_text_ctx // 2 - 1)
         self.beam_size = beam_size
+        self.best_of = best_of
+        self._sample_seed = 0
+        self._sampler = None      # lazy: fallback rungs are rare
+        self._detector = None     # lazy: language auto-detect
         if beam_size > 1:
-            # reference runs beam 5 ("b5 is faster and better than b1",
-            # whisper_online.py:137); ours defaults greedy for latency
             self._decode = make_cached_beam_decoder(
                 self.model, self.variables, beam_size=beam_size,
-                max_new_tokens=128, suppress_tokens=suppress)
+                max_new_tokens=128, suppress_tokens=suppress,
+                return_scores=True)
         else:
             self._decode = make_cached_greedy_decoder(
                 self.model, self.variables, max_new_tokens=128,
-                suppress_tokens=suppress)
+                suppress_tokens=suppress, return_scores=True)
         model = self.model
         dev_vars = jax.device_put(self.variables)
 
@@ -177,11 +211,73 @@ class JaxWhisperBackend:
         variables = convert_whisper(ckpt["model_state_dict"], dims)
         return cls(variables=variables, dims=dims, **kw)
 
-    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> dict:
-        import jax
+    def _build_prompt(self, init_prompt: str) -> tuple[list[int], int]:
+        """Decode prompt: [<|startofprev|>] + prompt tokens (≤ bucket,
+        right-truncated like the reference's ``[-(n_ctx//2 - 1):]``,
+        decoding.py:527-529) + sot_sequence, EOT-padded to a FIXED bucket
+        length so prompted decodes share one compiled shape. Returns
+        (buffer, prompt_len)."""
+        from mere_fusion_tpu.models.whisper import EOT, SOT_PREV
+
+        if not init_prompt or self.tokenizer is None:
+            return list(self._sot), len(self._sot)
+        toks = self.tokenizer.encode(" " + init_prompt.strip())
+        toks = toks[-self.prompt_bucket:]
+        seq = [SOT_PREV] + toks + list(self._sot)
+        plen = len(seq)
+        seq = seq + [EOT] * (1 + self.prompt_bucket + len(self._sot) - plen)
+        return seq, plen
+
+    def detect_language(self, audio: np.ndarray | None = None,
+                        xa=None) -> tuple[str, float]:
+        """Language id over the encoder output (reference decoding.py:19-66
+        detect_language): one decoder step on [<|sot|>], non-language tokens
+        suppressed. Returns (language code, probability)."""
         import jax.numpy as jnp
 
-        from mere_fusion_tpu.models.whisper import EOT, Whisper
+        from mere_fusion_tpu.models.whisper import (
+            LANGUAGE_CODES,
+            make_language_detector,
+        )
+        from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
+
+        if self._detector is None:
+            self._detector = make_language_detector(self.model, self.variables)
+        if xa is None:
+            window = self.dims.n_audio_ctx * 2 * 160
+            padded = np.zeros(window, dtype=np.float32)
+            padded[: min(len(audio), window)] = audio[:window]
+            mel = melspectrogram(jnp.asarray(padded),
+                                 whisper_mel_config(self.dims.n_mels))[None]
+            xa = self._encode(mel)
+        idx_dev, probs_dev = self._detector(xa)
+        idx = int(np.asarray(idx_dev)[0])
+        prob = float(np.asarray(probs_dev)[0, idx])
+        return LANGUAGE_CODES[idx], prob
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        """gzip compressibility of the decoded text — the reference's
+        repetition-loop detector (whisper utils.py compression_ratio)."""
+        import zlib
+
+        data = text.encode("utf-8")
+        if not data:
+            return 0.0
+        return len(data) / len(zlib.compress(data))
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> dict:
+        import jax.numpy as jnp
+
+        from mere_fusion_tpu.models.whisper import (
+            EOT,
+            make_cached_sampling_decoder,
+            sot_sequence,
+        )
+        from mere_fusion_tpu.models.whisper import (
+            LANGUAGE_CODES,
+            language_index as lang_code_index,
+        )
         from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
 
         duration = len(audio) / SAMPLE_RATE
@@ -199,9 +295,61 @@ class JaxWhisperBackend:
         mel = melspectrogram(jnp.asarray(padded),
                              whisper_mel_config(self.dims.n_mels))[None]
         xa = self._encode(mel)
-        prompt = jnp.asarray([self._sot], jnp.int32)
-        tokens = np.asarray(self._decode(xa, prompt, len(self._sot)))[0]
-        text_tokens = [int(t) for t in tokens[len(self._sot):] if t != EOT]
+
+        if self.language_auto and self.detected_language is None:
+            code, _prob = self.detect_language(xa=xa)
+            self.detected_language = code
+            self._sot = sot_sequence(lang_code_index(code, self.dims.n_vocab))
+
+        prompt_seq, plen = self._build_prompt(init_prompt)
+        prompt = jnp.asarray([prompt_seq], jnp.int32)
+
+        # temperature-fallback ladder (reference transcribe.py
+        # decode_with_fallback): t=0 beam/greedy, t>0 best-of sampling;
+        # retry while compression ratio or avg logprob gates trip.
+        tokens = avg_lp = ns_prob = None
+        temperature = 0.0
+        for t in self.temperatures:
+            temperature = t
+            if t == 0:
+                toks_d, avg_d, ns_d = self._decode(xa, prompt, plen)
+                tokens = np.asarray(toks_d)[0]
+                avg_lp = float(np.asarray(avg_d)[0])
+                ns_prob = float(np.asarray(ns_d)[0])
+            else:
+                if self._sampler is None:
+                    self._sampler = make_cached_sampling_decoder(
+                        self.model, self.variables, best_of=self.best_of,
+                        max_new_tokens=128, suppress_tokens=self._suppress)
+                self._sample_seed += 1
+                toks_d, avg_d, ns_d = self._sampler(
+                    xa, prompt, plen, t, self._sample_seed)
+                avgs = np.asarray(avg_d)
+                best = int(avgs.argmax())
+                tokens = np.asarray(toks_d)[best]
+                avg_lp = float(avgs[best])
+                ns_prob = float(np.asarray(ns_d)[best])
+            text_tokens = [int(tok) for tok in tokens[plen:] if tok != EOT]
+            needs_fallback = False
+            if self.compression_ratio_threshold is not None:
+                text = "".join(self._token_text(tok) for tok in text_tokens)
+                if (self._compression_ratio(text)
+                        > self.compression_ratio_threshold):
+                    needs_fallback = True   # too repetitive
+            if (self.logprob_threshold is not None
+                    and avg_lp < self.logprob_threshold):
+                needs_fallback = True       # average log probability too low
+            if not needs_fallback:
+                break
+
+        # no-speech gate (reference transcribe.py: skip the segment when
+        # no_speech_prob > threshold unless avg_logprob clears its bar)
+        if (self.no_speech_threshold is not None
+                and ns_prob > self.no_speech_threshold
+                and (self.logprob_threshold is None
+                     or avg_lp < self.logprob_threshold)):
+            text_tokens = []
+
         starts = None
         if self.word_timestamps and text_tokens:
             # DTW word alignment over the final sequence's cross-attention
@@ -209,10 +357,12 @@ class JaxWhisperBackend:
             # faster-whisper's word_timestamps=True)
             attn = np.asarray(self._cross_attn(jnp.asarray(tokens[None]), xa))
             n_frames = int(duration / 0.02)
-            starts = self._align_starts(attn, len(self._sot), n_frames,
+            starts = self._align_starts(attn, plen, n_frames,
                                         len(text_tokens))
         return {"tokens": text_tokens, "duration": duration, "starts": starts,
-                "speech": speech}
+                "speech": speech, "avg_logprob": avg_lp,
+                "no_speech_prob": ns_prob, "temperature": temperature,
+                "language": self.detected_language}
 
     def _align_starts(self, attn, n_prompt, n_frames, n_text):
         from mere_fusion_tpu.asr.align import token_times
@@ -246,7 +396,7 @@ class JaxWhisperBackend:
         mels = jnp.stack(mels)
 
         prompt_one = jnp.asarray([self._sot], jnp.int32)
-        decode_batch = self._decode
+        decode_batch = lambda xa, p, plen: self._decode(xa, p, plen)[0]
         if self.beam_size > 1:
             # the beam decoder's batch dim is the beam dim; vmap it over the
             # chunk batch (each element runs its own 5-beam search)
@@ -256,7 +406,7 @@ class JaxWhisperBackend:
                 base = self._decode
                 plen = len(self._sot)
                 self._beam_batched = jax.jit(jax.vmap(
-                    lambda xa1, p1: base(xa1[None], p1[None], plen)[0]))
+                    lambda xa1, p1: base(xa1[None], p1[None], plen)[0][0]))
             decode_batch = (lambda xa, prompts, _plen:
                             self._beam_batched(xa, prompts))
         all_tokens = []

@@ -78,7 +78,10 @@ class TTSConfig:
 class ASRConfig:
     backend: str = "jax-whisper"      # jax-whisper | faster-whisper | openai-api
     model_size: str = "tiny"
-    language: str = "en"
+    language: str = "en"              # ISO code, or "auto" (detect on the
+                                      # first speech buffer, decoding.py:19)
+    beam_size: int = 5                # reference default: "b5 is faster and
+                                      # better than b1" (whisper_online.py:137)
     min_chunk_seconds: float = 1.0
     buffer_trim_seconds: float = 15.0
     vad: bool = False

@@ -24,6 +24,30 @@ from mere_fusion_tpu.transport.frames import AudioChunk, VideoImage
 from mere_fusion_tpu.tts import make_tts
 
 
+def track_put(loop, track, item) -> bool:
+    """Schedule ``track._queue.put(item)`` on the session event loop from an
+    engine thread (the reference's thread→asyncio seam, lipreal.py:217-227).
+
+    Assembly threads outlive the loop by up to one queue-poll timeout after
+    quit_event fires; scheduling onto a closing/closed loop raises
+    RuntimeError in the thread (and pytest's thread-exception gate promotes
+    that to a failure). Returns False when the frame was dropped because the
+    session is shutting down."""
+    import asyncio
+
+    if loop is None or track is None:
+        return False
+    coro = track._queue.put(item)
+    try:
+        if loop.is_closed():
+            raise RuntimeError("loop closed")
+        asyncio.run_coroutine_threadsafe(coro, loop)
+        return True
+    except RuntimeError:
+        coro.close()   # un-awaited coroutine would warn at GC
+        return False
+
+
 def read_imgs(img_list):
     return [cv2.imread(p) for p in img_list]
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from mere_fusion_tpu.config import Config
 from mere_fusion_tpu.engines.avatar import LipAvatar, load_lip_avatar
-from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base import BaseReal, track_put
 from mere_fusion_tpu.engines.base_asr import BaseASR
 from mere_fusion_tpu.models.wav2lip import Wav2Lip
 from mere_fusion_tpu.ops import WAV2LIP_MEL, melspectrogram
@@ -268,16 +268,12 @@ class LipReal(BaseReal):
                 combine_frame[y1:y2, x1:x2] = res_frame
 
             video_frame = VideoImage(image=combine_frame)
-            if loop is not None and video_track is not None:
-                asyncio.run_coroutine_threadsafe(
-                    video_track._queue.put(video_frame), loop
-                )
+            track_put(loop, video_track, video_frame)
             self.record_video_frame(video_frame)
 
             for frame, _ftype, _seq in audio_frames:
                 chunk = AudioChunk.from_float(frame, self.sample_rate)
-                if loop is not None and audio_track is not None:
-                    asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+                track_put(loop, audio_track, chunk)
                 self.record_audio_chunk(chunk)
 
     # ---- render loop ---------------------------------------------------------

@@ -27,7 +27,7 @@ import numpy as np
 
 from mere_fusion_tpu.audio.features import WhisperFeatureExtractor
 from mere_fusion_tpu.config import Config
-from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base import BaseReal, track_put
 from mere_fusion_tpu.engines.base_asr import BaseASR
 from mere_fusion_tpu.models.musetalk import (
     AutoencoderKL,
@@ -373,13 +373,11 @@ class MuseReal(BaseReal):
                     self.avatar.mask_cycle[idx], self.avatar.mask_coords[idx],
                 )
             video_frame = VideoImage(image=combine_frame)
-            if loop is not None and video_track is not None:
-                asyncio.run_coroutine_threadsafe(video_track._queue.put(video_frame), loop)
+            track_put(loop, video_track, video_frame)
             self.record_video_frame(video_frame)
             for frame, _t, _seq in audio_frames:
                 chunk = AudioChunk.from_float(frame, self.sample_rate)
-                if loop is not None and audio_track is not None:
-                    asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+                track_put(loop, audio_track, chunk)
                 self.record_audio_chunk(chunk)
 
     # ---- render loop -----------------------------------------------------------

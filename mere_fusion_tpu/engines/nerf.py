@@ -25,7 +25,7 @@ import numpy as np
 
 from mere_fusion_tpu.config import Config
 from mere_fusion_tpu.data.provider import NeRFTestDataset
-from mere_fusion_tpu.engines.base import BaseReal
+from mere_fusion_tpu.engines.base import BaseReal, track_put
 from mere_fusion_tpu.engines.base_asr import BaseASR
 from mere_fusion_tpu.models.ernerf.network import NeRFNetConfig, NeRFNetwork
 from mere_fusion_tpu.models.ernerf.renderer import (
@@ -561,8 +561,7 @@ class NeRFReal(BaseReal):
         for frame, ftype, _seq in audio_frames:
             audiotypes.append(ftype)
             chunk = AudioChunk.from_float(frame, self.sample_rate)
-            if loop is not None and audio_track is not None:
-                asyncio.run_coroutine_threadsafe(audio_track._queue.put(chunk), loop)
+            track_put(loop, audio_track, chunk)
             self.record_audio_chunk(chunk)
 
         if (audiotypes[0] != 0 and audiotypes[1] != 0
@@ -622,8 +621,7 @@ class NeRFReal(BaseReal):
                 image = full
 
         vf = VideoImage(image=image)
-        if loop is not None and video_track is not None:
-            asyncio.run_coroutine_threadsafe(video_track._queue.put(vf), loop)
+        track_put(loop, video_track, vf)
         self.record_video_frame(vf)
         return True
 

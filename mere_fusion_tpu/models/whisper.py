@@ -332,11 +332,41 @@ class Whisper(nn.Module):
 # ---- special tokens (multilingual vocab; tokenizer-independent) -------------
 SOT = 50258           # <|startoftranscript|>
 EOT = 50257           # <|endoftext|>
+SOT_PREV = 50361      # <|startofprev|>: prefixes the previous-text prompt
+                      # (reference decoding.py:527-529)
 TRANSCRIBE = 50359
 TRANSLATE = 50358
 NO_TIMESTAMPS = 50363
 NO_SPEECH = 50362
 LANG_BASE = 50259     # <|en|> = 50259; language id = LANG_BASE + lang_index
+
+# Whisper language codes in token-id order (<|en|>=50259 first); published
+# constant from openai-whisper tokenizer.py LANGUAGES. large-v3 (n_vocab
+# 51866) appends "yue" as the 100th.
+LANGUAGE_CODES = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
+
+
+def n_language_tokens(n_vocab: int) -> int:
+    """99 language tokens for the classic multilingual vocab, 100 (adds yue)
+    for large-v3's 51866-token vocab."""
+    return 100 if n_vocab >= 51866 else 99
+
+
+def language_index(code: str, n_vocab: int = 51865) -> int:
+    idx = LANGUAGE_CODES.index(code)
+    if idx >= n_language_tokens(n_vocab):
+        raise ValueError(f"language {code!r} not in this model's vocab")
+    return idx
 
 
 def sot_sequence(language_index: int = 0, task: int = TRANSCRIBE) -> list[int]:
@@ -351,7 +381,7 @@ def non_speech_token_ids(tokenizer) -> tuple:
         "<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", '("', "((",
         "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪",
     ]
-    ids = {SOT, NO_SPEECH}
+    ids = {SOT, SOT_PREV, NO_SPEECH}
     for sym in symbols + [" " + s for s in symbols]:
         try:
             toks = tokenizer.encode(sym)
@@ -418,11 +448,17 @@ def make_cached_greedy_decoder(
     variables,
     max_new_tokens: int = 128,
     suppress_tokens: Optional[tuple] = None,
+    return_scores: bool = False,
 ):
     """KV-cached greedy decode: one incremental decoder step per token
     (O(L) instead of the plain decoder's O(L²) re-scoring), fully on device.
 
-    Returns decode(xa, prompt, prompt_len) → tokens [B, P+max_new]."""
+    Returns decode(xa, prompt, prompt_len) → tokens [B, P+max_new]; with
+    return_scores, → (tokens, avg_logprob [B], no_speech_prob [B]) where
+    avg_logprob = Σ logprob(sampled) / (n_generated + 1) including the EOT
+    step (openai-whisper GreedyDecoder.update/finalize semantics) and
+    no_speech_prob = softmax at the <|startoftranscript|> step's output of
+    the <|nospeech|> token (decoding.py probs_at_sot)."""
 
     def decode(variables, xa, prompt, prompt_len):
         b, p = prompt.shape
@@ -443,39 +479,177 @@ def make_cached_greedy_decoder(
         tokens = jnp.concatenate(
             [prompt, jnp.full((b, max_new_tokens), EOT, jnp.int32)], axis=1
         )
+        sot_step = prompt_len - 4   # sot_sequence is the prompt's 4-token tail
 
         def cond(state):
-            i, _, _, _, done = state
+            i, _, _, _, done, *_ = state
             return jnp.logical_and(i < total - 1, jnp.logical_not(jnp.all(done)))
 
         def body(state):
-            i, tokens, k_cache, v_cache, done = state
+            i, tokens, k_cache, v_cache, done, sum_lp, n_gen, ns = state
             tok = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
             logits, k_cache, v_cache = dec_apply(
                 "step", tok, i, k_cache, v_cache, cross_k, cross_v
+            )
+            ns = jnp.where(
+                i == sot_step,
+                jax.nn.softmax(logits, axis=-1)[:, NO_SPEECH], ns,
             )
             if suppress_tokens:
                 logits = logits.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             in_prompt = (i + 1) < prompt_len
+            gen_now = jnp.logical_and(jnp.logical_not(in_prompt),
+                                      jnp.logical_not(done))
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            sum_lp = sum_lp + jnp.where(gen_now, tok_lp, 0.0)
+            n_gen = n_gen + jnp.where(jnp.logical_and(gen_now, nxt != EOT), 1, 0)
             keep = jax.lax.dynamic_slice(tokens, (0, i + 1), (b, 1))[:, 0]
             nxt = jnp.where(in_prompt, keep, jnp.where(done, EOT, nxt))
             newly_done = jnp.logical_or(
                 done, jnp.logical_and(jnp.logical_not(in_prompt), nxt == EOT)
             )
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-            return i + 1, tokens, k_cache, v_cache, newly_done
+            return (i + 1, tokens, k_cache, v_cache, newly_done,
+                    sum_lp, n_gen, ns)
 
         state = (
             jnp.asarray(0, jnp.int32), tokens, k_cache, v_cache,
-            jnp.zeros((b,), bool),
+            jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
         )
-        _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+        _, tokens, _, _, _, sum_lp, n_gen, ns = jax.lax.while_loop(
+            cond, body, state)
+        if return_scores:
+            return tokens, sum_lp / (n_gen + 1).astype(jnp.float32), ns
         return tokens
 
     variables = jax.device_put(variables)
     jitted = jax.jit(decode)
     return lambda xa, prompt, prompt_len: jitted(variables, xa, prompt, prompt_len)
+
+
+def make_cached_sampling_decoder(
+    model: Whisper,
+    variables,
+    best_of: int = 5,
+    max_new_tokens: int = 128,
+    suppress_tokens: Optional[tuple] = None,
+):
+    """KV-cached temperature sampling with ``best_of`` parallel candidates —
+    the t>0 rungs of the reference's decode-fallback ladder
+    (transcribe.py temperature tuple + DecodingOptions.best_of; sampling =
+    Categorical(logits/T), decoding.py GreedyDecoder.update).
+
+    The candidate dimension rides the batch axis (one xa broadcast, one
+    compiled program for every temperature — sampling uses the Gumbel-argmax
+    identity so T is a traced scalar). Logprob accounting uses the UNSCALED
+    distribution, as the reference does.
+
+    Returns decode(xa [1,T,D], prompt [1,P], prompt_len, temperature, seed)
+    → (tokens [best_of, P+max_new], avg_logprob [best_of],
+       no_speech_prob [best_of])."""
+    n = best_of
+
+    def decode(variables, xa, prompt, prompt_len, temperature, seed):
+        _, p = prompt.shape
+        total = p + max_new_tokens
+        dec = model.dims
+
+        def dec_apply(method, *args):
+            return model.apply(
+                variables, *args,
+                method=lambda m, *a: getattr(m.decoder, method)(*a),
+            )
+
+        xa_n = jnp.broadcast_to(xa, (n,) + xa.shape[1:])
+        cross_k, cross_v = dec_apply("cross_kv", xa_n)
+        k_cache = jnp.zeros((dec.n_text_layer, n, total, dec.n_text_state))
+        v_cache = jnp.zeros_like(k_cache)
+        tokens = jnp.broadcast_to(
+            jnp.concatenate(
+                [prompt, jnp.full((1, max_new_tokens), EOT, jnp.int32)],
+                axis=1),
+            (n, total))
+        sot_step = prompt_len - 4
+        key0 = jax.random.key(seed)
+
+        def cond(state):
+            i, _, _, _, done, *_ = state
+            return jnp.logical_and(i < total - 1, jnp.logical_not(jnp.all(done)))
+
+        def body(state):
+            i, tokens, k_cache, v_cache, done, sum_lp, n_gen, ns = state
+            tok = jax.lax.dynamic_slice(tokens, (0, i), (n, 1))
+            logits, k_cache, v_cache = dec_apply(
+                "step", tok, i, k_cache, v_cache, cross_k, cross_v
+            )
+            ns = jnp.where(
+                i == sot_step,
+                jax.nn.softmax(logits, axis=-1)[:, NO_SPEECH], ns,
+            )
+            if suppress_tokens:
+                logits = logits.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
+            # Gumbel-argmax == Categorical(logits/T); T → 0 degrades to argmax
+            g = jax.random.gumbel(jax.random.fold_in(key0, i), logits.shape)
+            t = jnp.maximum(temperature, 1e-6)
+            nxt = jnp.argmax(
+                logits / t + jnp.where(temperature > 0, g, 0.0), axis=-1
+            ).astype(jnp.int32)
+            in_prompt = (i + 1) < prompt_len
+            gen_now = jnp.logical_and(jnp.logical_not(in_prompt),
+                                      jnp.logical_not(done))
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            sum_lp = sum_lp + jnp.where(gen_now, tok_lp, 0.0)
+            n_gen = n_gen + jnp.where(jnp.logical_and(gen_now, nxt != EOT), 1, 0)
+            keep = jax.lax.dynamic_slice(tokens, (0, i + 1), (n, 1))[:, 0]
+            nxt = jnp.where(in_prompt, keep, jnp.where(done, EOT, nxt))
+            newly_done = jnp.logical_or(
+                done, jnp.logical_and(jnp.logical_not(in_prompt), nxt == EOT)
+            )
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+            return (i + 1, tokens, k_cache, v_cache, newly_done,
+                    sum_lp, n_gen, ns)
+
+        state = (
+            jnp.asarray(0, jnp.int32), tokens, k_cache, v_cache,
+            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.float32),
+        )
+        _, tokens, _, _, _, sum_lp, n_gen, ns = jax.lax.while_loop(
+            cond, body, state)
+        return tokens, sum_lp / (n_gen + 1).astype(jnp.float32), ns
+
+    variables = jax.device_put(variables)
+    jitted = jax.jit(decode)
+    return lambda xa, prompt, prompt_len, temperature, seed: jitted(
+        variables, xa, prompt, prompt_len,
+        jnp.asarray(temperature, jnp.float32), seed)
+
+
+def make_language_detector(model: Whisper, variables):
+    """Language identification: one decoder pass over [<|sot|>], all
+    non-language tokens suppressed, softmax over the language tokens
+    (reference decoding.py:19-66 detect_language).
+
+    Returns detect(xa [B,T,D]) → (lang_index [B] int32, probs [B, n_langs])."""
+    nl = n_language_tokens(model.dims.n_vocab)
+
+    def detect(variables, xa):
+        b = xa.shape[0]
+        logits = model.apply(
+            variables, jnp.full((b, 1), SOT, jnp.int32), xa,
+            method=Whisper.logits,
+        )[:, 0]
+        lang_logits = jax.lax.dynamic_slice_in_dim(logits, LANG_BASE, nl, -1)
+        probs = jax.nn.softmax(lang_logits, axis=-1)
+        return jnp.argmax(lang_logits, axis=-1).astype(jnp.int32), probs
+
+    variables = jax.device_put(variables)
+    jitted = jax.jit(detect)
+    return lambda xa: jitted(variables, xa)
 
 
 def make_cached_beam_decoder(
@@ -484,6 +658,7 @@ def make_cached_beam_decoder(
     beam_size: int = 5,
     max_new_tokens: int = 128,
     suppress_tokens: Optional[tuple] = None,
+    return_scores: bool = False,
 ):
     """KV-cached beam search (reference: whisper decoding.py BeamSearchDecoder
     with patience 1.0 + MaximumLikelihoodRanker; the reference server runs
@@ -524,17 +699,22 @@ def make_cached_beam_decoder(
         fin_tokens = jnp.full((n, total), EOT, jnp.int32)
         fin_scores = jnp.full((n,), -jnp.inf)      # avg logprob of finished
         fin_count = jnp.asarray(0, jnp.int32)
+        sot_step = prompt_len - 4
 
         def cond(state):
-            i, *_, fin_count = state
+            i, *_, fin_count, _ns = state
             return jnp.logical_and(i < total - 1, fin_count < n)
 
         def body(state):
             (i, tokens, sum_lp, k_cache, v_cache,
-             fin_tokens, fin_scores, fin_count) = state
+             fin_tokens, fin_scores, fin_count, ns) = state
             tok = jax.lax.dynamic_slice(tokens, (0, i), (n, 1))
             logits, k_cache, v_cache = dec_apply(
                 "step", tok, i, k_cache, v_cache, cross_k, cross_v
+            )
+            ns = jnp.where(
+                i == sot_step,
+                jax.nn.softmax(logits[0], axis=-1)[NO_SPEECH], ns,
             )
             if suppress_tokens:
                 logits = logits.at[:, jnp.asarray(suppress_tokens)].set(-jnp.inf)
@@ -581,11 +761,12 @@ def make_cached_beam_decoder(
             reorder = lambda c: jnp.where(in_prompt, c, c[:, src_l])
             sum_lp = jnp.where(in_prompt, sum_lp, lp_l)
             return (i + 1, new_tokens, sum_lp, reorder(k_cache),
-                    reorder(v_cache), fin_tokens, fin_scores, fin_count)
+                    reorder(v_cache), fin_tokens, fin_scores, fin_count, ns)
 
         state = (jnp.asarray(0, jnp.int32), tokens, sum_lp, k_cache, v_cache,
-                 fin_tokens, fin_scores, fin_count)
-        (i, tokens, sum_lp, _, _, fin_tokens, fin_scores, fin_count) = (
+                 fin_tokens, fin_scores, fin_count,
+                 jnp.asarray(0.0, jnp.float32))
+        (i, tokens, sum_lp, _, _, fin_tokens, fin_scores, fin_count, ns) = (
             jax.lax.while_loop(cond, body, state)
         )
         # fall back to the best live beam if nothing finished
@@ -594,6 +775,10 @@ def make_cached_beam_decoder(
         best = jnp.where(
             fin_count > 0, fin_tokens[jnp.argmax(fin_scores)], live_best
         )
+        if return_scores:
+            avg = jnp.where(fin_count > 0, jnp.max(fin_scores),
+                            jnp.max(sum_lp) / gen_len)
+            return best[None], avg[None], ns[None]
         return best[None]
 
     variables = jax.device_put(variables)

@@ -67,8 +67,12 @@ class Session:
         # the streaming-ASR whisper encoder belongs on the session's chip
         # too: its weights are committed there so transcription dispatched
         # from the shared event loop doesn't pile every session onto chip 0
+        asr_kw = {"device": self.device}
+        if self.cfg.asr.backend == "jax-whisper":
+            asr_kw.update(language=self.cfg.asr.language,
+                          beam_size=self.cfg.asr.beam_size)
         backend = self._asr_backend or make_backend(
-            self.cfg.asr.backend, device=self.device
+            self.cfg.asr.backend, **asr_kw
         )
         transcriber = StreamingTranscriber(
             backend, buffer_trimming=("segment", self.cfg.asr.buffer_trim_seconds)

@@ -36,6 +36,10 @@ def default_make_answer(sdp: str):
     return RTCSessionDescription(sdp=sdp, type="answer")
 
 
+class SrsError(ValueError):
+    """SRS API returned an error body (code != 0) or a malformed answer."""
+
+
 async def negotiate(
     pc,
     api_url: str,
@@ -45,14 +49,21 @@ async def negotiate(
     retries: int = 3,
     timeout: float = 15.0,
     sleep: Callable[[float], Awaitable[None]] = asyncio.sleep,
+    action: Optional[str] = None,
 ) -> None:
     """Create a local offer, POST it to the SRS HTTP API, apply the answer.
 
-    ``retries`` attempts with exponential backoff (1 s, 2 s, ...) around the
-    whole POST+answer exchange (reference app.py:282-291); each POST is
-    bounded by ``timeout`` seconds. Raises ConnectionError after the final
-    attempt, carrying the last failure.
+    Request body matches the reference exactly (app.py:437-445, 496-504:
+    api/streamurl/clientip/sdp/tid/action); the response handling mirrors
+    app.py:452-461: a truthy non-zero ``code`` is an SRS-level failure, a
+    missing/invalid ``sdp`` is a malformed answer, and any failure inside
+    the POST+answer exchange retries with exponential backoff (1 s, 2 s,
+    ..., app.py:282-291); each POST is bounded by ``timeout`` seconds.
+    Raises ConnectionError after the final attempt, carrying the last
+    failure.
     """
+    import secrets
+
     post_json = post_json or default_post_json
     make_answer = make_answer or default_make_answer
     offer = await pc.createOffer()
@@ -65,14 +76,24 @@ async def negotiate(
                 {
                     "api": api_url,
                     "streamurl": stream_url,
+                    "clientip": None,
                     "sdp": pc.localDescription.sdp,
+                    "tid": str(10000 + secrets.randbelow(90000)),
+                    "action": action or "",
                 },
                 timeout,
             )
-            if "sdp" not in data:
-                raise ValueError(f"SRS answer missing sdp (code="
-                                 f"{data.get('code')!r})")
-            await pc.setRemoteDescription(make_answer(data["sdp"]))
+            if not isinstance(data, dict):
+                raise SrsError(f"SRS answer is not a JSON object: "
+                               f"{type(data).__name__}")
+            code = data.get("code")
+            if code and code != 0:      # reference truthiness check
+                raise SrsError(f"SRS rejected the offer: code={code!r} "
+                               f"msg={data.get('msg') or data.get('message')!r}")
+            sdp = data.get("sdp")
+            if not isinstance(sdp, str) or not sdp:
+                raise SrsError(f"SRS answer missing sdp (code={code!r})")
+            await pc.setRemoteDescription(make_answer(sdp))
             return
         except Exception as e:
             last = e

@@ -183,15 +183,21 @@ def fit_landmarks_focal_sweep(
     freed from the winner (reference face_tracker.py:45-126: sel_ids every
     40 frames, focal range(600, 1500, 100), best landmark loss wins)."""
     sel = landmarks[::max(1, sweep_frame_stride)]
+    # probe calls pin iters/init_focal/freeze_focal; caller-supplied values
+    # for those keys apply to the final free-focal fit only (passing them
+    # through to the probes would raise "multiple values for argument")
+    probe_kw = {k: v for k, v in fit_kw.items()
+                if k not in ("iters", "init_focal", "freeze_focal")}
     best_focal, best_rmse = None, np.inf
     for focal in focals:
         probe = fit_landmarks(model, sel, image_hw, iters=sweep_iters,
                               init_focal=float(focal), freeze_focal=True,
-                              **fit_kw)
+                              **probe_kw)
         if probe["pixel_rmse"] < best_rmse:
             best_focal, best_rmse = float(focal), probe["pixel_rmse"]
-    return fit_landmarks(model, landmarks, image_hw,
-                         init_focal=best_focal, **fit_kw)
+    final_kw = dict(fit_kw)
+    final_kw.setdefault("init_focal", best_focal)
+    return fit_landmarks(model, landmarks, image_hw, **final_kw)
 
 
 def poses_from_fit(fit: dict) -> np.ndarray:

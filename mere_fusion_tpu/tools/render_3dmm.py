@@ -337,7 +337,8 @@ def geometry_world(model: MorphableModel, id_coef, exp, euler, trans):
     return jnp.einsum("fij,fnj->fni", rot, pts) + trans[:, None]
 
 
-def _lm_minimize(resid_fn, v0, iters, lam0=1e-2, retries=8):
+def _lm_minimize(resid_fn, v0, iters, lam0=1e-2, retries=8, args=(),
+                 jitted=None):
     """Levenberg–Marquardt on a small dense parameter vector.
 
     The photometric pose endgame is a tiny smooth nonlinear least-squares
@@ -346,22 +347,30 @@ def _lm_minimize(resid_fn, v0, iters, lam0=1e-2, retries=8):
     observable directions), while LM solves it in ~10 Jacobian evaluations.
     Jacobian via jacfwd (one forward render per parameter — cheap at this
     size); Marquardt scaling (damping ∝ diag(JᵀJ)) keeps the step sane
-    across the very differently scaled pose/shape/focal axes."""
-    resid_j = jax.jit(resid_fn)
-    jac_j = jax.jit(jax.jacfwd(resid_fn))
+    across the very differently scaled pose/shape/focal axes.
+
+    ``args`` are passed through to resid_fn(v, *args) — chunk data ride as
+    arguments so one compiled residual serves every chunk. Callers that
+    reuse a residual across many calls pass ``jitted=(resid_j, jac_j)``
+    (jitted resid and its jacfwd) to avoid a re-trace per call."""
+    if jitted is not None:
+        resid_j, jac_j = jitted
+    else:
+        resid_j = jax.jit(resid_fn)
+        jac_j = jax.jit(jax.jacfwd(resid_fn))
     v = v0
-    r = resid_j(v)
+    r = resid_j(v, *args)
     cost = float(r @ r)
     lam = lam0
     for _ in range(iters):
-        jmat = jac_j(v)
+        jmat = jac_j(v, *args)
         jtj = jmat.T @ jmat
         g = jmat.T @ r
         dj = jnp.diag(jnp.diag(jtj) + 1e-8)
         for _ in range(retries):
             delta = jnp.linalg.solve(jtj + lam * dj, -g)
             v_new = v + delta
-            r_new = resid_j(v_new)
+            r_new = resid_j(v_new, *args)
             c_new = float(r_new @ r_new)
             if c_new < cost:
                 v, r, cost = v_new, r_new, c_new
@@ -392,6 +401,7 @@ def refine_photometric(
     background: Optional[np.ndarray] = None,      # [H, W, 3] plate
     ss: int = 2,
     lm_schedule: tuple = ((1.0, 0.3, 6), (0.25, 0.1, 6), (0.0, 0.02, 10)),
+    lm_frame_budget: int = 200_000_000,  # max Jacobian elements per LM solve
 ) -> dict:
     """Photometric pose refinement (the reference's differentiable-render
     stage, render_3dmm.py:1-25) on top of a landmark fit.
@@ -433,6 +443,13 @@ def refine_photometric(
     - **LM over Adam.** See ``_lm_minimize`` — ~20 Jacobian evaluations
       replace ~1000 Adam steps and none of Adam's random-walk drift along
       the weakly observable axes.
+    - **Bounded-memory decomposition.** The joint Jacobian grows as
+      [F·H·W·3, (6+Ke)F + Ki + 1]; past ``lm_frame_budget`` elements the
+      solve decomposes: an evenly spaced anchor subset solves the shared
+      id/focal (+ albedo) jointly, then the remaining frames solve their
+      independent pose/exp in fixed-size chunks against the frozen shared
+      state (one compiled residual per blur stage, chunk data as
+      arguments) — real multi-hundred-frame captures stay in memory.
 
     Caveat: absolute depth retains a focal·depth gauge freedom (a shared
     z/focal rescale moves landmarks <0.2 px at capture geometry); the
@@ -493,102 +510,212 @@ def refine_photometric(
                 return rgb
             return jax.vmap(one)(pts)
 
-        def pack(p):
-            # trans in hundreds of model units — bring the axes to a common
-            # scale so the Marquardt damping treats them evenly
-            return jnp.concatenate([
-                p["euler"].ravel(), p["trans"].ravel() / 100.0,
-                p["exp"].ravel(), p["id"].ravel(), p["log_focal"][None]])
+        # ---- capacity: the JOINT Jacobian is [n·h·w·3, n(6+ke)+ki+1]
+        # (jacfwd materializes it) — fine at test scale but terabytes on a
+        # real capture (ADVICE r3 high). Cap the jointly-solved frame count
+        # by a Jacobian element budget and decompose beyond it: per-frame
+        # pose/exp are independent given shared id/focal, so an anchor
+        # subset solves the shared parameters jointly and the remaining
+        # frames solve pose/exp in fixed-size chunks against the frozen
+        # shared state (one compiled residual per blur stage, chunk data
+        # passed as arguments).
+        rows_pf = h * w * 3
 
-        def unpack(v):
-            i = 0
-            euler = v[i:i + 3 * f].reshape(f, 3); i += 3 * f
-            trans = v[i:i + 3 * f].reshape(f, 3) * 100.0; i += 3 * f
-            expc = v[i:i + ke * f].reshape(f, ke); i += ke * f
-            idc = v[i:i + ki]; i += ki
-            return {"euler": euler, "trans": trans, "exp": expc, "id": idc,
-                    "log_focal": v[i]}
+        def cap_frames(extra_params: int) -> int:
+            c = 1
+            while (c < f and (c + 1) * rows_pf
+                   * ((c + 1) * (6 + ke) + extra_params) <= lm_frame_budget):
+                c += 1
+            return c
 
-        npx = float(f * h * w * 3)
+        def joint_solve(idx: np.ndarray, cols):
+            """Joint LM over frames ``idx``: per-frame pose/exp + shared
+            id/focal (+ albedo cycles when learned). Returns (pose, cols)."""
+            nf = len(idx)
+            tgt = target[idx]
+            lmk_i = None if lmk_px is None else lmk_px[idx]
 
-        def make_resid(beta, lan_w, cols):
-            target_s = blur_hw(target, beta)
+            def pack(p):
+                # trans in hundreds of model units — bring the axes to a
+                # common scale so Marquardt damping treats them evenly
+                return jnp.concatenate([
+                    p["euler"].ravel(), p["trans"].ravel() / 100.0,
+                    p["exp"].ravel(), p["id"].ravel(), p["log_focal"][None]])
 
-            def resid(v):
-                p = unpack(v)
-                fo = jnp.exp(p["log_focal"])
-                pts = geometry_world(submodel, p["id"], p["exp"],
-                                     p["euler"], p["trans"])
-                rgb = blur_hw(render_frames(pts, cols, fo), beta)
-                parts = [((rgb - target_s)
-                          * jnp.sqrt(0.5 * 255.0 / npx)).ravel()]
-                if lmk_px is not None:
-                    proj = project(pts[:, lmk_idx], fo, center)
-                    parts.append(((proj - lmk_px)
-                                  * jnp.sqrt(lan_w / lmk_px.size)).ravel())
-                parts.append(jnp.sqrt(reg_id) * p["id"])
-                parts.append(jnp.sqrt(reg_exp / f) * p["exp"].ravel())
-                return jnp.concatenate(parts)
+            def unpack(v):
+                i = 0
+                euler = v[i:i + 3 * nf].reshape(nf, 3); i += 3 * nf
+                trans = v[i:i + 3 * nf].reshape(nf, 3) * 100.0; i += 3 * nf
+                expc = v[i:i + ke * nf].reshape(nf, ke); i += ke * nf
+                idc = v[i:i + ki]; i += ki
+                return {"euler": euler, "trans": trans, "exp": expc,
+                        "id": idc, "log_focal": v[i]}
 
-            return resid
+            npx = float(nf * h * w * 3)
 
-        def solve_colors(pose, cols, steps):
-            # albedo at frozen pose: plain Adam — the color subproblem is
-            # smooth and near-linear, and keeping it out of LM keeps the
-            # normal equations tiny
-            pts = geometry_world(submodel, pose["id"], pose["exp"],
-                                 pose["euler"], pose["trans"])
-            fo = jnp.exp(pose["log_focal"])
-            tx = optax.adam(lr * 15.0)
-            st = tx.init(cols)
+            def make_resid(beta, lan_w, cols):
+                target_s = blur_hw(tgt, beta)
 
-            @jax.jit
-            def step(cols, st):
-                def loss(c):
-                    rgb = render_frames(pts, jnp.clip(c, 0.0, 1.0), fo)
-                    return ((rgb - target) ** 2).sum(-1).mean()
-                mse, g = jax.value_and_grad(loss)(cols)
-                up, st2 = tx.update(g, st)
-                return optax.apply_updates(cols, up), st2, mse
+                def resid(v):
+                    p = unpack(v)
+                    fo = jnp.exp(p["log_focal"])
+                    pts = geometry_world(submodel, p["id"], p["exp"],
+                                         p["euler"], p["trans"])
+                    rgb = blur_hw(render_frames(pts, cols, fo), beta)
+                    parts = [((rgb - target_s)
+                              * jnp.sqrt(0.5 * 255.0 / npx)).ravel()]
+                    if lmk_i is not None:
+                        proj = project(pts[:, lmk_idx], fo, center)
+                        parts.append(((proj - lmk_i)
+                                      * jnp.sqrt(lan_w / lmk_i.size)).ravel())
+                    parts.append(jnp.sqrt(reg_id) * p["id"])
+                    parts.append(jnp.sqrt(reg_exp / nf) * p["exp"].ravel())
+                    return jnp.concatenate(parts)
 
-            mse = jnp.inf
-            for _ in range(steps):
-                cols, st, mse = step(cols, st)
-            return jnp.clip(cols, 0.0, 1.0), mse
+                return resid
 
-        pose = {
-            "euler": jnp.asarray(fit["euler"], jnp.float32),
-            "trans": jnp.asarray(fit["trans"], jnp.float32),
-            "exp": exp.astype(jnp.float32),
-            "id": id_coef.astype(jnp.float32),
-            "log_focal": jnp.log(focal),
-        }
+            def solve_colors(pose, cols, steps):
+                # albedo at frozen pose: plain Adam — the color subproblem
+                # is smooth and near-linear, and keeping it out of LM keeps
+                # the normal equations tiny
+                pts = geometry_world(submodel, pose["id"], pose["exp"],
+                                     pose["euler"], pose["trans"])
+                fo = jnp.exp(pose["log_focal"])
+                tx = optax.adam(lr * 15.0)
+                st = tx.init(cols)
+
+                @jax.jit
+                def step(cols, st):
+                    def loss(c):
+                        rgb = render_frames(pts, jnp.clip(c, 0.0, 1.0), fo)
+                        return ((rgb - tgt) ** 2).sum(-1).mean()
+                    mse, g = jax.value_and_grad(loss)(cols)
+                    up, st2 = tx.update(g, st)
+                    return optax.apply_updates(cols, up), st2, mse
+
+                for _ in range(steps):
+                    cols, st, _mse = step(cols, st)
+                return jnp.clip(cols, 0.0, 1.0)
+
+            pose = {
+                "euler": jnp.asarray(fit["euler"], jnp.float32)[idx],
+                "trans": jnp.asarray(fit["trans"], jnp.float32)[idx],
+                "exp": exp.astype(jnp.float32)[idx],
+                "id": id_coef.astype(jnp.float32),
+                "log_focal": jnp.log(focal),
+            }
+            cycles = 2 if learn_colors else 1
+            for _ in range(cycles):
+                if learn_colors:
+                    cols = solve_colors(pose, cols,
+                                        max(1, iters // (2 * cycles)))
+                v = pack(pose)
+                for beta, lan_w, nit in lm_schedule:
+                    v, _ = _lm_minimize(make_resid(beta, lan_w, cols), v, nit)
+                pose = unpack(v)
+            return pose, cols
+
         cols = (jnp.full((n_sub, 3), 0.5) if learn_colors
                 else jnp.clip(jnp.asarray(colors[sub], jnp.float32), 0, 1))
+        c_joint = cap_frames(ki + 1)
 
-        cycles = 2 if learn_colors else 1
-        for _ in range(cycles):
-            if learn_colors:
-                cols, _ = solve_colors(pose, cols,
-                                       max(1, iters // (2 * cycles)))
-            v = pack(pose)
-            for beta, lan_w, nit in lm_schedule:
-                v, _ = _lm_minimize(make_resid(beta, lan_w, cols), v, nit)
-            pose = unpack(v)
+        if f <= c_joint:
+            pose, cols = joint_solve(np.arange(f), cols)
+            euler_all = np.asarray(pose["euler"])
+            trans_all = np.asarray(pose["trans"])
+            exp_all = np.asarray(pose["exp"])
+            id_final, logf_final = pose["id"], pose["log_focal"]
+        else:
+            # anchor: evenly spaced representative frames solve the shared
+            # id/focal (+ albedo); the rest solve pose/exp in chunks
+            anchor = np.unique(np.linspace(0, f - 1, c_joint)
+                               .round().astype(int))
+            pose_a, cols = joint_solve(anchor, cols)
+            id_final, logf_final = pose_a["id"], pose_a["log_focal"]
+            idfo = jnp.concatenate([id_final, logf_final[None]])
 
-        rgb = render_frames(
-            geometry_world(submodel, pose["id"], pose["exp"],
-                           pose["euler"], pose["trans"]),
-            cols, jnp.exp(pose["log_focal"]))
-        mse = ((rgb - target) ** 2).sum(-1).mean()
+            euler_all = np.asarray(fit["euler"], np.float32).copy()
+            trans_all = np.asarray(fit["trans"], np.float32).copy()
+            exp_all = np.asarray(exp, np.float32).copy()
+            euler_all[anchor] = np.asarray(pose_a["euler"])
+            trans_all[anchor] = np.asarray(pose_a["trans"])
+            exp_all[anchor] = np.asarray(pose_a["exp"])
+
+            csize = cap_frames(0)
+            pfp = 6 + ke
+
+            def unpack_c(v):
+                return (v[:3 * csize].reshape(csize, 3),
+                        v[3 * csize:6 * csize].reshape(csize, 3) * 100.0,
+                        v[6 * csize:].reshape(csize, ke))
+
+            def make_chunk_solver(beta, lan_w):
+                """One compiled residual per blur stage; chunk targets and
+                landmarks ride as ARGUMENTS so every chunk reuses it."""
+                cnpx = float(csize * h * w * 3)
+
+                def resid(v, tgt_s, lmk_c, idfo):
+                    e, t, x = unpack_c(v)
+                    fo = jnp.exp(idfo[ki])
+                    pts = geometry_world(submodel, idfo[:ki], x, e, t)
+                    rgb = blur_hw(render_frames(pts, cols, fo), beta)
+                    parts = [((rgb - tgt_s)
+                              * jnp.sqrt(0.5 * 255.0 / cnpx)).ravel()]
+                    if lmk_px is not None:
+                        proj = project(pts[:, lmk_idx], fo, center)
+                        parts.append(
+                            ((proj - lmk_c)
+                             * jnp.sqrt(lan_w / lmk_c.size)).ravel())
+                    parts.append(jnp.sqrt(reg_exp / csize) * x.ravel())
+                    return jnp.concatenate(parts)
+
+                return jax.jit(resid), jax.jit(jax.jacfwd(resid))
+
+            stages = [(s, make_chunk_solver(s[0], s[1])) for s in lm_schedule]
+            rest = np.setdiff1d(np.arange(f), anchor)
+            for c0 in range(0, len(rest), csize):
+                chunk = rest[c0:c0 + csize]
+                real = len(chunk)
+                if real < csize:        # pad by repeating; results discarded
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], csize - real)])
+                v = jnp.concatenate([
+                    jnp.asarray(euler_all[chunk]).ravel(),
+                    jnp.asarray(trans_all[chunk]).ravel() / 100.0,
+                    jnp.asarray(exp_all[chunk]).ravel()])
+                lmk_c = (jnp.zeros((csize, 1, 2)) if lmk_px is None
+                         else lmk_px[chunk])
+                for (beta, _lan_w, nit), jitted in stages:
+                    tgt_s = blur_hw(target[chunk], beta)
+                    v, _ = _lm_minimize(None, v, nit, jitted=jitted,
+                                        args=(tgt_s, lmk_c, idfo))
+                e, t, x = unpack_c(v)
+                euler_all[chunk[:real]] = np.asarray(e)[:real]
+                trans_all[chunk[:real]] = np.asarray(t)[:real]
+                exp_all[chunk[:real]] = np.asarray(x)[:real]
+
+        # final photometric error, accumulated in render-chunks so large
+        # captures never materialize an [F, H, W, 3] render at once
+        fo_final = jnp.exp(logf_final)
+        sse, cnt = 0.0, 0
+        for c0 in range(0, f, max(1, c_joint)):
+            sl = slice(c0, min(f, c0 + max(1, c_joint)))
+            pts = geometry_world(submodel, id_final,
+                                 jnp.asarray(exp_all[sl]),
+                                 jnp.asarray(euler_all[sl]),
+                                 jnp.asarray(trans_all[sl]))
+            rgb = render_frames(pts, cols, fo_final)
+            sse += float(((rgb - target[sl]) ** 2).sum(-1).sum())
+            cnt += (sl.stop - sl.start) * h * w
+        mse = sse / max(cnt, 1)
 
         out = dict(fit)
-        out["euler"] = np.asarray(pose["euler"])
-        out["trans"] = np.asarray(pose["trans"])
-        out["exp"] = np.asarray(pose["exp"])
-        out["id"] = np.asarray(pose["id"])
-        out["focal"] = float(np.exp(np.asarray(pose["log_focal"])))
-        out["photo_rmse"] = float(np.sqrt(np.asarray(mse)))
+        out["euler"] = euler_all
+        out["trans"] = trans_all
+        out["exp"] = exp_all
+        out["id"] = np.asarray(id_final)
+        out["focal"] = float(np.exp(np.asarray(logf_final)))
+        out["photo_rmse"] = float(np.sqrt(mse))
         if learn_colors:
             out["colors"] = np.asarray(cols)
         return out

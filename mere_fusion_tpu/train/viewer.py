@@ -54,6 +54,11 @@ class TrainingViewer:
         self._tick_count = 0
         self._t_window = time.perf_counter()
         self._lock = threading.Lock()
+        # guards OrbitCamera state: /camera POSTs arrive on
+        # ThreadingHTTPServer handler threads concurrently with the
+        # training thread's tick renders — mutations and pose snapshots
+        # must not interleave mid-update (torn camera state)
+        self._cam_lock = threading.Lock()
         self._jpeg: bytes | None = None
         self._jpeg_seq = 0
         self._frame_event = threading.Condition(self._lock)
@@ -101,10 +106,10 @@ class TrainingViewer:
         self._t_window = time.perf_counter()
 
     def _render_once(self, state) -> None:
-        img = np.asarray(self.render_fn(
-            state,
-            self.cam.pose.astype(np.float32),
-            self.cam.intrinsics.astype(np.float32)))
+        with self._cam_lock:     # coherent snapshot; render outside the lock
+            pose = self.cam.pose.astype(np.float32)
+            intr = self.cam.intrinsics.astype(np.float32)
+        img = np.asarray(self.render_fn(state, pose, intr))
         u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         import cv2
 
@@ -130,15 +135,17 @@ class TrainingViewer:
             return self._jpeg, self._jpeg_seq
 
     def apply_camera(self, msg: dict) -> None:
-        if msg.get("reset"):
-            self.cam.reset()
-        if "dx" in msg or "dy" in msg:
-            self.cam.orbit(float(msg.get("dx", 0)), float(msg.get("dy", 0)))
-        if "scale" in msg:
-            self.cam.scale(float(msg["scale"]))
-        if "pan" in msg:
-            dx, dy = msg["pan"]
-            self.cam.pan(float(dx), float(dy))
+        with self._cam_lock:     # handler threads race each other + tick
+            if msg.get("reset"):
+                self.cam.reset()
+            if "dx" in msg or "dy" in msg:
+                self.cam.orbit(float(msg.get("dx", 0)),
+                               float(msg.get("dy", 0)))
+            if "scale" in msg:
+                self.cam.scale(float(msg["scale"]))
+            if "pan" in msg:
+                dx, dy = msg["pan"]
+                self.cam.pan(float(dx), float(dy))
         # next render picks the camera up; force one now if idle
         state = self._state
         if state is not None:

@@ -89,9 +89,15 @@ def _sample_entry_sowt(sample_rate: int, channels: int = 1) -> bytes:
 
 def _stbl(entry: bytes, stts: bytes, stsc: bytes, stsz: bytes,
           offsets: list[int]) -> bytes:
-    stco = _full(b"stco", 0, 0, struct.pack(">I", len(offsets)),
-                 struct.pack(f">{len(offsets)}I", *offsets)
-                 if offsets else b"")
+    # chunk offsets past 4 GiB need the 64-bit co64 variant (ISO 14496-12
+    # §8.7.5) — long recordings (MJPEG reaches 4 GiB in a few hours)
+    if offsets and max(offsets) >= 1 << 32:
+        stco = _full(b"co64", 0, 0, struct.pack(">I", len(offsets)),
+                     struct.pack(f">{len(offsets)}Q", *offsets))
+    else:
+        stco = _full(b"stco", 0, 0, struct.pack(">I", len(offsets)),
+                     struct.pack(f">{len(offsets)}I", *offsets)
+                     if offsets else b"")
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1), entry)
     return _box(b"stbl", stsd, stts, stsc, stsz, stco)
 
@@ -151,6 +157,11 @@ class MP4Writer:
         self._closed = False
         f.write(_box(b"ftyp", b"isom", struct.pack(">I", 0x200),
                      b"isom", b"iso2", b"mp41"))
+        # an 8-byte `free` box precedes the mdat header: if the recording
+        # grows past 4 GiB, close() rewrites these 16 bytes as a single
+        # size=1 + largesize (64-bit) mdat header (ISO 14496-12 §4.2)
+        self._free_pos = f.tell()
+        f.write(struct.pack(">I", 8) + b"free")
         self._mdat_pos = f.tell()
         f.write(struct.pack(">I", 8) + b"mdat")
 
@@ -197,8 +208,16 @@ class MP4Writer:
             self._write_chunk(pad)
             self._pcm_rem = self._pcm_rem[:0]
         end = self.f.tell()
-        self.f.seek(self._mdat_pos)
-        self.f.write(struct.pack(">I", end - self._mdat_pos))
+        if end - self._mdat_pos < 1 << 32:
+            self.f.seek(self._mdat_pos)
+            self.f.write(struct.pack(">I", end - self._mdat_pos))
+        else:
+            # >4 GiB: consume the reserved `free` box as a 16-byte
+            # size=1 + largesize mdat header; the stale 8-byte 32-bit
+            # header becomes opaque payload bytes no sample offset touches
+            self.f.seek(self._free_pos)
+            self.f.write(struct.pack(">I", 1) + b"mdat"
+                         + struct.pack(">Q", end - self._free_pos))
         self.f.seek(end)
         self.f.write(self._moov())
         self.f.flush()
@@ -256,9 +275,13 @@ def parse_boxes(data: bytes, start: int = 0, end: int | None = None):
     while pos + 8 <= end:
         size = struct.unpack(">I", data[pos:pos + 4])[0]
         typ = data[pos + 4:pos + 8]
+        payload = pos + 8
+        if size == 1:                   # 64-bit largesize (ISO 14496-12 §4.2)
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            payload = pos + 16
         if size < 8 or pos + size > end:
             raise ValueError(f"bad box {typ!r} size {size} at {pos}")
-        yield typ, pos + 8, pos + size
+        yield typ, payload, pos + size
         pos += size
     if pos != end:
         raise ValueError(f"trailing {end - pos} bytes after last box")

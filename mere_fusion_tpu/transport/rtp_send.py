@@ -52,16 +52,25 @@ class _RtpStream:
         self.pt = pt
         self.clock_rate = clock_rate
         self.ssrc = secrets.randbits(32)
+        # 32-bit packet counter: the RTP header carries the low 16 bits,
+        # RFC 4175 payloads prepend the high 16 as the extended sequence
+        # number (it is a per-stream counter, NOT per-frame — at 512² RGB /
+        # 25 fps the 16-bit base wraps every ~5 s)
         self.seq = secrets.randbits(16)
         self.packets = 0
         self.octets = 0
         self.rtcp_addr = rtcp_addr
         self._last_sr = 0.0
 
+    @property
+    def ext_seq(self) -> int:
+        """High 16 bits of the NEXT packet's 32-bit sequence number."""
+        return (self.seq >> 16) & 0xFFFF
+
     def send(self, payload: bytes, ts: int, marker: bool) -> None:
         hdr = _rtp_header(self.pt, self.seq, ts, self.ssrc, marker)
         self.sock.sendto(hdr + payload, self.addr)
-        self.seq = (self.seq + 1) & 0xFFFF
+        self.seq = (self.seq + 1) & 0xFFFFFFFF
         self.packets += 1
         self.octets += len(payload)
 
@@ -113,7 +122,6 @@ class RtpSender:
         rgb = np.ascontiguousarray(image_bgr[..., ::-1])
         h, w = rgb.shape[:2]
         row_bytes = rgb.reshape(h, w * 3)
-        ext_seq = 0  # single-frame bursts never wrap the 16-bit base seq
         line = 0
         offset_px = 0  # pixel offset within the current line
         while line < h:
@@ -132,7 +140,7 @@ class RtpSender:
                 if probe_off >= w:
                     probe_line += 1
                     probe_off = 0
-            payload = bytearray(struct.pack("!H", ext_seq))
+            payload = bytearray(struct.pack("!H", self.video.ext_seq))
             for i, (ln, off, nbytes) in enumerate(segments):
                 cont = 0x8000 if i + 1 < len(segments) else 0
                 payload += struct.pack(

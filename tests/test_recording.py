@@ -48,7 +48,7 @@ def test_recording_writes_single_mp4(tmp_path):
         time.sleep(0.2)
     data = open(out, "rb").read()
     top = [t for t, _, _ in parse_boxes(data)]
-    assert top == [b"ftyp", b"mdat", b"moov"], top
+    assert top == [b"ftyp", b"free", b"mdat", b"moov"], top
 
 
 def test_mp4_box_layout_and_samples():
@@ -71,7 +71,7 @@ def test_mp4_box_layout_and_samples():
     data = f.getvalue()
 
     kids = _children(data, 0, len(data))
-    assert set(kids) == {b"ftyp", b"mdat", b"moov"}
+    assert set(kids) == {b"ftyp", b"free", b"mdat", b"moov"}
     moov = kids[b"moov"]
     traks = [(s, e) for t, s, e in parse_boxes(data, *moov) if t == b"trak"]
     assert len(traks) == 2
@@ -147,3 +147,55 @@ def test_mp4_audio_reblocking_and_tail_pad():
     assert (tail[:180] == np.arange(320, 500)).all()
     assert (tail[180:280] == np.arange(100)).all()
     assert (tail[280:] == 0).all()
+
+
+def test_mp4_4gib_recording_uses_largesize_and_co64(tmp_path):
+    """Recordings past 4 GiB must stay playable: close() rewrites the
+    reserved `free` box as a 64-bit (size=1 + largesize) mdat header and
+    the chunk-offset tables switch stco → co64 (ISO 14496-12 §4.2, §8.7.5).
+    The file is written sparse so the test costs no real disk."""
+    import cv2
+
+    p = tmp_path / "big.mp4"
+    with open(p, "w+b") as f:
+        w = MP4Writer(f, 16, 16, fps=25.0, sample_rate=16000)
+        w.write_video(np.zeros((16, 16, 3), np.uint8))
+        w.write_audio(np.zeros(320, np.int16))
+        # simulate hours of recording: jump the write head past 4 GiB
+        f.seek((1 << 32) + 64)
+        w.write_video(np.full((16, 16, 3), 255, np.uint8))
+        w.write_audio(np.full(320, 1234, np.int16))
+        w.close()
+        end = f.tell()
+
+    with open(p, "rb") as f:
+        head = f.read(64)
+        # ftyp, then the rewritten 16-byte largesize mdat header
+        ftyp_size = struct.unpack(">I", head[:4])[0]
+        assert head[ftyp_size + 4:ftyp_size + 8] == b"mdat"
+        assert struct.unpack(">I", head[ftyp_size:ftyp_size + 4])[0] == 1
+        (largesize,) = struct.unpack(
+            ">Q", head[ftyp_size + 8:ftyp_size + 16])
+        f.seek(0, os.SEEK_END)
+        file_end = f.tell()
+        moov_size = file_end - (ftyp_size + largesize)
+        assert moov_size > 0
+        f.seek(ftyp_size + largesize)
+        moov = f.read(moov_size)
+    assert moov[4:8] == b"moov"
+    assert b"co64" in moov and b"stco" not in moov
+    # co64 offsets point at the real samples: decode the second video frame
+    i = moov.find(b"co64")
+    (n_off,) = struct.unpack(">I", moov[i + 8:i + 12])
+    assert n_off == 2
+    offs = struct.unpack(">2Q", moov[i + 12:i + 28])
+    assert offs[1] > (1 << 32)
+    sizes_i = moov.find(b"stsz")
+    _, count = struct.unpack(">II", moov[sizes_i + 8:sizes_i + 16])
+    assert count == 2
+    size2 = struct.unpack(">I", moov[sizes_i + 20:sizes_i + 24])[0]
+    with open(p, "rb") as f:
+        f.seek(offs[1])
+        jpg = np.frombuffer(f.read(size2), np.uint8)
+    img = cv2.imdecode(jpg, cv2.IMREAD_COLOR)
+    assert img.shape == (16, 16, 3) and img.mean() > 250

@@ -62,6 +62,38 @@ def test_video_wide_lines_fragment():
     np.testing.assert_array_equal(got[0], frame)
 
 
+def test_video_extended_seq_is_32bit_counter():
+    """RFC 4175 §4.1: the extended sequence number is the HIGH 16 bits of a
+    32-bit per-stream packet counter (not a per-frame value). At 512² RGB /
+    25 fps the 16-bit base wraps every ~5 s, so a spec-compliant receiver
+    reconstructs (ext << 16) | seq — it must be monotonic across the wrap."""
+    rx, port = _udp_pair()
+    rx.settimeout(5.0)
+    sender = RtpSender("127.0.0.1", audio_port=1, video_port=port, rtcp=False)
+    sender.video.seq = 0xFFFD            # 3 packets from the 16-bit wrap
+    frame = np.zeros((8, 64, 3), np.uint8)
+    n_pkts_per_frame = None
+    seqs = []
+    for i in range(3):                   # enough packets to cross the wrap
+        sender.send_video(frame, ts=i * 3600)
+    sender.close()
+    while True:
+        try:
+            data, _ = rx.recvfrom(65536)
+        except socket.timeout:
+            break
+        base = struct.unpack("!H", data[2:4])[0]
+        ext = struct.unpack("!H", data[12:14])[0]   # first payload word
+        seqs.append((ext << 16) | base)
+        if len(seqs) >= 6:
+            break
+    rx.close()
+    assert len(seqs) >= 4
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs), seqs
+    # the wrap really happened inside this capture
+    assert any(s >= 0x10000 for s in seqs) and any(s < 0x10000 for s in seqs)
+
+
 def test_audio_roundtrip_l16():
     rx, port = _udp_pair()
     sender = RtpSender("127.0.0.1", audio_port=port, video_port=1, rtcp=False)
