@@ -97,8 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="musetalk UNet weights (.bin/.pth or orbax dir)")
     p.add_argument("--unet_config", default="",
                    help="musetalk.json UNet architecture")
-    p.add_argument("--vae_int8", action="store_true",
-                   help="int8 VAE decode (musetalk speed tier, PSNR-gated)")
+    p.add_argument("--vae_int8", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="int8 VAE decode (musetalk speed tier): auto "
+                        "(default) enables when the load-time PSNR gate "
+                        "passes on the loaded weights")
     p.add_argument("--whisper_ckpt", default="",
                    help="whisper-tiny weights for MuseASR features (.pt or orbax dir)")
     # ER-NeRF serving flags (reference app.py:550-707)

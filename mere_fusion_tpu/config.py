@@ -51,7 +51,10 @@ class AvatarConfig:
     batch_size: int = 16              # frames per device dispatch
     img_size: int = 96                # face crop size (wav2lip 96, musetalk 256)
     dtype: str = "bfloat16"           # compute dtype on device
-    vae_int8: bool = False            # int8 VAE decode (musetalk speed tier)
+    vae_int8: str = "auto"            # int8 VAE decode (musetalk speed
+                                      # tier): auto = enable when the
+                                      # load-time PSNR gate passes on the
+                                      # actual weights | on | off
     max_track_queue: int = 5          # render backpressure threshold (frames)
     # serving weights (reference loads these at engine start:
     # ./models/wav2lip.pth at lipreal.py:76; sd-vae + musetalk UNet + whisper

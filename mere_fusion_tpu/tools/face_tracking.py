@@ -202,15 +202,27 @@ def fit_landmarks_focal_sweep(
 
 def poses_from_fit(fit: dict) -> np.ndarray:
     """Per-frame camera-to-world matrices [F, 4, 4] from the fitted head
-    pose — the inverse rigid transform, what transforms.json stores
-    (reference: data_utils/process.py task 9 save_transforms)."""
+    pose — the inverse rigid transform in the reference's transforms.json
+    convention (data_utils/process.py:311-335 save_transforms).
+
+    Convention bridge: our tracker's camera puts the head at NEGATIVE z
+    with u = cx + f·X/depth, v = cy − f·Y/depth (face_tracking.project),
+    while the reference's tracker puts it at POSITIVE z with
+    u = cx − f·X/Z, v = cy + f·Y/Z (face_tracking/geo_transform.py:53-69
+    proj_geo) — the consumed-by-provider convention whose c2w looks along
+    +column-2. The two camera frames differ by a point reflection
+    (ref_cam = −ours_cam), so the exported rotation is −Rᵀ while the
+    camera position −Rᵀt is unchanged. Validated end-to-end by
+    tests/test_pipeline_train_e2e.py (a wrong sign breaks multi-view
+    consistency and the scene cannot train)."""
     euler = jnp.asarray(fit["euler"])
     trans = np.asarray(fit["trans"])
     rot = np.asarray(euler_to_rot(euler))
     f = rot.shape[0]
     out = np.tile(np.eye(4, dtype=np.float32), (f, 1, 1))
-    # world→cam is (R, t); cam→world is (Rᵀ, -Rᵀ t)
+    # world→cam is (R, t); cam→world is (Rᵀ, -Rᵀ t); reference frame flip
+    # negates the rotation block only
     rt = rot.transpose(0, 2, 1)
-    out[:, :3, :3] = rt
+    out[:, :3, :3] = -rt
     out[:, :3, 3] = -np.einsum("fij,fj->fi", rt, trans)
     return out

@@ -58,9 +58,11 @@ def test_fit_recovers_pose_and_focal():
 
     poses = poses_from_fit(fit)
     assert poses.shape == (f, 4, 4)
-    # c2w inverts the fitted rigid transform: R c2w[:3,:3] == I
+    # c2w inverts the fitted rigid transform INTO THE REFERENCE transforms
+    # convention (our camera frame is the point reflection of the
+    # reference's, so R c2w[:3,:3] == -I; see poses_from_fit)
     for i in range(f):
-        np.testing.assert_allclose(rec[i] @ poses[i, :3, :3], np.eye(3),
+        np.testing.assert_allclose(rec[i] @ poses[i, :3, :3], -np.eye(3),
                                    atol=1e-4)
 
 
