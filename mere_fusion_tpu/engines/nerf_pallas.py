@@ -53,21 +53,106 @@ from mere_fusion_tpu.config import Config
 from mere_fusion_tpu.models.ernerf.network import NeRFNetwork
 from mere_fusion_tpu.models.ernerf.renderer import (
     DensityGrid,
-    composite,
     get_rays,
     intersect_aabb,
     render_torso_background,
     select_occupied_depths,
 )
+from mere_fusion_tpu.ops.encoders import sh_encode
 from mere_fusion_tpu.ops.pallas_sampler import (
     SamplerSpec,
     from_tiles,
     pack_planes_major,
-    plan_jobs,
-    regroup_features,
-    sample_tiles,
+    plan_jobs_grouped,
+    sample_shade_tiles,
     to_tiles,
 )
+
+
+def _expand_enc_rows(w, spec: SamplerSpec, dtype):
+    """Lift a [3·C, n] weight block onto the kernel's padded plane-minor
+    feature basis [3·CP, n]: row p·C + c moves to p·cp + c, pad rows are
+    zero. Exact (a pure row permutation), so feats·W' == enc_x·W while the
+    [N, 3C] enc_x tensor never materializes."""
+    c, cp = spec.channels, spec.cp
+    idx = np.concatenate([np.arange(c) + p * cp for p in range(3)])
+    out = jnp.zeros((3 * cp, w.shape[-1]), dtype)
+    return out.at[jnp.asarray(idx)].set(w.astype(dtype))
+
+
+def shade_weights(params, spec: SamplerSpec, enc_a, ind, eye, dtype) -> dict:
+    """Pack the NeRF head weights into the fused sample+shade kernel's
+    operand layout (ops.pallas_sampler.SHADE_WEIGHTS).
+
+    Per-frame conditions are folded into the operands so the kernel sees
+    only matmul weights: enc_a into w_aud_sig (enc_w @ W == aud_ch @
+    (diag(enc_a) W)), the eye scalar into w_sig_e, the individual code into
+    col_bias. First-layer concats of forward_with_enc
+    (models/ernerf/network.py:231-247) become matmul adds — exact up to fp
+    summation order. Enc-consuming weights are lifted onto the padded
+    plane-minor 3·cp basis (_expand_enc_rows), so the sampler's register
+    rows feed the MXU directly."""
+    c3 = 3 * spec.channels
+    kern = lambda net, i: params[net][f"net_{i}"]["kernel"]
+    sw0 = kern("sigma_net", 0)
+    adim = enc_a.shape[-1]
+    hid = sw0.shape[1]
+    w = {
+        "wx_aud": _expand_enc_rows(kern("aud_ch_att_net", 0), spec, dtype),
+        "w_aud1": kern("aud_ch_att_net", 1).astype(dtype),
+        "wx_sig": _expand_enc_rows(sw0[:c3], spec, dtype),
+        "w_aud_sig": (enc_a[0][:, None] * sw0[c3:c3 + adim]).astype(dtype),
+        "wx_eye": _expand_enc_rows(kern("eye_att_net", 0), spec, dtype),
+        "w_eye1": jnp.zeros((16, 8), dtype)
+                  .at[:, :1].set(kern("eye_att_net", 1).astype(dtype)),
+        "w_sig1": kern("sigma_net", 1).astype(dtype),
+    }
+    if eye is not None and sw0.shape[0] > c3 + adim:
+        se = eye[0, 0] * sw0[c3 + adim]
+    else:
+        se = jnp.zeros((hid,), sw0.dtype)
+    w["w_sig_e"] = jnp.zeros((8, hid), dtype).at[0].set(se.astype(dtype))
+    s2 = kern("sigma_net", 2)                      # [hid, 1 + geo]
+    w["w_sigcol"] = (jnp.zeros((hid, 16), dtype)
+                     .at[:, 0].set(s2[:, 0].astype(dtype)))
+    w["w_geo"] = s2[:, 1:65].astype(dtype)
+    cw0 = kern("color_net", 0)                     # [16 + 64 (+ di), hid]
+    w["w_col_g"] = cw0[16:80].astype(dtype)
+    w["w_rgb"] = (jnp.zeros((64, 16), dtype)
+                  .at[:, 1:4].set(kern("color_net", 1).astype(dtype)))
+    if ind is not None and cw0.shape[0] > 80:
+        cb = (ind.astype(cw0.dtype) @ cw0[80:])[0]
+    else:
+        cb = jnp.zeros((cw0.shape[1],), cw0.dtype)
+    w["col_bias"] = jnp.zeros((8, cw0.shape[1]), dtype
+                              ).at[0].set(cb.astype(dtype))
+    return w
+
+
+def _composite_grouped(sigma, color, z_g, dt_r, valid_g, bg_rays,
+                       t_threshold: float = 1e-4):
+    """renderer.composite with the depth axis split (kg, ks) so it runs in
+    the kernel's group-major layout — the [N, k]/[N, k, 3] ray-major
+    transposes (≈8 ms at dense 512²) never happen. Same per-sample math:
+    within-group exclusive transmittance × exclusive product of whole-group
+    transmittances = the flat exclusive cumprod, up to fp regrouping.
+
+    sigma/z_g/valid_g [B, kg, rpt, ks], color [..., 3], dt_r [B, rpt],
+    bg_rays [B, rpt, 3] → (image [B, rpt, 3], weights_sum [B, rpt])."""
+    alpha = 1.0 - jnp.exp(-sigma * dt_r[:, None, :, None])
+    alpha = jnp.where(valid_g, alpha, 0.0)
+    am = 1.0 - alpha + 1e-10
+    cg = jnp.cumprod(am, axis=-1)                   # within-group inclusive
+    tau = cg[..., -1]                               # [B, kg, rpt]
+    cg_ex = jnp.concatenate([jnp.ones_like(cg[..., :1]), cg[..., :-1]], -1)
+    tg = jnp.cumprod(tau, axis=1)
+    tg_ex = jnp.concatenate([jnp.ones_like(tg[:, :1]), tg[:, :-1]], axis=1)
+    trans = tg_ex[..., None] * cg_ex                # [B, kg, rpt, ks]
+    weights = jnp.where(trans > t_threshold, alpha * trans, 0.0)
+    ws = weights.sum(axis=(1, 3))                   # [B, rpt]
+    image = ((weights[..., None] * color).sum(axis=(1, 3))
+             + (1.0 - ws)[..., None] * bg_rays)
+    return image, ws
 
 
 def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
@@ -135,8 +220,8 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
     # head MLPs in bf16 at inference (sigma/color are 64-wide matmuls; the
     # fp32 path is identical math at ~2x the MXU cost)
-    shade_net = (NeRFNetwork(network.cfg, dtype=jnp.bfloat16)
-                 if nc.shade_dtype == "bfloat16" else network)
+    shade_dtype = (jnp.bfloat16 if nc.shade_dtype == "bfloat16"
+                   else jnp.float32)
 
     # ONE jitted program per frame: plan + Pallas encode + audio conditions
     # (with the EMA smoothing functionalized) + shade + composite. Through
@@ -183,28 +268,53 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
         va_s = va[sel]
         zmin, zmax = sp[sel][..., 0], sp[sel][..., 1]      # [B, rpt]
-        kfrac = jnp.linspace(0.0, 1.0, k)
-        z = zmin[..., None] + (zmax - zmin)[..., None] * kfrac  # [B, rpt, K]
-        dt = ((zmax - zmin) / k)[..., None]
-        xyz = jnp.clip(
-            o_t[sel][:, :, None] + d_t[sel][:, :, None] * z[..., None],
+        ks = k // spec.kg
+        # everything downstream runs in the kernel's group-major sample
+        # order [B, kg, rpt, ks] (shade is order-blind; composite is
+        # group-chained) — built directly here, so no [·, 3]-minor
+        # regrouping transpose ever runs
+        kfrac = jnp.linspace(0.0, 1.0, k).reshape(spec.kg, ks)
+        span = zmax - zmin
+        z_g = (zmin[:, None, :, None]
+               + span[:, None, :, None] * kfrac[None, :, None, :])
+        dt_r = span / k                                    # [B, rpt]
+        o_s, d_s = o_t[sel], d_t[sel]                      # [B, rpt, 3]
+        xyz_g = jnp.clip(
+            o_s[:, None, :, None] + d_s[:, None, :, None] * z_g[..., None],
             -bound, bound,
-        )
-        valid_k = jnp.broadcast_to(va_s[..., None], (budget, rpt, k))
-        scalars, uv, _, overflow = plan_jobs(
-            xyz.reshape(budget, rpt * k, 3), valid_k, spec, bound
+        )                                                  # [B,kg,rpt,ks,3]
+        valid_g = jnp.broadcast_to(va_s[:, None, :, None],
+                                   (budget, spec.kg, rpt, ks))
+        scalars, uv, _, overflow = plan_jobs_grouped(
+            xyz_g.reshape(budget, spec.kg, spec.sg, 3),
+            valid_g.reshape(budget, spec.kg, spec.sg), spec, bound
         )
         n_overflow = (overflow & active[sel][:, None]).sum()
 
-        # ---- encode: windowed two-hot MXU sampling of the selected tiles
-        feats = sample_tiles(
+        # ---- encode + shade: ONE fused Pallas kernel. Each depth group's
+        # [sg, 3·cp] plane-minor feature rows are shaded through the NeRF
+        # heads while still VMEM registers — no [N, ·] feature tensor or
+        # MLP activation ever touches HBM (the XLA formulation spilled
+        # ~10 GB/frame of [4.2M, ≤64] activations at dense 512²). Per-ray
+        # conditions enter as folded weight operands + the dproj rows.
+        sh_ray = sh_encode(d_s.reshape(-1, 3), 4).reshape(budget, rpt, 16)
+        cw0 = variables["params"]["color_net"]["net_0"]["kernel"]
+        dproj = jnp.pad(
+            (sh_ray.astype(shade_dtype) @ cw0[:16].astype(shade_dtype)
+             ).astype(jnp.float32),
+            ((0, 0), (0, 0), (0, 64)),
+        )                                                  # [B, rpt, 128]
+        weights = shade_weights(variables["params"], spec, enc_a, ind,
+                                eye, shade_dtype)
+        sr = sample_shade_tiles(
             planes_major, scalars.reshape(-1),
-            uv.reshape(budget * 3, spec.kg, spec.sg, 2), spec,
-            interpret=interpret,
-        )
-        enc = regroup_features(feats, spec)            # [B, rpt, k, 3C]
+            uv.reshape(budget * 3, spec.kg, 2, spec.sg),
+            dproj, weights, spec, interpret=interpret,
+        )                                                  # [B, kg·sg, 16]
+        sigma = sr[..., 0].reshape(budget, spec.kg, rpt, ks)
+        color = sr[..., 1:4].reshape(budget, spec.kg, rpt, ks, 3)
 
-        # ---- shade + composite
+        # ---- composite (group-major; background from the torso net)
         if network.cfg.torso:
             def torso_fn(x, p):
                 c = (variables["params"]["individual_codes_torso"][:1]
@@ -215,24 +325,12 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             bg_color, _ = render_torso_background(
                 torso_fn, H, W, jnp.asarray(pose), bg_color
             )
-        m = budget * rpt
-        dirs = jnp.broadcast_to(
-            d_t[sel][:, :, None, :], (budget, rpt, k, 3)
-        ).reshape(-1, 3)
-        sigma, color, amb_aud, amb_eye, unc = shade_net.apply(
-            variables, enc.reshape(-1, 3 * channels), dirs, enc_a, ind, eye,
-            training=False, method=NeRFNetwork.forward_with_enc,
-        )
-        sigma = sigma.astype(jnp.float32)
-        color = color.astype(jnp.float32)
         bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
-        out = composite(
-            sigma.reshape(m, k), color.reshape(m, k, 3),
-            z.reshape(m, k), dt.reshape(m, 1),
-            valid_k.reshape(m, k), bg_t[sel].reshape(m, 3),
+        image, _ = _composite_grouped(
+            sigma, color, z_g, dt_r, valid_g, bg_t[sel]
         )
         # scatter compacted tiles back over a background-filled frame
-        img_t = bg_t.at[sel].set(out["image"].reshape(budget, rpt, 3))
+        img_t = bg_t.at[sel].set(image)
         img = jnp.clip(untile(img_t).reshape(H, W, 3), 0.0, 1.0)
         img = (img * 255).astype(jnp.uint8)
         return img, enc_a, n_active, n_overflow

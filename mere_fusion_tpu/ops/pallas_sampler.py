@@ -53,7 +53,8 @@ class SamplerSpec:
     wu: int = 64             # window extent along the contract axis
     wv: int = 32             # window extent along the lateral axis
     levels: int = 5          # mip levels (level 0 = full resolution)
-    ahead: int = 4           # DMA prefetch depth, in jobs (kg windows each)
+    ahead: int = 2           # DMA prefetch depth, in tile steps (3·kg windows
+                             # each; 2 measured equal to 3 at dense 512²)
 
     @property
     def cp(self) -> int:     # padded channels: v*cp must tile to 128 lanes
@@ -137,27 +138,30 @@ def pack_planes_major(planes: dict, spec: SamplerSpec) -> jax.Array:
     return stacked
 
 
-def _sampler_kernel(spec: SamplerSpec,
-                    jobs_ref, uv_ref, planes_ref, out_ref, win, sem):
-    """One grid step = one (tile, plane) job = spec.kg windowed passes.
+def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem):
+    """Shared core of the sampler kernels: windowed two-hot accumulation.
 
     DMA pipelining: each (job, group) window is a small (~64 KB) HBM→VMEM
     copy whose wire latency exceeds the group's matmul time, so a 2-deep
-    pipeline serializes on DMA latency (measured 6.3 µs/job at 512² dense —
-    the frame bottleneck). Windows are therefore prefetched `spec.ahead`
-    JOBS ahead (ahead·kg copies in flight) into a rotating slot ring:
-    pair (j, g) lives in slot (j % ahead)·kg + g, is waited right before
-    its matmul, and its slot is re-armed with pair (j+ahead, g) immediately
-    after — keeping the DMA engine continuously queued so throughput
-    approaches the HBM-bandwidth floor instead of the latency product."""
+    pipeline serializes on DMA latency. Windows are therefore prefetched
+    `spec.ahead` STEPS ahead (ahead·3·kg copies in flight) into a rotating
+    slot ring: triple (step, q, g) lives in slot
+    (step % ahead)·3·kg + q·kg + g, is waited right before its matmul, and
+    its slot is re-armed with the matching window `ahead` steps out —
+    keeping the DMA engine continuously queued.
+
+    Returns (prefetch, group_acc): prefetch(ni) arms the first `ahead`
+    steps' copies; group_acc(uv_ref, i, ni, g) waits/re-arms group g's
+    three plane windows and returns its PLANE-MINOR feature rows
+    [sg, 3·cp] f32 — plane q's channels land at lane offset q·cp via the
+    per-plane selector matmul, so the per-sample triplane concat exists in
+    registers and never needs a relayout."""
     wu, wv, cp, sg, kg = spec.wu, spec.wv, spec.cp, spec.sg, spec.kg
     ahead = spec.ahead
-    j = pl.program_id(0)
-    nj = pl.num_programs(0)
     stride = 1 + 2 * kg   # per-job scalars: plane, kg*(ou, ov)
 
-    def copy(job, g, slot):
-        base = job * stride
+    def copy(step, q, g, slot):
+        base = (step * 3 + q) * stride
         p = jobs_ref[base]
         ou = pl.multiple_of(jobs_ref[base + 1 + 2 * g], 8)
         ov = pl.multiple_of(jobs_ref[base + 1 + 2 * g + 1], 8)
@@ -167,61 +171,217 @@ def _sampler_kernel(spec: SamplerSpec,
             win.at[slot], sem.at[slot],
         )
 
-    @pl.when(j == 0)
-    def _():
+    def prefetch(ni):
         for a in range(ahead):                   # static unroll
-            @pl.when(a < nj)
+            @pl.when(a < ni)
             def _(a=a):
-                for g in range(kg):
-                    copy(a, g, a * kg + g).start()
+                for q in range(3):
+                    for g in range(kg):
+                        copy(a, q, g, (a * 3 + q) * kg + g).start()
 
     # loop-invariant tent lattices
     uu = jax.lax.broadcasted_iota(jnp.int32, (sg, wu), 1).astype(jnp.float32)
     vx = (jax.lax.broadcasted_iota(jnp.int32, (sg, wv * cp), 1) // cp
           ).astype(jnp.float32)
-    # channel-selector for the final regroup matmul: G[x, c] = (x % cp == c)
+    # per-plane channel selectors: G_q[x, q·cp + c] = (x % cp == c) — one
+    # matmul per plane finishes the v-regroup AND places the plane's
+    # channels at its lane offset in the [sg, 3·cp] output row
     fold_to = min(128, wv * cp)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (fold_to, cp), 0) % cp
-    gc = jax.lax.broadcasted_iota(jnp.int32, (fold_to, cp), 1)
-    gsel = (gx == gc).astype(jnp.float32)
-    cyc = (j % ahead) * kg
+    gx = jax.lax.broadcasted_iota(jnp.int32, (fold_to, 3 * cp), 0) % cp
+    gc = jax.lax.broadcasted_iota(jnp.int32, (fold_to, 3 * cp), 1)
+    gsels = [(gx + q * cp == gc).astype(jnp.float32) for q in range(3)]
 
-    for g in range(kg):                          # static unroll
-        slot = cyc + g
-        base = j * stride
-        ou = jobs_ref[base + 1 + 2 * g].astype(jnp.float32)
-        ov = jobs_ref[base + 1 + 2 * g + 1].astype(jnp.float32)
-        u = uv_ref[0, g, :, 0] - ou
-        v = uv_ref[0, g, :, 1] - ov
-        # clamp into the window interior (planner keeps overflow rare)
-        u = jnp.clip(u, 0.0, wu - 1.001)
-        v = jnp.clip(v, 0.0, wv - 1.001)
-        # bilinear two-hot == tent weights at integer lanes
-        tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u[:, None])
-                         ).astype(jnp.bfloat16)
-        tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v[:, None]))
-        copy(j, g, slot).wait()
-        m1 = jnp.dot(tu, win[slot], preferred_element_type=jnp.float32)
-        # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: fold the
-        # lane tree (f32-exact shift+adds) only down to 128 lanes, then one
-        # [sg,128]@[128,cp] selector matmul finishes the regroup. Folding
-        # all the way to cp serializes log2(wv·cp/cp) VPU passes on
-        # ever-narrower vectors (sub-lane shifts are the slow ones); a full
-        # [wv·cp, cp] selector matmul instead wastes 8× MXU on the padded
-        # N=cp. The 128-lane crossover is the measured optimum
-        # (21.3→18.6 ms on the dense 512² job set).
-        acc = m1 * tvc
-        half = wv * cp
-        while half > fold_to:
-            half //= 2
-            acc = acc[:, :half] + acc[:, half:2 * half]
-        out_ref[0, g] = jnp.dot(acc, gsel,
-                                preferred_element_type=jnp.float32
-                                ).astype(jnp.bfloat16)
-        # re-arm the slot with the same group of the job `ahead` steps out
-        @pl.when(j + ahead < nj)
-        def _(g=g, slot=slot):
-            copy(j + ahead, g, slot).start()
+    def group_acc(uv_ref, i, ni, g):
+        cyc = (i % ahead) * 3 * kg
+        accs = []
+        for q in range(3):
+            slot = cyc + q * kg + g
+            base = (i * 3 + q) * stride
+            ou = jobs_ref[base + 1 + 2 * g].astype(jnp.float32)
+            ov = jobs_ref[base + 1 + 2 * g + 1].astype(jnp.float32)
+            u = uv_ref[q, g, 0, :] - ou
+            v = uv_ref[q, g, 1, :] - ov
+            # clamp into the window interior (planner keeps overflow rare)
+            u = jnp.clip(u, 0.0, wu - 1.001)
+            v = jnp.clip(v, 0.0, wv - 1.001)
+            # bilinear two-hot == tent weights at integer lanes
+            tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u[:, None])
+                             ).astype(jnp.bfloat16)
+            tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v[:, None]))
+            copy(i, q, g, slot).wait()
+            m1 = jnp.dot(tu, win[slot], preferred_element_type=jnp.float32)
+            # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: fold
+            # the lane tree (f32-exact shift+adds) only down to 128 lanes,
+            # then one [sg,128]@[128,3cp] selector matmul finishes the
+            # regroup. Folding all the way to cp serializes log2 VPU passes
+            # on ever-narrower vectors; the 128-lane crossover is the
+            # measured optimum (21.3→18.6 ms on the dense 512² job set).
+            acc = m1 * tvc
+            half = wv * cp
+            while half > fold_to:
+                half //= 2
+                acc = acc[:, :half] + acc[:, half:2 * half]
+            accs.append(jnp.dot(acc, gsels[q],
+                                preferred_element_type=jnp.float32))
+            # re-arm the slot with the matching window `ahead` steps out
+            @pl.when(i + ahead < ni)
+            def _(q=q, g=g, slot=slot):
+                copy(i + ahead, q, g, slot).start()
+
+        return accs[0] + accs[1] + accs[2]
+
+    return prefetch, group_acc
+
+
+def _sampler_kernel(spec: SamplerSpec,
+                    jobs_ref, uv_ref, planes_ref, out_ref, win, sem):
+    """One grid step = one TILE = 3 plane jobs x spec.kg windowed passes,
+    emitting plane-minor features [1, kg, sg, 3·cp] (see
+    _window_machinery)."""
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    prefetch, group_acc = _window_machinery(spec, jobs_ref, planes_ref,
+                                            win, sem)
+
+    @pl.when(i == 0)
+    def _():
+        prefetch(ni)
+
+    for g in range(spec.kg):                     # static unroll
+        out_ref[0, g] = group_acc(uv_ref, i, ni, g).astype(jnp.bfloat16)
+
+
+#: packed shade-weight operand names, in kernel argument order. All are
+#: [rows, lanes] arrays in the shade dtype; see engines.nerf_pallas.
+#: shade_weights for how each is derived from the NeRFNetwork params.
+SHADE_WEIGHTS = (
+    "wx_aud",    # [3cp, 64]  aud_ch_att_net.net_0, rows lifted to 3·cp
+    "w_aud1",    # [64, A]    aud_ch_att_net.net_1
+    "wx_sig",    # [3cp, 64]  sigma_net.net_0 rows :3C, lifted
+    "w_aud_sig",  # [A, 64]   diag(enc_a) · sigma_net.net_0 rows 3C:3C+A
+    "wx_eye",    # [3cp, 16]  eye_att_net.net_0, lifted (zeros if no eye)
+    "w_eye1",    # [16, 8]    eye_att_net.net_1 in col 0
+    "w_sig_e",   # [8, 64]    row 0 = eye_scalar · sigma_net.net_0 row 3C+A
+    "w_sig1",    # [64, 64]   sigma_net.net_1
+    "w_sigcol",  # [64, 16]   sigma_net.net_2 col 0 (σ) in col 0
+    "w_geo",     # [64, 64]   sigma_net.net_2 cols 1:65 (geo_feat)
+    "w_col_g",   # [64, 64]   color_net.net_0 rows 16:80 (geo part)
+    "w_rgb",     # [64, 16]   color_net.net_1 cols 0:3 placed at cols 1:4
+    "col_bias",  # [8, 64]    row 0 = ind · color_net.net_0 rows 80: (or 0)
+)
+
+
+def _shade_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
+                  *refs):
+    """Fused sample+shade: the NeRF heads run on each depth group's
+    [sg, 3·cp] feature rows while they are still VMEM registers.
+
+    Shading 4.2M samples through the 64-wide heads as XLA HLOs costs
+    13-26 ms at dense 512² — every matmul boundary spills an [N, ≤64]
+    activation to HBM (~20 sweeps ≈ 10 GB of traffic). In-kernel, the
+    whole chain is ~10 small MXU ops per (tile, group) with zero HBM
+    spill, and the kernel's output shrinks from [N, 3cp] features (400 MB)
+    to σ+rgb (268 MB f32, lanes 0..3 of 16).
+
+    Math mirrors NeRFNetwork.forward_with_enc (models/ernerf/network.py:
+    231-247, density 203-222; reference ernerf network.py:178-221) with
+    per-frame constants folded into the weight operands (see
+    SHADE_WEIGHTS): enc_a into w_aud_sig, the eye scalar into w_sig_e, the
+    individual code into col_bias, and the per-ray SH·W_d projection
+    arriving as the dproj input. First-layer concats become matmul adds —
+    exact up to fp summation order."""
+    *weights, planes_ref, out_ref, win, sem = refs
+    w = dict(zip(SHADE_WEIGHTS, weights))
+    sg, kg, cp = spec.sg, spec.kg, spec.cp
+    rpt = spec.rays_per_tile
+    ks = sg // rpt
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    prefetch, group_acc = _window_machinery(spec, jobs_ref, planes_ref,
+                                            win, sem)
+
+    @pl.when(i == 0)
+    def _():
+        prefetch(ni)
+
+    dtype = w["wx_aud"].dtype
+    f32 = jnp.float32
+    mm = lambda a, b: jnp.dot(a.astype(dtype), b[...],
+                              preferred_element_type=f32)
+    ns = kg * sg
+    # per-ray dir projection rows → per-sample rows in the concatenated
+    # [kg·sg] group-major order: sublane broadcast over (kg, ks) then a
+    # no-op merge (minor stays a full 128 lanes)
+    dp = dproj_ref[0]                                     # [rpt, 128]
+    dsamp = jnp.broadcast_to(dp[None, :, None, :], (kg, rpt, ks, 128)
+                             ).reshape(ns, 128)[:, :64]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ns, 16), 1)
+    m_sig = lane == 0
+    m_rgb = (lane >= 1) & (lane <= 3)
+
+    # accumulate ALL depth groups first, then shade them as ONE [kg·sg, ·]
+    # batch: per-matmul issue overhead dominates at [sg, ·] granularity
+    # (48 MXU issues/step cost +16 ms at dense 512²; batched it's 12)
+    x = jnp.concatenate(
+        [group_acc(uv_ref, i, ni, g) for g in range(kg)], axis=0)
+    aud_h = jax.nn.relu(mm(x, w["wx_aud"]))
+    aud_ch = mm(aud_h, w["w_aud1"])                       # [ns, A]
+    h = mm(x, w["wx_sig"]) + mm(aud_ch, w["w_aud_sig"])
+    eye_h = jax.nn.relu(mm(x, w["wx_eye"]))
+    eye_att = jax.nn.sigmoid(mm(eye_h, w["w_eye1"])[:, :1])
+    h = jax.nn.relu(h + eye_att * w["w_sig_e"][:1].astype(f32))
+    h = jax.nn.relu(mm(h, w["w_sig1"]))
+    sig_p = mm(h, w["w_sigcol"])                          # [ns, 16] col 0
+    geo = mm(h, w["w_geo"])                               # [ns, 64]
+    ch = mm(geo, w["w_col_g"]) + dsamp + w["col_bias"][:1].astype(f32)
+    rgb_p = mm(jax.nn.relu(ch), w["w_rgb"])               # [ns, 16] cols 1:4
+    out_ref[0] = (jnp.where(m_sig, jnp.exp(sig_p), 0.0)
+                  + jnp.where(m_rgb,
+                              jax.nn.sigmoid(rgb_p) * (1 + 2 * 0.001)
+                              - 0.001,
+                              0.0))
+
+
+def sample_shade_tiles(planes_major: jax.Array, jobs: jax.Array,
+                       uv: jax.Array, dproj: jax.Array, weights: dict,
+                       spec: SamplerSpec,
+                       interpret: bool = False) -> jax.Array:
+    """Fused sample+shade kernel (see _shade_kernel).
+
+    planes_major: [3, R, R*CP]; jobs/uv as sample_tiles;
+    dproj: [J//3, rpt, 128] per-ray color-dir projections (lanes 64: zero);
+    weights: dict matching SHADE_WEIGHTS.
+    Returns [J//3, kg·sg, 16] float32 — σ at lane 0, rgb at lanes 1:4,
+    rows in group-major (kg, rpt, k/kg) sample order.
+    """
+    j = uv.shape[0]
+    t = j // 3
+    kernel = functools.partial(_shade_kernel, spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, spec.kg, 2, spec.sg), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.rays_per_tile, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in SHADE_WEIGHTS] + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, spec.kg * spec.sg, 16),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, spec.kg * spec.sg, 16),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
+                        spec.wv * spec.cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
+        ],
+        interpret=interpret,
+    )(jobs, uv, dproj, *[weights[k] for k in SHADE_WEIGHTS], planes_major)
 
 
 def sample_tiles(planes_major: jax.Array, jobs: jax.Array, uv: jax.Array,
@@ -230,32 +390,39 @@ def sample_tiles(planes_major: jax.Array, jobs: jax.Array, uv: jax.Array,
 
     planes_major: [3, R, R*CP] from pack_planes_major
     jobs: [J * (1 + 2*kg)] int32 — per job: plane_id, then (ou, ov) per
-          depth group (ou % 8 == 0, ov % 8 == 0). All jobs run: the caller
-          compacts away inactive tiles (and pads with duplicates), keeping
-          the double-buffered DMA chain unconditional.
-    uv:   [J, kg, sg, 2] float32 texel coords (u = contract axis)
-    returns [J, kg, sg, CP] bfloat16 features (channels [C:] are zero)
+          depth group (ou % 8 == 0, ov % 8 == 0), jobs ordered plane-minor
+          (job = tile·3 + plane). All jobs run: the caller compacts away
+          inactive tiles (and pads with duplicates), keeping the
+          double-buffered DMA chain unconditional.
+    uv:   [J, kg, 2, sg] float32 texel coords, lane-major rows (u row 0,
+          v row 1) — sg on the minor axis so the per-step block DMA moves
+          packed lanes instead of 64×-padded pairs.
+    returns [J//3, kg, sg, 3*CP] bfloat16: per-sample triplane features
+          with plane p's channels at lanes [p·cp, p·cp+C) — reshape to
+          [J//3·kg·sg, 3·cp] is free, so the MLP consumes it without the
+          former full-tensor regroup relayout.
     """
     j = uv.shape[0]
+    t = j // 3
     kernel = functools.partial(_sampler_kernel, spec)
     return pl.pallas_call(
         kernel,
-        grid=(j,),
+        grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, spec.kg, spec.sg, 2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((3, spec.kg, 2, spec.sg), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, spec.kg, spec.sg, spec.cp),
+        out_specs=pl.BlockSpec((1, spec.kg, spec.sg, 3 * spec.cp),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((j, spec.kg, spec.sg, spec.cp),
+        out_shape=jax.ShapeDtypeStruct((t, spec.kg, spec.sg, 3 * spec.cp),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((spec.ahead * spec.kg, spec.wu, spec.wv * spec.cp),
-                       jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((spec.ahead * spec.kg,)),
+            pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
+                        spec.wv * spec.cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
         ],
         interpret=interpret,
     )(jobs, uv, planes_major)
@@ -301,36 +468,50 @@ def plan_jobs(xyz_tiles: jnp.ndarray, valid_tiles: jnp.ndarray,
                ordered [ray, k] — regrouped here into kg depth groups of
                consecutive k indices.
     valid_tiles: [T, rays_per_tile, k] bool.
-    Returns (scalars [T, 3, 1+2kg] int32, uv [T, 3, kg, sg, 2] f32,
-             active [T] bool, overflow [T, 3] bool). The caller gathers
-             active tiles (fixed budget) and flattens before sample_tiles.
+    Returns (scalars [T, 3, 1+2kg] int32, uv [T, 3, kg, 2, sg] f32
+             lane-major rows (u row 0, v row 1 — the kernel's DMA-packed
+             layout), active [T] bool, overflow [T, 3] bool). The caller
+             gathers active tiles (fixed budget) and flattens before
+             sample_tiles.
     """
     t = xyz_tiles.shape[0]
     rpt, k, kg = spec.rays_per_tile, spec.k, spec.kg
     ks = k // kg
+    # depth groups: consecutive k indices → [T, kg, rpt*ks, 3]
+    xyz_g = (xyz_tiles.reshape(t, rpt, kg, ks, 3)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(t, kg, rpt * ks, 3))
+    valid_g = (valid_tiles.reshape(t, rpt, kg, ks).transpose(0, 2, 1, 3)
+               .reshape(t, kg, rpt * ks))
+    return plan_jobs_grouped(xyz_g, valid_g, spec, bound)
+
+
+def plan_jobs_grouped(xyz_g: jnp.ndarray, valid_g: jnp.ndarray,
+                      spec: SamplerSpec, bound: float):
+    """plan_jobs for positions already in the kernel's group-major sample
+    order: xyz_g [T, kg, sg, 3], valid_g [T, kg, sg] (sg = rpt·(k/kg)).
+    Callers that build sample positions directly in group-major order (the
+    engine does — it also shades and composites group-major) skip the
+    [T, rpt·k, 3] regrouping transpose entirely."""
+    t = xyz_g.shape[0]
+    kg = spec.kg
     r = spec.resolution
     scale = r / (2.0 * bound)
 
     # texel coords per plane: u = contract axis, v = lateral axis
-    tex = (xyz_tiles + bound) * scale - 0.5          # [T, rpt*k, 3] texels
-    tex = tex.reshape(t, rpt, k, 3)
-    # depth groups: consecutive k indices → [T, kg, rpt*ks, 3]
-    tex = (tex.reshape(t, rpt, kg, ks, 3)
-              .transpose(0, 2, 1, 3, 4)
-              .reshape(t, kg, rpt * ks, 3))
+    tex = (xyz_g + bound) * scale - 0.5              # [T, kg, sg, 3] texels
     x, y, z = tex[..., 0], tex[..., 1], tex[..., 2]
     # plane (u, v): xy → (x, y); yz → (z, y); xz → (z, x)
     uv = jnp.stack([
-        jnp.stack([x, y], axis=-1),
-        jnp.stack([z, y], axis=-1),
-        jnp.stack([z, x], axis=-1),
-    ], axis=1)                                        # [T, 3, kg, sg, 2]
+        jnp.stack([x, y], axis=2),
+        jnp.stack([z, y], axis=2),
+        jnp.stack([z, x], axis=2),
+    ], axis=1)                                        # [T, 3, kg, 2, sg]
 
-    vmask = valid_tiles.reshape(t, rpt, kg, ks).transpose(0, 2, 1, 3)
-    vmask = vmask.reshape(t, 1, kg, rpt * ks, 1)
+    vmask = valid_g.reshape(t, 1, kg, 1, -1)
     big = jnp.float32(1e9)
-    lo = jnp.min(jnp.where(vmask, uv, big), axis=3)              # [T,3,kg,2]
-    hi = jnp.max(jnp.where(vmask, uv, -big), axis=3)
+    lo = jnp.min(jnp.where(vmask, uv, big), axis=4)              # [T,3,kg,2]
+    hi = jnp.max(jnp.where(vmask, uv, -big), axis=4)
     ext = jnp.clip(hi - lo, 0.0, None)
 
     # mip level per (tile, plane, group): coarsest-needed so the footprint
@@ -356,8 +537,8 @@ def plan_jobs(xyz_tiles: jnp.ndarray, valid_tiles: jnp.ndarray,
                   jnp.maximum(rl.astype(jnp.int32) - spec.wv, 0))
     ou = ou + mip_base                       # absolute row in the mip stack
     # the kernel subtracts the absolute origin, so lift u to absolute rows
-    uv = uv.at[..., 0].add(mip_base[..., None].astype(jnp.float32))
-    active = valid_tiles.reshape(t, -1).any(axis=-1)
+    uv = uv.at[..., 0, :].add(mip_base[..., None].astype(jnp.float32))
+    active = valid_g.reshape(t, -1).any(axis=-1)
 
     plane_id = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None], (t, 3))
     scalars = jnp.concatenate(
@@ -365,18 +546,33 @@ def plan_jobs(xyz_tiles: jnp.ndarray, valid_tiles: jnp.ndarray,
          jnp.stack([ou, ov], axis=-1).reshape(t, 3, 2 * kg)],
         axis=-1,
     )                                                  # [T, 3, 1+2kg]
-    uv_jobs = uv.reshape(t, 3, kg, rpt * ks, 2)
-    return scalars, uv_jobs, active, overflow.reshape(t, 3)
+    return scalars, uv, active, overflow.reshape(t, 3)
+
+
+def enc_selector(spec: SamplerSpec, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[3·CP, 3·C] 0/1 matrix S with S[p·cp + c, p·C + c] = 1: maps the
+    kernel's padded plane-minor feature rows (free reshape of its output)
+    onto the MLP's enc_x basis (encode_x_baked concat order xy, yz, xz) as
+    ONE matmul — exact (0/1 weights) and MXU-fast, replacing the former
+    full-tensor regroup relayout."""
+    cp, c = spec.cp, spec.channels
+    rows = np.arange(3 * cp)
+    p, ch = rows // cp, rows % cp
+    s = np.zeros((3 * cp, 3 * c), np.float32)
+    keep = ch < c
+    s[rows[keep], (p * c + ch)[keep]] = 1.0
+    return jnp.asarray(s, dtype)
 
 
 def regroup_features(feats: jnp.ndarray, spec: SamplerSpec) -> jnp.ndarray:
-    """Kernel output [T*3, kg, sg, CP] → per-sample triplane features
+    """Kernel output [T, kg, sg, 3·CP] → per-sample triplane features
     [T, rpt, k, 3*C] in the concat order of ops.triplane_bake.encode_x_baked
-    (xy, yz, xz)."""
-    t3 = feats.shape[0]
-    t = t3 // 3
+    (xy, yz, xz). Kept for parity tests and ray-major consumers; the engine
+    hot path instead reshapes the kernel output to [N, 3·cp] for free and
+    applies enc_selector inside the shade matmul."""
+    t = feats.shape[0]
     rpt, k, kg, c = spec.rays_per_tile, spec.k, spec.kg, spec.channels
     ks = k // kg
-    f = feats.reshape(t, 3, kg, rpt, ks, spec.cp)[..., :c]
-    f = f.transpose(0, 3, 2, 4, 1, 5)                  # [T, rpt, kg, ks, 3, C]
+    f = feats.reshape(t, kg, rpt, ks, 3, spec.cp)[..., :c]
+    f = f.transpose(0, 2, 1, 3, 4, 5)                  # [T, rpt, kg, ks, 3, C]
     return f.reshape(t, rpt, k, 3 * c)

@@ -58,7 +58,7 @@ def test_plan_and_sample_matches_xla_bilinear():
     assert not bool(overflow.any()), "test geometry must fit the windows"
     packed = pack_planes_major(planes, spec)
     feats = sample_tiles(packed, scalars.reshape(-1), uv.reshape(
-        t * 3, spec.kg, spec.sg, 2), spec, interpret=True)
+        t * 3, spec.kg, 2, spec.sg), spec, interpret=True)
     enc = regroup_features(feats, spec)               # [T, rpt, k, 3C]
 
     ref = encode_x_baked(
@@ -90,7 +90,7 @@ def test_lod_absorbs_wide_spans_exactly_on_linear_fields():
     assert not bool(overflow.any()), "LOD must absorb the wide span"
     packed = pack_planes_major(planes, spec)
     feats = sample_tiles(packed, scalars.reshape(-1),
-                         uv.reshape(t * 3, spec.kg, spec.sg, 2), spec,
+                         uv.reshape(t * 3, spec.kg, 2, spec.sg), spec,
                          interpret=True)
     enc = regroup_features(feats, spec)
     ref = encode_x_baked(planes, xyz.reshape(-1, 3), BOUND, "bilinear"
@@ -108,3 +108,28 @@ def test_tile_permutation_roundtrip():
     inv[perm] = np.arange(perm.size)
     x = np.arange(16 * 32)
     np.testing.assert_array_equal(x[perm][inv], x)
+
+
+def test_enc_selector_matches_regroup():
+    """The engine hot path (free reshape + 0/1 selector matmul) must equal
+    regroup_features up to sample reordering: row ((t·kg + g)·rpt + r)·ks + j
+    of the flat enc corresponds to enc_ref[t, r, g·ks + j]."""
+    from mere_fusion_tpu.ops.pallas_sampler import enc_selector
+
+    spec, planes, xyz, valid = make_setup()
+    t = xyz.shape[0]
+    scalars, uv, _, _ = plan_jobs(xyz.reshape(t, -1, 3), valid, spec, BOUND)
+    packed = pack_planes_major(planes, spec)
+    feats = sample_tiles(packed, scalars.reshape(-1),
+                         uv.reshape(t * 3, spec.kg, 2, spec.sg), spec,
+                         interpret=True)
+    enc_ref = regroup_features(feats, spec)            # [T, rpt, k, 3C]
+    flat = jnp.dot(feats.reshape(-1, 3 * spec.cp),
+                   enc_selector(spec, feats.dtype),
+                   preferred_element_type=feats.dtype)
+    ks = spec.k // spec.kg
+    got = (np.asarray(flat)
+           .reshape(t, spec.kg, spec.rays_per_tile, ks, 3 * spec.channels)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(t, spec.rays_per_tile, spec.k, 3 * spec.channels))
+    np.testing.assert_allclose(got, np.asarray(enc_ref), rtol=0, atol=0)
