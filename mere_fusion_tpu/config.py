@@ -175,6 +175,12 @@ class NeRFConfig:
     pallas_window_u: int = 64         # texture window, contract (depth) axis
     pallas_window_v: int = 32         # texture window, lateral axis
     pallas_depth_groups: int = 4      # depth groups per ray (even, divides K)
+    # pixel tile shape per sampler job. 16×8 halves the grid-step count vs
+    # 8×8 (same FLOPs, half the per-step fixed cost: measured 40.1→35.9 ms
+    # on the dense 512² job set) at the price of a wider lateral footprint
+    # per window — the LOD ladder absorbs it one mip sooner.
+    pallas_tile_w: int = 16
+    pallas_tile_h: int = 8
     texture_dtype: str = "bfloat16"   # baked-texture storage dtype
     shade_dtype: str = "bfloat16"     # head-MLP compute dtype at inference
     probe_block: int = 8              # pixels per shared occupancy probe (0 = per-ray)

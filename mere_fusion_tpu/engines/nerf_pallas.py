@@ -63,8 +63,8 @@ from mere_fusion_tpu.ops.pallas_sampler import (
     SamplerSpec,
     from_tiles,
     pack_planes_major,
-    plan_jobs_grouped,
-    sample_shade_tiles,
+    plan_jobs_span,
+    sample_shade_comp_tiles,
     to_tiles,
 )
 
@@ -129,15 +129,18 @@ def shade_weights(params, spec: SamplerSpec, enc_a, ind, eye, dtype) -> dict:
     return w
 
 
-def _composite_grouped(sigma, color, z_g, dt_r, valid_g, bg_rays,
+def _composite_grouped(sigma, color, dt_r, valid_g, bg_rays,
                        t_threshold: float = 1e-4):
     """renderer.composite with the depth axis split (kg, ks) so it runs in
     the kernel's group-major layout — the [N, k]/[N, k, 3] ray-major
     transposes (≈8 ms at dense 512²) never happen. Same per-sample math:
     within-group exclusive transmittance × exclusive product of whole-group
     transmittances = the flat exclusive cumprod, up to fp regrouping.
+    The engine's hot path now composites inside the Pallas kernel
+    (ops.pallas_sampler._shade_comp_kernel); this XLA twin remains the
+    equivalence reference for tests.
 
-    sigma/z_g/valid_g [B, kg, rpt, ks], color [..., 3], dt_r [B, rpt],
+    sigma/valid_g [B, kg, rpt, ks], color [..., 3], dt_r [B, rpt],
     bg_rays [B, rpt, 3] → (image [B, rpt, 3], weights_sum [B, rpt])."""
     alpha = 1.0 - jnp.exp(-sigma * dt_r[:, None, :, None])
     alpha = jnp.where(valid_g, alpha, 0.0)
@@ -174,8 +177,12 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         if next(iter(baked.values())).ndim == 2 \
         else next(iter(baked.values())).shape[0]
     channels = network.cfg.num_levels * network.cfg.plane_spec.level_dim
+    # 16×8 tiles halve the kernel's grid-step count (measured 40→36 ms on
+    # the dense 512² job set); fall back to 8 when the frame doesn't tile
+    tw = nc.pallas_tile_w if W % nc.pallas_tile_w == 0 else 8
+    th = nc.pallas_tile_h if H % nc.pallas_tile_h == 0 else 8
     spec = SamplerSpec(resolution=res, channels=channels,
-                       tile_w=8, tile_h=8, k=k, kg=nc.pallas_depth_groups,
+                       tile_w=tw, tile_h=th, k=k, kg=nc.pallas_depth_groups,
                        wu=nc.pallas_window_u, wv=nc.pallas_window_v)
     rpt = spec.rays_per_tile
     n = H * W
@@ -260,61 +267,56 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         # the top_k sort and keep raster tile order.
         sp = sp.astype(jnp.float32)
         active = va.any(axis=1)                            # [T]
-        if budget == t:
-            sel = jnp.arange(t, dtype=jnp.int32)
-        else:
-            _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
         n_active = active.sum()
 
-        va_s = va[sel]
-        zmin, zmax = sp[sel][..., 0], sp[sel][..., 1]      # [B, rpt]
-        ks = k // spec.kg
-        # everything downstream runs in the kernel's group-major sample
-        # order [B, kg, rpt, ks] (shade is order-blind; composite is
-        # group-chained) — built directly here, so no [·, 3]-minor
-        # regrouping transpose ever runs
-        kfrac = jnp.linspace(0.0, 1.0, k).reshape(spec.kg, ks)
-        span = zmax - zmin
-        z_g = (zmin[:, None, :, None]
-               + span[:, None, :, None] * kfrac[None, :, None, :])
-        dt_r = span / k                                    # [B, rpt]
-        o_s, d_s = o_t[sel], d_t[sel]                      # [B, rpt, 3]
-        xyz_g = jnp.clip(
-            o_s[:, None, :, None] + d_s[:, None, :, None] * z_g[..., None],
-            -bound, bound,
-        )                                                  # [B,kg,rpt,ks,3]
-        valid_g = jnp.broadcast_to(va_s[:, None, :, None],
-                                   (budget, spec.kg, rpt, ks))
-        scalars, uv, _, overflow = plan_jobs_grouped(
-            xyz_g.reshape(budget, spec.kg, spec.sg, 3),
-            valid_g.reshape(budget, spec.kg, spec.sg), spec, bound
-        )
-        n_overflow = (overflow & active[sel][:, None]).sum()
+        # at full coverage compaction is the identity: elide the gathers
+        # and the scatter-back entirely (sel=arange still lowers to real
+        # [T, rpt, ·] gathers plus a full-frame scatter — several ms)
+        full = budget == t
+        if full:
+            sel = None
+            va_s, sp_s, act_s = va, sp, active
+        else:
+            _, sel = jax.lax.top_k(active.astype(jnp.int32), budget)
+            va_s, sp_s, act_s = va[sel], sp[sel], active[sel]
+        # per-ray spans; an invalid ray carries a zero span so the kernel
+        # derives dt = 0 for it (α = 0, no attenuation)
+        zmin = sp_s[..., 0]
+        span = (sp_s[..., 1] - sp_s[..., 0]) * va_s.astype(jnp.float32)
+        zmax = zmin + span
+        o_s, d_s = (o_t, d_t) if full else (o_t[sel], d_t[sel])  # [B,rpt,3]
+        scalars, uv, overflow = plan_jobs_span(o_s, d_s, zmin, zmax, va_s,
+                                               spec, bound)
+        n_overflow = (overflow & act_s[:, None]).sum()
 
-        # ---- encode + shade: ONE fused Pallas kernel. Each depth group's
-        # [sg, 3·cp] plane-minor feature rows are shaded through the NeRF
-        # heads while still VMEM registers — no [N, ·] feature tensor or
-        # MLP activation ever touches HBM (the XLA formulation spilled
-        # ~10 GB/frame of [4.2M, ≤64] activations at dense 512²). Per-ray
-        # conditions enter as folded weight operands + the dproj rows.
+        # ---- encode + shade + composite: ONE fused Pallas kernel — the
+        # triplane features, MLP activations, and σ/rgb all live and die in
+        # VMEM registers, and only per-ray integrals leave the kernel. (The
+        # XLA formulation spilled ~10 GB/frame of [4.2M, ≤64] activations
+        # at dense 512²; even the per-sample kernel tensors cost ~4 ms of
+        # HBM round-trips.) plan_jobs_span feeds it window origins from
+        # per-ray endpoint math and a fused-emit uv payload — the
+        # alternative fully-in-kernel uv synthesis (render_rays_tiles)
+        # measured 3 ms SLOWER at dense 512²: the per-window synthesis ops
+        # in lane-padded narrow registers cost more than the uv DMA they
+        # save. Per-frame conditions enter as folded weight operands;
+        # per-ray dt·valid rides the dtv side input.
         sh_ray = sh_encode(d_s.reshape(-1, 3), 4).reshape(budget, rpt, 16)
         cw0 = variables["params"]["color_net"]["net_0"]["kernel"]
-        dproj = jnp.pad(
-            (sh_ray.astype(shade_dtype) @ cw0[:16].astype(shade_dtype)
-             ).astype(jnp.float32),
-            ((0, 0), (0, 0), (0, 64)),
-        )                                                  # [B, rpt, 128]
+        dproj = (sh_ray.astype(shade_dtype)
+                 @ cw0[:16].astype(shade_dtype))           # [B, rpt, 64]
+        dtv = jnp.pad((span / k)[..., None], ((0, 0), (0, 0), (0, 7)))
         weights = shade_weights(variables["params"], spec, enc_a, ind,
                                 eye, shade_dtype)
-        sr = sample_shade_tiles(
+        sr = sample_shade_comp_tiles(
             planes_major, scalars.reshape(-1),
             uv.reshape(budget * 3, spec.kg, 2, spec.sg),
-            dproj, weights, spec, interpret=interpret,
-        )                                                  # [B, kg·sg, 16]
-        sigma = sr[..., 0].reshape(budget, spec.kg, rpt, ks)
-        color = sr[..., 1:4].reshape(budget, spec.kg, rpt, ks, 3)
+            dproj, dtv, weights, spec, interpret=interpret,
+        )                                                  # [B, rpt, 16]
+        ws = sr[..., 0]                                    # Σ weights
+        rgb_acc = sr[..., 1:4]                             # Σ weight·rgb
 
-        # ---- composite (group-major; background from the torso net)
+        # ---- background mix (torso net when configured) + scatter
         if network.cfg.torso:
             def torso_fn(x, p):
                 c = (variables["params"]["individual_codes_torso"][:1]
@@ -326,11 +328,11 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
                 torso_fn, H, W, jnp.asarray(pose), bg_color
             )
         bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
-        image, _ = _composite_grouped(
-            sigma, color, z_g, dt_r, valid_g, bg_t[sel]
-        )
+        image = rgb_acc + (1.0 - ws)[..., None] * (bg_t if full
+                                                   else bg_t[sel])
         # scatter compacted tiles back over a background-filled frame
-        img_t = bg_t.at[sel].set(image)
+        # (identity at full coverage)
+        img_t = image if full else bg_t.at[sel].set(image)
         img = jnp.clip(untile(img_t).reshape(H, W, 3), 0.0, 1.0)
         img = (img * 255).astype(jnp.uint8)
         return img, enc_a, n_active, n_overflow

@@ -138,7 +138,8 @@ def pack_planes_major(planes: dict, spec: SamplerSpec) -> jax.Array:
     return stacked
 
 
-def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem):
+def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem,
+                      pgs: int = 2):
     """Shared core of the sampler kernels: windowed two-hot accumulation.
 
     DMA pipelining: each (job, group) window is a small (~64 KB) HBM→VMEM
@@ -150,21 +151,27 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem):
     its slot is re-armed with the matching window `ahead` steps out —
     keeping the DMA engine continuously queued.
 
+    pgs: scalars per (job, group) in the SMEM job table; the first two are
+    always (ou, ov). The classic planner emits 2, the rays planner 4
+    (+lvl, +mip_base).
+
     Returns (prefetch, group_acc): prefetch(ni) arms the first `ahead`
-    steps' copies; group_acc(uv_ref, i, ni, g) waits/re-arms group g's
+    steps' copies; group_acc(uv_fn, i, ni, g) waits/re-arms group g's
     three plane windows and returns its PLANE-MINOR feature rows
     [sg, 3·cp] f32 — plane q's channels land at lane offset q·cp via the
     per-plane selector matmul, so the per-sample triplane concat exists in
-    registers and never needs a relayout."""
+    registers and never needs a relayout. uv_fn(q, g, base) must return
+    the job's texel coords as [sg, 1] f32 (u absolute in the mip stack,
+    v mip-local)."""
     wu, wv, cp, sg, kg = spec.wu, spec.wv, spec.cp, spec.sg, spec.kg
     ahead = spec.ahead
-    stride = 1 + 2 * kg   # per-job scalars: plane, kg*(ou, ov)
+    stride = 1 + pgs * kg   # per-job scalars: plane, kg*(ou, ov, ...)
 
     def copy(step, q, g, slot):
         base = (step * 3 + q) * stride
         p = jobs_ref[base]
-        ou = pl.multiple_of(jobs_ref[base + 1 + 2 * g], 8)
-        ov = pl.multiple_of(jobs_ref[base + 1 + 2 * g + 1], 8)
+        ou = pl.multiple_of(jobs_ref[base + 1 + pgs * g], 8)
+        ov = pl.multiple_of(jobs_ref[base + 1 + pgs * g + 1], 8)
         return pltpu.make_async_copy(
             planes_ref.at[p, pl.ds(ou, wu),
                           pl.ds(pl.multiple_of(ov * cp, 128), wv * cp)],
@@ -191,23 +198,24 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem):
     gc = jax.lax.broadcasted_iota(jnp.int32, (fold_to, 3 * cp), 1)
     gsels = [(gx + q * cp == gc).astype(jnp.float32) for q in range(3)]
 
-    def group_acc(uv_ref, i, ni, g):
+    def group_acc(uv_fn, i, ni, g):
         cyc = (i % ahead) * 3 * kg
         accs = []
         for q in range(3):
             slot = cyc + q * kg + g
             base = (i * 3 + q) * stride
-            ou = jobs_ref[base + 1 + 2 * g].astype(jnp.float32)
-            ov = jobs_ref[base + 1 + 2 * g + 1].astype(jnp.float32)
-            u = uv_ref[q, g, 0, :] - ou
-            v = uv_ref[q, g, 1, :] - ov
+            ou = jobs_ref[base + 1 + pgs * g].astype(jnp.float32)
+            ov = jobs_ref[base + 1 + pgs * g + 1].astype(jnp.float32)
+            u, v = uv_fn(q, g, base)                     # [sg, 1] each
+            u = u - ou
+            v = v - ov
             # clamp into the window interior (planner keeps overflow rare)
             u = jnp.clip(u, 0.0, wu - 1.001)
             v = jnp.clip(v, 0.0, wv - 1.001)
             # bilinear two-hot == tent weights at integer lanes
-            tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u[:, None])
+            tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u)
                              ).astype(jnp.bfloat16)
-            tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v[:, None]))
+            tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v))
             copy(i, q, g, slot).wait()
             m1 = jnp.dot(tu, win[slot], preferred_element_type=jnp.float32)
             # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: fold
@@ -233,6 +241,14 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem):
     return prefetch, group_acc
 
 
+def _uv_from_ref(uv_ref):
+    """uv_fn reading precomputed texel coords from the classic uv operand
+    ([3, kg, 2, sg] lane-major rows)."""
+    def uv_fn(q, g, base):
+        return uv_ref[q, g, 0, :][:, None], uv_ref[q, g, 1, :][:, None]
+    return uv_fn
+
+
 def _sampler_kernel(spec: SamplerSpec,
                     jobs_ref, uv_ref, planes_ref, out_ref, win, sem):
     """One grid step = one TILE = 3 plane jobs x spec.kg windowed passes,
@@ -247,8 +263,9 @@ def _sampler_kernel(spec: SamplerSpec,
     def _():
         prefetch(ni)
 
+    uv_fn = _uv_from_ref(uv_ref)
     for g in range(spec.kg):                     # static unroll
-        out_ref[0, g] = group_acc(uv_ref, i, ni, g).astype(jnp.bfloat16)
+        out_ref[0, g] = group_acc(uv_fn, i, ni, g).astype(jnp.bfloat16)
 
 
 #: packed shade-weight operand names, in kernel argument order. All are
@@ -271,6 +288,34 @@ SHADE_WEIGHTS = (
 )
 
 
+def _shade_core(spec: SamplerSpec, w: dict, x, dsamp):
+    """The NeRF head MLP chain on a [ns, 3·cp] feature batch (registers in,
+    registers out). Math mirrors NeRFNetwork.forward_with_enc
+    (models/ernerf/network.py:231-247, density 203-222; reference ernerf
+    network.py:178-221) with per-frame constants folded into the weight
+    operands (see SHADE_WEIGHTS): enc_a into w_aud_sig, the eye scalar into
+    w_sig_e, the individual code into col_bias, and the per-ray SH·W_d
+    projection arriving as dsamp rows. First-layer concats become matmul
+    adds — exact up to fp summation order. Returns (sig_p [ns, 16] with the
+    raw σ logit in col 0, rgb_p [ns, 16] with rgb logits in cols 1:4)."""
+    dtype = w["wx_aud"].dtype
+    f32 = jnp.float32
+    mm = lambda a, b: jnp.dot(a.astype(dtype), b[...],
+                              preferred_element_type=f32)
+    aud_h = jax.nn.relu(mm(x, w["wx_aud"]))
+    aud_ch = mm(aud_h, w["w_aud1"])                       # [ns, A]
+    h = mm(x, w["wx_sig"]) + mm(aud_ch, w["w_aud_sig"])
+    eye_h = jax.nn.relu(mm(x, w["wx_eye"]))
+    eye_att = jax.nn.sigmoid(mm(eye_h, w["w_eye1"])[:, :1])
+    h = jax.nn.relu(h + eye_att * w["w_sig_e"][:1].astype(f32))
+    h = jax.nn.relu(mm(h, w["w_sig1"]))
+    sig_p = mm(h, w["w_sigcol"])                          # [ns, 16] col 0
+    geo = mm(h, w["w_geo"])                               # [ns, 64]
+    ch = mm(geo, w["w_col_g"]) + dsamp + w["col_bias"][:1].astype(f32)
+    rgb_p = mm(jax.nn.relu(ch), w["w_rgb"])               # [ns, 16] cols 1:4
+    return sig_p, rgb_p
+
+
 def _shade_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
                   *refs):
     """Fused sample+shade: the NeRF heads run on each depth group's
@@ -281,18 +326,10 @@ def _shade_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
     activation to HBM (~20 sweeps ≈ 10 GB of traffic). In-kernel, the
     whole chain is ~10 small MXU ops per (tile, group) with zero HBM
     spill, and the kernel's output shrinks from [N, 3cp] features (400 MB)
-    to σ+rgb (268 MB f32, lanes 0..3 of 16).
-
-    Math mirrors NeRFNetwork.forward_with_enc (models/ernerf/network.py:
-    231-247, density 203-222; reference ernerf network.py:178-221) with
-    per-frame constants folded into the weight operands (see
-    SHADE_WEIGHTS): enc_a into w_aud_sig, the eye scalar into w_sig_e, the
-    individual code into col_bias, and the per-ray SH·W_d projection
-    arriving as the dproj input. First-layer concats become matmul adds —
-    exact up to fp summation order."""
+    to σ+rgb (268 MB f32, lanes 0..3 of 16)."""
     *weights, planes_ref, out_ref, win, sem = refs
     w = dict(zip(SHADE_WEIGHTS, weights))
-    sg, kg, cp = spec.sg, spec.kg, spec.cp
+    sg, kg = spec.sg, spec.kg
     rpt = spec.rays_per_tile
     ks = sg // rpt
     i = pl.program_id(0)
@@ -304,10 +341,6 @@ def _shade_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
     def _():
         prefetch(ni)
 
-    dtype = w["wx_aud"].dtype
-    f32 = jnp.float32
-    mm = lambda a, b: jnp.dot(a.astype(dtype), b[...],
-                              preferred_element_type=f32)
     ns = kg * sg
     # per-ray dir projection rows → per-sample rows in the concatenated
     # [kg·sg] group-major order: sublane broadcast over (kg, ks) then a
@@ -322,24 +355,218 @@ def _shade_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
     # accumulate ALL depth groups first, then shade them as ONE [kg·sg, ·]
     # batch: per-matmul issue overhead dominates at [sg, ·] granularity
     # (48 MXU issues/step cost +16 ms at dense 512²; batched it's 12)
+    uv_fn = _uv_from_ref(uv_ref)
     x = jnp.concatenate(
-        [group_acc(uv_ref, i, ni, g) for g in range(kg)], axis=0)
-    aud_h = jax.nn.relu(mm(x, w["wx_aud"]))
-    aud_ch = mm(aud_h, w["w_aud1"])                       # [ns, A]
-    h = mm(x, w["wx_sig"]) + mm(aud_ch, w["w_aud_sig"])
-    eye_h = jax.nn.relu(mm(x, w["wx_eye"]))
-    eye_att = jax.nn.sigmoid(mm(eye_h, w["w_eye1"])[:, :1])
-    h = jax.nn.relu(h + eye_att * w["w_sig_e"][:1].astype(f32))
-    h = jax.nn.relu(mm(h, w["w_sig1"]))
-    sig_p = mm(h, w["w_sigcol"])                          # [ns, 16] col 0
-    geo = mm(h, w["w_geo"])                               # [ns, 64]
-    ch = mm(geo, w["w_col_g"]) + dsamp + w["col_bias"][:1].astype(f32)
-    rgb_p = mm(jax.nn.relu(ch), w["w_rgb"])               # [ns, 16] cols 1:4
+        [group_acc(uv_fn, i, ni, g) for g in range(kg)], axis=0)
+    sig_p, rgb_p = _shade_core(spec, w, x, dsamp)
     out_ref[0] = (jnp.where(m_sig, jnp.exp(sig_p), 0.0)
                   + jnp.where(m_rgb,
                               jax.nn.sigmoid(rgb_p) * (1 + 2 * 0.001)
                               - 0.001,
                               0.0))
+
+
+def _bcast_ray_rows(v, spec: SamplerSpec, lanes: int):
+    """[rpt, L] per-ray rows → [ns, :lanes] per-sample rows in the
+    kernel's (g, r, s) order: pad the minor to a full 128 lanes (Mosaic
+    merges sublane dims only over a full-lane minor), sublane-broadcast
+    over (kg, ks), slice back."""
+    rpt = spec.rays_per_tile
+    kg = spec.kg
+    ks = spec.sg // rpt
+    ns = kg * spec.sg
+    l = v.shape[-1]
+    if l < 128:
+        v = jnp.concatenate(
+            [v, jnp.zeros((rpt, 128 - l), v.dtype)], axis=1)
+    return jnp.broadcast_to(v[None, :, None, :], (kg, rpt, ks, 128)
+                            ).reshape(ns, 128)[:, :lanes]
+
+
+def _shade_comp_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
+                       dtv_ref, *refs):
+    """Fused sample + shade + COMPOSITE: the whole per-tile render — texture
+    sampling, NeRF head MLPs, and the volume-rendering integral — runs in
+    one grid step with nothing but per-RAY results leaving VMEM.
+
+    Output shrinks [ns, 16] per-sample σ/rgb (268 MB f32 at dense 512²,
+    whose HBM write + read-back cost ≈2 ms each) → [rpt, 16] per-ray
+    (17 MB): lane 0 = Σ weights (for background mixing), lanes 1:4 =
+    Σ weight·rgb. dt·valid per ray arrives in dtv lane 0 (zero dt ⇒ α=0
+    and no attenuation — exactly the invalid-ray contract of the unfused
+    composite); see _composite_rows for the integral."""
+    *weights, planes_ref, out_ref, win, sem = refs
+    w = dict(zip(SHADE_WEIGHTS, weights))
+    kg = spec.kg
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    prefetch, group_acc = _window_machinery(spec, jobs_ref, planes_ref,
+                                            win, sem)
+
+    @pl.when(i == 0)
+    def _():
+        prefetch(ni)
+
+    f32 = jnp.float32
+    dsamp = _bcast_ray_rows(dproj_ref[0], spec, 64).astype(f32)
+    dtv = _bcast_ray_rows(dtv_ref[0], spec, 1)            # [ns, 1] dt·valid
+
+    uv_fn = _uv_from_ref(uv_ref)
+    x = jnp.concatenate(
+        [group_acc(uv_fn, i, ni, g) for g in range(kg)], axis=0)
+    sig_p, rgb_p = _shade_core(spec, w, x, dsamp)
+    out_ref[0] = _composite_rows(spec, sig_p, rgb_p, dtv)
+
+
+def _composite_rows(spec: SamplerSpec, sig_p, rgb_p, dtv):
+    """The volume-rendering integral on the kernel's (g, r, s) row order:
+    sig_p/rgb_p [ns, 16] from _shade_core, dtv [ns, 1] per-sample dt·valid.
+    Returns [rpt, 16]: lane 0 = Σ weights, lanes 1:4 = Σ weight·rgb.
+
+    Transmittance = exp(-Σ σ·dt), the exact log-space form of
+    renderer.composite's cumprod of (1-α). Per-ray exclusive depth sums run
+    as masked pltpu.roll shifts: a segmented Hillis-Steele scan within
+    groups (rows of one ray are ks-contiguous), a group-total broadcast,
+    and a second scan across the kg group blocks — ~12 VPU row ops, no
+    transpose or relayout."""
+    f32 = jnp.float32
+    sg, kg = spec.sg, spec.kg
+    rpt = spec.rays_per_tile
+    ks = sg // rpt
+    ns = kg * sg
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ns, 16), 1)
+    m_sig = lane == 0
+    m_rgb = (lane >= 1) & (lane <= 3)
+    sd = jnp.exp(sig_p[:, :1]) * dtv                      # σ·dt  [ns, 1]
+    alpha = 1.0 - jnp.exp(-sd)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+    s_id = riota % ks
+    g_id = riota // sg
+    roll = lambda v, d: pltpu.roll(v, d, axis=0)
+    # within-group inclusive scan over s (segmented Hillis-Steele: the
+    # s_id >= d mask stops sums at ray boundaries; rolled-in wrap rows are
+    # always masked because their s < d)
+    y = sd
+    d = 1
+    while d < ks:
+        y = y + jnp.where(s_id >= d, roll(y, d), 0.0)
+        d *= 2
+    e_w = jnp.where(s_id >= 1, roll(y, 1), 0.0)           # exclusive in s
+    # group-total broadcast: every row receives its ray's s=ks-1 total
+    # (mask s_id + d == ks-1 also kills cyclic-wrap contamination)
+    t0 = jnp.where(s_id == ks - 1, y, 0.0)
+    tot = t0
+    for d in range(1, ks):
+        # roll up by d == cyclic roll down by ns-d (pltpu.roll wants >= 0)
+        tot = tot + jnp.where(s_id + d == ks - 1, roll(t0, ns - d), 0.0)
+    # cross-group scan over g (row stride sg keeps (r, s) fixed)
+    z = tot
+    d = 1
+    while d < kg:
+        z = z + jnp.where(g_id >= d, roll(z, d * sg), 0.0)
+        d *= 2
+    e_g = jnp.where(g_id >= 1, roll(z, sg), 0.0)          # exclusive in g
+    trans = jnp.exp(-(e_w + e_g))
+    wgt = jnp.where(trans > 1e-4, alpha * trans, 0.0)     # [ns, 1]
+    base = (jnp.where(m_sig, 1.0, 0.0)
+            + jnp.where(m_rgb,
+                        jax.nn.sigmoid(rgb_p) * (1 + 2 * 0.001) - 0.001,
+                        0.0))
+    contrib = wgt * base                                  # [ns, 16]
+    # per-ray reduction: one [rpt, ns] 0/1 selector matmul gathers every
+    # ray's scattered (g, s) rows — permutation+reduce as MXU work
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rpt, ns), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rpt, ns), 0)
+    rsel = ((ci % sg) // ks == ri).astype(f32)
+    return jnp.dot(rsel, contrib, preferred_element_type=f32)
+
+
+def _render_rays_kernel(spec: SamplerSpec, bound: float, jobs_ref,
+                        rays_ref, dproj_ref, *refs):
+    """Fully fused render kernel with IN-KERNEL uv synthesis: per-sample
+    texel coordinates never exist outside VMEM.
+
+    Instead of the classic [T, 3, kg, 2, sg] uv operand (~100 MB at dense
+    512², built by a ~5 ms XLA planning pass over a 50 MB xyz tensor), the
+    kernel receives 8 numbers per RAY — origin, direction, span ends
+    ([T, rpt, 8], 8 MB) — and reconstructs every sample position itself:
+    one [sg, rpt] 0/1 expansion matmul turns ray rows into per-sample rows,
+    then z = zmin + span·kfrac, xyz = clip(o + d·z), and the plane-affine
+    texel transform run as a handful of [sg, 1] VPU ops per (plane, group).
+    Mip placement (level, row base) comes via two extra SMEM scalars per
+    (job, group) from plan_jobs_rays, whose cost is per-RAY endpoint math
+    (extrema of a monotonic segment are its endpoints).
+
+    dt·valid is also derived in-kernel from the span (invalid rays carry
+    zmin == zmax ⇒ dt = 0 ⇒ α = 0), so dproj shrinks to the bare [rpt, 64]
+    direction projection. Output as _shade_comp_kernel."""
+    *weights, planes_ref, out_ref, win, sem = refs
+    w = dict(zip(SHADE_WEIGHTS, weights))
+    sg, kg, k = spec.sg, spec.kg, spec.k
+    rpt = spec.rays_per_tile
+    ks = sg // rpt
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    prefetch, group_acc = _window_machinery(spec, jobs_ref, planes_ref,
+                                            win, sem, pgs=4)
+
+    @pl.when(i == 0)
+    def _():
+        prefetch(ni)
+
+    f32 = jnp.float32
+    ns = kg * sg
+    scale = spec.resolution / (2.0 * bound)
+
+    # ray rows → per-sample rows: ex[r·ks + s, c] = rays[r, c]
+    xi = jax.lax.broadcasted_iota(jnp.int32, (sg, rpt), 0) // ks
+    xr = jax.lax.broadcasted_iota(jnp.int32, (sg, rpt), 1)
+    xsel = (xi == xr).astype(f32)
+    ex = jnp.dot(xsel, rays_ref[0].astype(f32),
+                 preferred_element_type=f32)               # [sg, 8]
+    o3, d3 = ex[:, 0:3], ex[:, 3:6]
+    zmin_s, zmax_s = ex[:, 6:7], ex[:, 7:8]
+    span_s = zmax_s - zmin_s
+    srow = (jax.lax.broadcasted_iota(jnp.int32, (sg, 1), 0) % ks
+            ).astype(f32)
+
+    # per-GROUP shared sample math, hoisted out of the per-window loop:
+    # level-0 texel coords for all 3 axes ([sg, 3], ~6 VPU ops per group);
+    # each window then needs only one fused multiply-add for its mip
+    # placement. (Recomputing z/xyz/tex inside uv_fn cost ~130 narrow VPU
+    # ops per step — measured +2.5 ms at dense 512² over the explicit-uv
+    # kernel; hoisted it's ~24.)
+    texs = []
+    for g in range(kg):
+        kf = (g * ks + srow) / (k - 1.0)
+        z = zmin_s + span_s * kf                           # [sg, 1]
+        xyz = jnp.clip(o3 + d3 * z, -bound, bound)         # [sg, 3]
+        texs.append((xyz + bound) * scale - 0.5)           # level-0 texels
+
+    # plane (u, v) coordinate indices into xyz: xy→(x,y), yz→(z,y), xz→(z,x)
+    PUV = ((0, 1), (2, 1), (2, 0))
+
+    def uv_fn(q, g, base):
+        ui, vi = PUV[q]
+        lvl = jobs_ref[base + 1 + 4 * g + 2]
+        mbase = jobs_ref[base + 1 + 4 * g + 3].astype(f32)
+        inv_ms = jnp.exp2(-lvl.astype(f32))
+        # (tex + 0.5)·inv_ms − 0.5 (+ mbase): scalar parts fold into one
+        # madd per coordinate
+        cu = 0.5 * inv_ms - 0.5 + mbase
+        cv = 0.5 * inv_ms - 0.5
+        u_abs = texs[g][:, ui:ui + 1] * inv_ms + cu
+        v_loc = texs[g][:, vi:vi + 1] * inv_ms + cv
+        return u_abs, v_loc
+
+    dsamp = _bcast_ray_rows(dproj_ref[0], spec, 64).astype(f32)
+    dt_sg = span_s / k                                     # [sg, 1]
+    dtv = jnp.concatenate([dt_sg] * kg, axis=0)            # [ns, 1]
+
+    x = jnp.concatenate(
+        [group_acc(uv_fn, i, ni, g) for g in range(kg)], axis=0)
+    sig_p, rgb_p = _shade_core(spec, w, x, dsamp)
+    out_ref[0] = _composite_rows(spec, sig_p, rgb_p, dtv)
 
 
 def sample_shade_tiles(planes_major: jax.Array, jobs: jax.Array,
@@ -382,6 +609,95 @@ def sample_shade_tiles(planes_major: jax.Array, jobs: jax.Array,
         ],
         interpret=interpret,
     )(jobs, uv, dproj, *[weights[k] for k in SHADE_WEIGHTS], planes_major)
+
+
+def sample_shade_comp_tiles(planes_major: jax.Array, jobs: jax.Array,
+                            uv: jax.Array, dproj: jax.Array,
+                            dtv: jax.Array, weights: dict,
+                            spec: SamplerSpec,
+                            interpret: bool = False) -> jax.Array:
+    """Fully fused sample+shade+composite kernel (see _shade_comp_kernel).
+
+    Same jobs/uv operands as sample_shade_tiles; dproj shrinks to the bare
+    [J//3, rpt, 64] direction projection (any float dtype) and dtv
+    [J//3, rpt, 8] f32 carries each ray's dt·valid in lane 0.
+    Returns [J//3, rpt, 16] float32 per-RAY results: lane 0 = Σ weights
+    (background mix factor), lanes 1:4 = Σ weight·rgb.
+    """
+    j = uv.shape[0]
+    t = j // 3
+    kernel = functools.partial(_shade_comp_kernel, spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, spec.kg, 2, spec.sg), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.rays_per_tile, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.rays_per_tile, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in SHADE_WEIGHTS] + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, spec.rays_per_tile, 16),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, spec.rays_per_tile, 16),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
+                        spec.wv * spec.cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
+        ],
+        interpret=interpret,
+    )(jobs, uv, dproj, dtv, *[weights[k] for k in SHADE_WEIGHTS],
+      planes_major)
+
+
+def render_rays_tiles(planes_major: jax.Array, jobs: jax.Array,
+                      rays: jax.Array, dproj: jax.Array, weights: dict,
+                      spec: SamplerSpec, bound: float,
+                      interpret: bool = False) -> jax.Array:
+    """Fully fused render with in-kernel uv synthesis (_render_rays_kernel).
+
+    jobs: [T·3·(1+4kg)] int32 from plan_jobs_rays (per job: plane, then
+          (ou, ov, lvl, mip_base) per depth group).
+    rays: [T, rpt, 8] f32 per-ray (ox, oy, oz, dx, dy, dz, zmin, zmax);
+          invalid rays must carry zmin == zmax.
+    dproj: [T, rpt, 64] per-ray color-dir projections (any float dtype).
+    Returns [T, rpt, 16] float32: lane 0 = Σ weights, lanes 1:4 =
+    Σ weight·rgb.
+    """
+    t = rays.shape[0]
+    kernel = functools.partial(_render_rays_kernel, spec, bound)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, spec.rays_per_tile, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.rays_per_tile, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in SHADE_WEIGHTS] + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, spec.rays_per_tile, 16),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, spec.rays_per_tile, 16),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
+                        spec.wv * spec.cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
+        ],
+        interpret=interpret,
+    )(jobs, rays, dproj, *[weights[k] for k in SHADE_WEIGHTS], planes_major)
 
 
 def sample_tiles(planes_major: jax.Array, jobs: jax.Array, uv: jax.Array,
@@ -547,6 +863,170 @@ def plan_jobs_grouped(xyz_g: jnp.ndarray, valid_g: jnp.ndarray,
         axis=-1,
     )                                                  # [T, 3, 1+2kg]
     return scalars, uv, active, overflow.reshape(t, 3)
+
+
+def plan_jobs_rays(o_t: jnp.ndarray, d_t: jnp.ndarray, zmin: jnp.ndarray,
+                   zmax: jnp.ndarray, valid: jnp.ndarray,
+                   spec: SamplerSpec, bound: float):
+    """Planning for render_rays_tiles: per-RAY endpoint math only.
+
+    Along a ray x(z) = o + d·z each coordinate is monotonic in z (clipping
+    to ±bound preserves monotonicity), and the per-group sample fractions
+    (linspace over k split into kg blocks) include both group ends — so
+    each (ray, group, plane) footprint's extrema are exactly its two
+    endpoint samples, and plan_jobs_grouped's per-sample min/max over the
+    [T, kg, sg, 3] position tensor (50 MB + a 100 MB uv emit at dense
+    512²) collapses to [·, 2] endpoint evaluations.
+
+    o_t/d_t [T, rpt, 3]; zmin/zmax [T, rpt]; valid [T, rpt] (invalid rays
+    are excluded from window fitting; callers must also zero their spans —
+    zmax == zmin — so the kernel derives dt = 0 for them).
+    Returns (scalars [T, 3, 1+4kg] int32 — plane, then (ou, ov, lvl,
+    mip_base) per depth group — and overflow [T, 3] bool)."""
+    t, rpt = zmin.shape
+    kg, k = spec.kg, spec.k
+    ks = k // kg
+    r = spec.resolution
+    scale = r / (2.0 * bound)
+
+    kf = jnp.linspace(0.0, 1.0, k).reshape(kg, ks)
+    ke = jnp.stack([kf[:, 0], kf[:, -1]], axis=-1)     # [kg, 2] group ends
+    span = zmax - zmin
+    z_e = (zmin[:, None, :, None]
+           + span[:, None, :, None] * ke[:, None, :])   # [T, kg, rpt, 2]
+    xyz_e = jnp.clip(
+        o_t[:, None, :, None] + d_t[:, None, :, None] * z_e[..., None],
+        -bound, bound,
+    )                                                   # [T, kg, rpt, 2, 3]
+    tex = (xyz_e + bound) * scale - 0.5
+    x, y, z = tex[..., 0], tex[..., 1], tex[..., 2]
+    uv_e = jnp.stack([
+        jnp.stack([x, y], axis=2),
+        jnp.stack([z, y], axis=2),
+        jnp.stack([z, x], axis=2),
+    ], axis=1)                                   # [T, 3plane, kg, 2uv, rpt, 2]
+    vm = valid[:, None, None, None, :, None]
+    big = jnp.float32(1e9)
+    lo = jnp.min(jnp.where(vm, uv_e, big), axis=(4, 5))          # [T,3,kg,2]
+    hi = jnp.max(jnp.where(vm, uv_e, -big), axis=(4, 5))
+    ext = jnp.clip(hi - lo, 0.0, None)
+
+    # identical mip/origin logic to plan_jobs_grouped
+    need = jnp.maximum(ext[..., 0] / (spec.wu - 10),
+                       ext[..., 1] / (spec.wv - 10))
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(need, 1e-6))),
+                   0, spec.levels - 1).astype(jnp.int32)         # [T,3,kg]
+    ms = jnp.exp2(lvl.astype(jnp.float32))
+    rl = r / ms
+    mip_base = jnp.asarray(spec.mip_rows[:-1], jnp.int32)[lvl]
+    lo_l = (lo + 0.5) / ms[..., None] - 0.5
+    overflow = jnp.any(need / ms > 1.0, axis=-1)                 # [T, 3]
+    ou = jnp.clip((lo_l[..., 0] - 1).astype(jnp.int32) & ~7, 0,
+                  jnp.maximum(rl.astype(jnp.int32) - spec.wu, 0))
+    ov = jnp.clip((lo_l[..., 1] - 1).astype(jnp.int32) & ~7, 0,
+                  jnp.maximum(rl.astype(jnp.int32) - spec.wv, 0))
+    ou = ou + mip_base                       # absolute row in the mip stack
+
+    plane_id = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None], (t, 3))
+    scalars = jnp.concatenate(
+        [plane_id[..., None],
+         jnp.stack([ou, ov, lvl, mip_base], axis=-1).reshape(t, 3, 4 * kg)],
+        axis=-1,
+    )                                                  # [T, 3, 1+4kg]
+    return scalars, overflow
+
+
+def plan_jobs_span(o_t: jnp.ndarray, d_t: jnp.ndarray, zmin: jnp.ndarray,
+                   zmax: jnp.ndarray, valid: jnp.ndarray,
+                   spec: SamplerSpec, bound: float):
+    """Lean planner for sample_shade_comp_tiles: endpoint-based window
+    fitting (see plan_jobs_rays — extrema of a monotonic segment are its
+    endpoint samples) + a fully-fusable uv emit.
+
+    plan_jobs_grouped reduces min/max over a materialized [T, kg, sg, 3]
+    position tensor (~4.8 ms at dense 512²: 150 MB of intermediates plus
+    masked reductions over 100M elements). Here window origins come from
+    [T, kg, rpt, 2, 3] endpoint math (25 MB), and the uv payload is one
+    elementwise broadcast chain from (o, d, span) that XLA fuses into a
+    single 100 MB-output kernel with no intermediate tensor.
+
+    Same operands/returns as plan_jobs_grouped but ray-form inputs:
+    o_t/d_t [T, rpt, 3], zmin/zmax [T, rpt] (zmax == zmin on invalid
+    rays), valid [T, rpt].
+    Returns (scalars [T, 3, 1+2kg], uv [T, 3, kg, 2, sg], overflow
+    [T, 3])."""
+    t, rpt = zmin.shape
+    kg, k = spec.kg, spec.k
+    ks = k // kg
+    sg = spec.sg
+    r = spec.resolution
+    scale = r / (2.0 * bound)
+
+    kf = jnp.linspace(0.0, 1.0, k).reshape(kg, ks)
+    ke = jnp.stack([kf[:, 0], kf[:, -1]], axis=-1)     # [kg, 2] group ends
+    span = zmax - zmin
+    z_e = (zmin[:, None, :, None]
+           + span[:, None, :, None] * ke[:, None, :])   # [T, kg, rpt, 2]
+    xyz_e = jnp.clip(
+        o_t[:, None, :, None] + d_t[:, None, :, None] * z_e[..., None],
+        -bound, bound,
+    )                                                   # [T, kg, rpt, 2, 3]
+    tex_e = (xyz_e + bound) * scale - 0.5
+    xe, ye, ze = tex_e[..., 0], tex_e[..., 1], tex_e[..., 2]
+    uv_e = jnp.stack([
+        jnp.stack([xe, ye], axis=2),
+        jnp.stack([ze, ye], axis=2),
+        jnp.stack([ze, xe], axis=2),
+    ], axis=1)                                   # [T, 3plane, kg, 2uv, rpt, 2]
+    vm = valid[:, None, None, None, :, None]
+    big = jnp.float32(1e9)
+    lo = jnp.min(jnp.where(vm, uv_e, big), axis=(4, 5))          # [T,3,kg,2]
+    hi = jnp.max(jnp.where(vm, uv_e, -big), axis=(4, 5))
+    ext = jnp.clip(hi - lo, 0.0, None)
+
+    need = jnp.maximum(ext[..., 0] / (spec.wu - 10),
+                       ext[..., 1] / (spec.wv - 10))
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(need, 1e-6))),
+                   0, spec.levels - 1).astype(jnp.int32)         # [T,3,kg]
+    ms = jnp.exp2(lvl.astype(jnp.float32))
+    rl = r / ms
+    mip_base = jnp.asarray(spec.mip_rows[:-1], jnp.int32)[lvl]
+    lo_l = (lo + 0.5) / ms[..., None] - 0.5
+    overflow = jnp.any(need / ms > 1.0, axis=-1)                 # [T, 3]
+    ou = jnp.clip((lo_l[..., 0] - 1).astype(jnp.int32) & ~7, 0,
+                  jnp.maximum(rl.astype(jnp.int32) - spec.wu, 0))
+    ov = jnp.clip((lo_l[..., 1] - 1).astype(jnp.int32) & ~7, 0,
+                  jnp.maximum(rl.astype(jnp.int32) - spec.wv, 0))
+    ou = ou + mip_base                       # absolute row in the mip stack
+
+    plane_id = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None], (t, 3))
+    scalars = jnp.concatenate(
+        [plane_id[..., None],
+         jnp.stack([ou, ov], axis=-1).reshape(t, 3, 2 * kg)],
+        axis=-1,
+    )                                                  # [T, 3, 1+2kg]
+
+    # uv emit: one broadcast-mul chain, no intermediate ever reduced over —
+    # XLA fuses it into a single kernel writing the [T, 3, kg, 2, sg] output
+    kfs = ((jnp.arange(kg)[:, None] * ks + jnp.arange(sg)[None, :] % ks)
+           / (k - 1.0))                                 # [kg, sg]
+    rep = lambda a: jnp.repeat(a, ks, axis=-1)          # [T, rpt] → [T, sg]
+    z_s = (rep(zmin)[:, None, :] + rep(span)[:, None, :] * kfs[None]
+           )                                            # [T, kg, sg]
+    tex = [
+        (jnp.clip(rep(o_t[..., c])[:, None, :]
+                  + rep(d_t[..., c])[:, None, :] * z_s, -bound, bound)
+         + bound) * scale - 0.5
+        for c in range(3)
+    ]                                                   # 3 × [T, kg, sg]
+    uv = jnp.stack([
+        jnp.stack([tex[0], tex[1]], axis=2),
+        jnp.stack([tex[2], tex[1]], axis=2),
+        jnp.stack([tex[2], tex[0]], axis=2),
+    ], axis=1)                                          # [T, 3, kg, 2, sg]
+    uv = (uv + 0.5) / ms[..., None, None] - 0.5         # mip-local texels
+    uv = uv.at[..., 0, :].add(mip_base[..., None].astype(jnp.float32))
+    return scalars, uv, overflow
 
 
 def enc_selector(spec: SamplerSpec, dtype=jnp.bfloat16) -> jnp.ndarray:

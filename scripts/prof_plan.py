@@ -73,7 +73,7 @@ from mere_fusion_tpu.ops.pallas_sampler import from_tiles
 def comp_fn(sr, z_g, dt_r, valid_g, bg_t, chain):
     sigma = sr[..., 0].reshape(B, KG, RPT, KS)
     color = sr[..., 1:4].reshape(B, KG, RPT, KS, 3)
-    image, _ = _composite_grouped(sigma, color, z_g, dt_r, valid_g, bg_t)
+    image, _ = _composite_grouped(sigma, color, dt_r, valid_g, bg_t)
     img = jnp.clip(from_tiles(image, H, Wd, 8, 8).reshape(H, Wd, 3), 0.0, 1.0)
     img = (img * 255).astype(jnp.uint8)
     return img, img.astype(jnp.float32).sum() * 1e-30 + chain

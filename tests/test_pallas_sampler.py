@@ -101,6 +101,149 @@ def test_lod_absorbs_wide_spans_exactly_on_linear_fields():
     assert err.max() < 0.06, err.max()
 
 
+def test_shade_comp_kernel_matches_unfused():
+    """sample_shade_comp_tiles (in-kernel volume integral) must equal the
+    per-sample shade kernel followed by the XLA grouped composite, bit-near
+    (both are f32; the fused path swaps cumprod(1-α) for exp(-Σσdt), exact
+    in exchange for the reference's 1e-10 cumprod epsilon)."""
+    from mere_fusion_tpu.engines.nerf_pallas import _composite_grouped
+    from mere_fusion_tpu.ops.pallas_sampler import (
+        SHADE_WEIGHTS,
+        sample_shade_comp_tiles,
+        sample_shade_tiles,
+    )
+
+    spec = SamplerSpec(resolution=128, channels=4, tile_w=4, tile_h=4,
+                       k=8, kg=2, wu=32, wv=16)
+    t = 5
+    rpt, kg, sg = spec.rays_per_tile, spec.kg, spec.sg
+    ks = sg // rpt
+    rng = np.random.default_rng(0)
+    j = t * 3
+    stride = 1 + 2 * kg
+    scal = np.zeros((j, stride), np.int32)
+    scal[:, 0] = np.tile(np.arange(3), t)
+    for g in range(kg):
+        scal[:, 1 + 2 * g] = rng.integers(0, 64, j) & ~7
+        scal[:, 2 + 2 * g] = rng.integers(0, 64, j) & ~7
+    scal = jnp.asarray(scal.reshape(-1))
+    uv = jnp.asarray(rng.uniform(8, 100, (j, kg, 2, sg)).astype(np.float32))
+    planes = jnp.asarray(rng.standard_normal(
+        (3, spec.mip_rows[-1], spec.resolution * spec.cp)), jnp.bfloat16)
+    shapes = {"wx_aud": (48, 64), "w_aud1": (64, 32), "wx_sig": (48, 64),
+              "w_aud_sig": (32, 64), "wx_eye": (48, 16), "w_eye1": (16, 8),
+              "w_sig_e": (8, 64), "w_sig1": (64, 64), "w_sigcol": (64, 16),
+              "w_geo": (64, 64), "w_col_g": (64, 64), "w_rgb": (64, 16),
+              "col_bias": (8, 64)}
+    weights = {k_: jnp.asarray(0.3 * rng.standard_normal(shapes[k_]),
+                               jnp.float32) for k_ in SHADE_WEIGHTS}
+    dt_r = jnp.asarray(rng.uniform(0.05, 0.4, (t, rpt)).astype(np.float32))
+    va = jnp.asarray(rng.random((t, rpt)) < 0.85)
+    proj = jnp.asarray(rng.standard_normal((t, rpt, 64)).astype(np.float32))
+    dtv = jnp.pad((dt_r * va)[..., None], ((0, 0), (0, 0), (0, 7)))
+    # the per-sample shade kernel still takes the wide dproj (dtv unused)
+    dproj = jnp.concatenate([proj, jnp.zeros((t, rpt, 64))], axis=-1)
+
+    sr = sample_shade_tiles(planes, scal, uv, dproj, weights, spec,
+                            interpret=True)
+    sigma = sr[..., 0].reshape(t, kg, rpt, ks)
+    color = sr[..., 1:4].reshape(t, kg, rpt, ks, 3)
+    valid_g = jnp.broadcast_to(va[:, None, :, None], (t, kg, rpt, ks))
+    bg = jnp.zeros((t, rpt, 3), jnp.float32)
+    img_ref, ws_ref = _composite_grouped(sigma, color, dt_r, valid_g, bg)
+
+    out = sample_shade_comp_tiles(planes, scal, uv, proj, dtv, weights,
+                                  spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(ws_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[..., 1:4]),
+                               np.asarray(img_ref), atol=2e-5)
+
+
+def test_render_rays_kernel_matches_classic_path():
+    """The fully fused rays kernel (in-kernel uv synthesis from 8 per-ray
+    numbers + endpoint-only planning) must reproduce the classic path
+    (per-sample XLA planner + explicit-uv comp kernel) bit-near: both
+    evaluate the same affine sample math, and group extrema of a monotonic
+    segment are exactly its endpoint samples."""
+    from mere_fusion_tpu.ops.pallas_sampler import (
+        SHADE_WEIGHTS,
+        plan_jobs_grouped,
+        plan_jobs_rays,
+        render_rays_tiles,
+        sample_shade_comp_tiles,
+    )
+
+    spec = SamplerSpec(resolution=128, channels=4, tile_w=4, tile_h=4,
+                       k=8, kg=2, wu=32, wv=16)
+    t = 6
+    rpt, kg, sg, k = spec.rays_per_tile, spec.kg, spec.sg, spec.k
+    ks = k // kg
+    rng = np.random.default_rng(1)
+    o = np.empty((t, rpt, 3), np.float32)
+    d = np.empty((t, rpt, 3), np.float32)
+    for i in range(t):
+        ox, oy = rng.uniform(-0.6, 0.4, 2)
+        for r_ in range(rpt):
+            jx, jy = r_ % spec.tile_w, r_ // spec.tile_w
+            o[i, r_] = [ox + 0.02 * jx, oy + 0.02 * jy,
+                        rng.uniform(-0.7, -0.3)]
+            v = np.array([0.05 + 0.002 * jx, 0.03, 1.0])
+            d[i, r_] = v / np.linalg.norm(v)
+    zmin = rng.uniform(0.05, 0.15, (t, rpt)).astype(np.float32)
+    va = rng.random((t, rpt)) < 0.85
+    span = rng.uniform(0.3, 0.5, (t, rpt)).astype(np.float32) * va
+    zmax = zmin + span
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    zmin, zmax, span = map(jnp.asarray, (zmin, zmax, span))
+    va_j = jnp.asarray(va)
+    planes = jnp.asarray(rng.standard_normal(
+        (3, spec.mip_rows[-1], spec.resolution * spec.cp)), jnp.bfloat16)
+    shapes = {"wx_aud": (48, 64), "w_aud1": (64, 32), "wx_sig": (48, 64),
+              "w_aud_sig": (32, 64), "wx_eye": (48, 16), "w_eye1": (16, 8),
+              "w_sig_e": (8, 64), "w_sig1": (64, 64), "w_sigcol": (64, 16),
+              "w_geo": (64, 64), "w_col_g": (64, 64), "w_rgb": (64, 16),
+              "col_bias": (8, 64)}
+    weights = {k_: jnp.asarray(0.3 * rng.standard_normal(shapes[k_]),
+                               jnp.float32) for k_ in SHADE_WEIGHTS}
+    proj = jnp.asarray(rng.standard_normal((t, rpt, 64)).astype(np.float32))
+
+    # classic: per-sample grouped planner + explicit-uv comp kernel
+    from mere_fusion_tpu.ops.pallas_sampler import plan_jobs_span
+
+    kf = jnp.linspace(0.0, 1.0, k).reshape(kg, ks)
+    z_g = (zmin[:, None, :, None]
+           + span[:, None, :, None] * kf[None, :, None, :])
+    dt_r = (zmax - zmin) / k
+    xyz_g = jnp.clip(
+        o[:, None, :, None] + d[:, None, :, None] * z_g[..., None], -1., 1.)
+    valid_g = jnp.broadcast_to(va_j[:, None, :, None], (t, kg, rpt, ks))
+    sc_g, uv, _, _ = plan_jobs_grouped(
+        xyz_g.reshape(t, kg, sg, 3), valid_g.reshape(t, kg, sg), spec,
+        BOUND)
+    dtv = jnp.pad((dt_r * va_j)[..., None], ((0, 0), (0, 0), (0, 7)))
+    ref = sample_shade_comp_tiles(planes, sc_g.reshape(-1),
+                                  uv.reshape(t * 3, kg, 2, sg),
+                                  proj, dtv, weights, spec, interpret=True)
+
+    # lean span planner (endpoint scalars + fused uv emit) must agree
+    sc_s, uv_s, _ = plan_jobs_span(o, d, zmin, zmax, va_j, spec, BOUND)
+    np.testing.assert_array_equal(np.asarray(sc_s), np.asarray(sc_g))
+    out_s = sample_shade_comp_tiles(planes, sc_s.reshape(-1),
+                                    uv_s.reshape(t * 3, kg, 2, sg),
+                                    proj, dtv, weights, spec,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               atol=1e-4)
+
+    # fully-in-kernel uv synthesis must agree too
+    sc_r, _ = plan_jobs_rays(o, d, zmin, zmax, va_j, spec, BOUND)
+    rays8 = jnp.concatenate([o, d, zmin[..., None], zmax[..., None]], -1)
+    out = render_rays_tiles(planes, sc_r.reshape(-1), rays8, proj, weights,
+                            spec, BOUND, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_tile_permutation_roundtrip():
     perm = tile_permutation(16, 32, 8, 4)
     assert sorted(perm.tolist()) == list(range(16 * 32))
