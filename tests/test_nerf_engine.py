@@ -288,6 +288,10 @@ def test_adaptive_tile_budget_picks_smaller_variant(dataset):
         "nerf.sample_mode": "pallas",
         "nerf.tile_budget": 64,
         "nerf.pallas_depth_groups": 4,
+        # ladder geometry below assumes 64 tiles at 64×64 — pin the tile
+        # shape; the default (16×8) is a perf knob, not under test here
+        "nerf.pallas_tile_w": 8,
+        "nerf.pallas_tile_h": 8,
     })
     engine = NeRFReal(cfg, dataset=dataset)
     step = engine._render_step
@@ -463,6 +467,9 @@ def test_over_budget_pose_escalates_to_full_coverage(dataset):
         "nerf.sample_mode": "pallas",
         "nerf.tile_budget": 16,       # 64×64 frame → 64 tiles ≫ budget
         "nerf.pallas_depth_groups": 4,
+        # 64-tile geometry assumed below — pin the 8×8 tile shape
+        "nerf.pallas_tile_w": 8,
+        "nerf.pallas_tile_h": 8,
     })
     engine = NeRFReal(cfg, dataset=dataset)   # default density: all occupied
     step = engine._render_step
