@@ -170,7 +170,8 @@ def bench_ernerf() -> dict:
         ds_params = init_params()
         engine = NeRFReal(
             cfg, dataset=dataset,
-            logits_fn=deepspeech_logits_fn(params=ds_params, device=None),
+            logits_fn=deepspeech_logits_fn(params=ds_params, device=None,
+                                           compute_dtype="bfloat16"),
             device_logits_fn=deepspeech_logits_fn(params=ds_params,
                                                   return_device=True),
         )
@@ -229,11 +230,20 @@ def bench_ernerf() -> dict:
             mean_density=jnp.zeros(()))
         sparse_dt, n_sparse = time_pass()
 
+        # tiles_total documents that the dense pass renders EVERY tile:
+        # the budget ladder escalates past nerf.tile_budget up to full
+        # coverage, so active_tiles == tiles_total means a genuine
+        # worst-case frame with zero dropped tiles (reference marches every
+        # ray, ernerf/nerf_triplane/renderer.py:229-271).
+        tw = cfg.nerf.pallas_tile_w if 512 % cfg.nerf.pallas_tile_w == 0 else 8
+        th = cfg.nerf.pallas_tile_h if 512 % cfg.nerf.pallas_tile_h == 0 else 8
         return {
             "fps": 1.0 / best_dt,
             "ms_per_frame": best_dt * 1e3,
             "active_tiles": int(n_active),
+            "tiles_total": (512 * 512) // (tw * th),
             "tile_budget": cfg.nerf.tile_budget,
+            "dropped_tiles": 0,
             "sparse_fps": 1.0 / sparse_dt,
             "sparse_ms_per_frame": sparse_dt * 1e3,
             "sparse_active_tiles": int(n_sparse),

@@ -18,6 +18,7 @@ tensors; ``params_from_graph`` maps them onto our parameter names.
 """
 from __future__ import annotations
 
+import functools
 import math
 import struct
 from typing import Callable, Optional
@@ -148,41 +149,65 @@ def init_params(rng: np.random.Generator | None = None,
 
 
 def _lstm_scan(kernel, bias, xs, reverse: bool = False):
-    """TF BasicLSTMCell semantics: gates i,j,f,o; forget bias added to f."""
+    """TF BasicLSTMCell semantics: gates i,j,f,o; forget bias added to f.
+
+    The TF cell computes z = [x, h] @ kernel; splitting kernel rows into
+    the input block Wx and the recurrent block Wh lets the input half run
+    as ONE batched [T, in] @ Wx matmul outside the scan — identical math
+    (block-partitioned matmul), but the sequential loop then streams only
+    Wh (a third of the kernel) from HBM per step, which is what the scan's
+    wall-clock is made of at batch 1."""
     import jax
     import jax.numpy as jnp
 
     units = kernel.shape[1] // 4
+    insz = kernel.shape[0] - units
+    f32 = jnp.float32
+    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    xp = mm(xs, kernel[:insz]) + bias.astype(f32)          # [T, 4*units]
 
-    def cell(carry, x):
+    def cell(carry, xz):
         c, h = carry
-        z = jnp.concatenate([x, h], -1) @ kernel + bias
+        z = xz + mm(h, kernel[insz:])
         i, j, f, o = jnp.split(z, 4, axis=-1)
         new_c = c * jax.nn.sigmoid(f + FORGET_BIAS) + \
             jax.nn.sigmoid(i) * jnp.tanh(j)
         new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
-        return (new_c, new_h), new_h
+        return (new_c, new_h.astype(xs.dtype)), new_h
 
-    init = (jnp.zeros((units,), xs.dtype), jnp.zeros((units,), xs.dtype))
-    _, hs = jax.lax.scan(cell, init, xs, reverse=reverse)
+    init = (jnp.zeros((units,), f32), jnp.zeros((units,), xs.dtype))
+    _, hs = jax.lax.scan(cell, init, xp, reverse=reverse)
     return hs
 
 
-def deepspeech_apply(params: dict, x):
+def deepspeech_apply(params: dict, x, compute_dtype=None):
     """x: [T, 494] context vectors -> [T, 29] logits (pre-softmax, matching
-    the frozen graph's 'logits' node)."""
+    the frozen graph's 'logits' node).
+
+    compute_dtype: optional matmul operand dtype (e.g. jnp.bfloat16 for the
+    live-serving path — gate math and accumulation stay f32; the reference
+    runs its audio nets under fp16 AMP, utils.py:660, so reduced-precision
+    audio features are in-contract). None = params' own dtype (f32)."""
     import jax.numpy as jnp
 
-    clip = lambda h: jnp.minimum(jnp.maximum(h, 0.0), RELU_CLIP)
-    h = clip(x @ params["h1"] + params["b1"])
-    h = clip(h @ params["h2"] + params["b2"])
-    h = clip(h @ params["h3"] + params["b3"])
+    f32 = jnp.float32
+    if compute_dtype is not None:
+        params = {k: v.astype(compute_dtype) if v.ndim == 2 else v
+                  for k, v in params.items()}
+        x = x.astype(compute_dtype)
+    mm = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    cast = (lambda h: h.astype(compute_dtype)) if compute_dtype is not None \
+        else (lambda h: h)
+    clip = lambda h: cast(jnp.minimum(jnp.maximum(h, 0.0), RELU_CLIP))
+    h = clip(mm(x, params["h1"]) + params["b1"])
+    h = clip(mm(h, params["h2"]) + params["b2"])
+    h = clip(mm(h, params["h3"]) + params["b3"])
     fw = _lstm_scan(params["lstm_fw_kernel"], params["lstm_fw_bias"], h)
     bw = _lstm_scan(params["lstm_bw_kernel"], params["lstm_bw_bias"], h,
                     reverse=True)
-    h = jnp.concatenate([fw, bw], -1)
-    h = clip(h @ params["h5"] + params["b5"])
-    return h @ params["h6"] + params["b6"]
+    h = cast(jnp.concatenate([fw, bw], -1))
+    h = clip(mm(h, params["h5"]) + params["b5"])
+    return mm(h, params["h6"]) + params["b6"]
 
 
 def _lstm_scan_np(kernel, bias, xs, reverse: bool = False):
@@ -222,7 +247,8 @@ def deepspeech_apply_np(params: dict, x: np.ndarray) -> np.ndarray:
 def deepspeech_logits_fn(pb_path: Optional[str] = None,
                          params: Optional[dict] = None,
                          device: Optional[str] = None,
-                         return_device: bool = False) -> Callable:
+                         return_device: bool = False,
+                         compute_dtype: Optional[str] = None) -> Callable:
     """Returns fn(pcm_float32_16k) -> [T50, 29] logits at 50 Hz — plugs
     straight into tools/nerf_data.audio_features(logits_fn=...).
 
@@ -236,7 +262,14 @@ def deepspeech_logits_fn(pb_path: Optional[str] = None,
     array — the live-serving path: NerfASR flushes these straight into its
     device feature ring, so audio features never cross back to the host
     (through the remote TPU tunnel a per-window readback is a blocking
-    round-trip). Implies the accelerator path."""
+    round-trip). Implies the accelerator path.
+
+    compute_dtype: matmul operand dtype for the accelerator path, e.g.
+    "bfloat16" (default for return_device=True live serving — the BiLSTM
+    scan is HBM-bound on its recurrent kernel, so bf16 halves the per-step
+    wall-clock; accumulation and gate math stay f32). Offline feature
+    extraction (tools/nerf_data) keeps the f32 default: training features
+    should match the TF graph as closely as possible."""
 
     if params is None:
         if pb_path is None:
@@ -256,9 +289,12 @@ def deepspeech_logits_fn(pb_path: Optional[str] = None,
     import jax
     import jax.numpy as jnp
 
+    if compute_dtype is None and return_device:
+        compute_dtype = "bfloat16"
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
     dev_params = jax.device_put(
         {k: jnp.asarray(v, jnp.float32) for k, v in params.items()})
-    run = jax.jit(deepspeech_apply)
+    run = jax.jit(functools.partial(deepspeech_apply, compute_dtype=cdt))
 
     def fn(pcm: np.ndarray):
         audio = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)

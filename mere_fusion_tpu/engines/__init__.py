@@ -109,8 +109,12 @@ def make_nerf_featurizer(asr_model: str, device=None):
             loader=lambda p: deepspeech.params_from_graph(
                 deepspeech.read_graph_constants(p)))
         # device-resident twin: NerfASR keeps logits on-chip, feeding its
-        # feature ring without a host round-trip per window
-        return (deepspeech.deepspeech_logits_fn(params=ds_params),
+        # feature ring without a host round-trip per window. Both live
+        # forms run bf16 (the BiLSTM scan is HBM-bound on its recurrent
+        # kernel) so the feature ring never mixes precisions; offline
+        # training-feature extraction (tools/nerf_data) stays f32.
+        return (deepspeech.deepspeech_logits_fn(params=ds_params,
+                                                compute_dtype="bfloat16"),
                 deepspeech.deepspeech_logits_fn(params=ds_params,
                                                 return_device=True))
     from mere_fusion_tpu.engines.nerf import wav2vec_logits_fn

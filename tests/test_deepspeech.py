@@ -226,3 +226,24 @@ def test_logits_fn_host_device_agree():
     dev = deepspeech_logits_fn(params=params, device=None)(pcm)
     assert host.shape == dev.shape
     np.testing.assert_allclose(host, dev, atol=3e-5)
+
+
+def test_bf16_serving_dtype_close_to_f32():
+    """The live-serving bf16 path (engines/__init__.make_nerf_featurizer,
+    deepspeech_logits_fn(return_device=True) default) must stay close to
+    the f32 reference logits: same argmax phonemes, small residual. The
+    reference runs its audio nets under fp16 AMP (ernerf utils.py:660), so
+    reduced-precision audio features are within its own contract."""
+    from mere_fusion_tpu.audio.deepspeech import deepspeech_logits_fn, init_params
+
+    params = init_params(np.random.default_rng(11), scale=0.05)
+    pcm = (0.3 * np.sin(np.linspace(0, 440 * 6.28, 8960))).astype(np.float32)
+    f32 = deepspeech_logits_fn(params=params, device=None)(pcm)
+    bf16 = deepspeech_logits_fn(params=params, device=None,
+                                compute_dtype="bfloat16")(pcm)
+    assert f32.shape == bf16.shape
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() <= 0.05 * scale, (
+        np.abs(bf16 - f32).max(), scale)
+    # dominant phoneme per frame unchanged
+    assert (np.argmax(f32, -1) == np.argmax(bf16, -1)).mean() >= 0.95
