@@ -141,6 +141,7 @@ class JaxWhisperBackend:
             except (FileNotFoundError, OSError):
                 tokenizer = None  # token-id text fallback
         self.tokenizer = tokenizer
+        self.language = language   # sentence-splitter default (asr/streaming)
         self.language_auto = language == "auto" and language_index is None
         self.detected_language: Optional[str] = None
         if language_index is None:

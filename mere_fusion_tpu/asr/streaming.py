@@ -109,8 +109,16 @@ class StreamingTranscriber:
         buffer_trimming: tuple[str, float] = ("segment", 15.0),
     ):
         self.backend = backend
-        self.tokenizer = tokenizer
         self.trim_way, self.trim_sec = buffer_trimming
+        if tokenizer is None and self.trim_way == "sentence":
+            # sentence-mode trimming needs a sentence segmenter out of the
+            # box (reference whisper_online.py:612-616 builds one via
+            # create_tokenizer whenever --buffer_trimming sentence); default
+            # to the backend's language (en when unknown/auto-undetected)
+            from mere_fusion_tpu.asr.sentences import create_tokenizer
+            tokenizer = create_tokenizer(
+                getattr(backend, "language", None))
+        self.tokenizer = tokenizer
         self.init()
 
     def init(self) -> None:
@@ -211,6 +219,14 @@ class StreamingTranscriber:
                 wt = w.text.strip()
                 if beg is None and sent.startswith(wt):
                     beg = w.beg
+                    if sent == wt:
+                        # single-word sentence: the reference's matcher
+                        # (whisper_online.py:544-556) never closes this
+                        # case and silently drains the remaining words —
+                        # common in zh, where one ASR word is a whole
+                        # sentence, so close it here
+                        out.append((beg, w.end, fsent))
+                        break
                 elif end is None and sent == wt:
                     end = w.end
                     out.append((beg, end, fsent))

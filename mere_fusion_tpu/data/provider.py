@@ -156,6 +156,43 @@ class NeRFTestDataset:
         return cls(poses, eye_area, bg, intrinsics, H, W)
 
 
+class LazyFrames:
+    """preload=0 image store: decode ground-truth frames from disk on
+    access with a small LRU (reference NeRFDataset preload 0,
+    provider.py:362-807 — images stay on disk, read per item). Supports the
+    eager array's consumer surface: len, [i] → float32 [H, W, 3], .shape."""
+
+    def __init__(self, paths: list, cache: int = 16):
+        from collections import OrderedDict
+
+        self._paths = paths
+        self._lru: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cap = cache
+        first = self._decode(0)
+        self.shape = (len(paths),) + first.shape
+
+    @staticmethod
+    def _imread(path: str) -> np.ndarray:
+        return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    def _decode(self, i: int) -> np.ndarray:
+        img = self._imread(self._paths[i]).astype(np.float32) / 255
+        self._lru[i] = img
+        if len(self._lru) > self._cap:
+            self._lru.popitem(last=False)
+        return img
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        hit = self._lru.get(i)
+        if hit is not None:
+            self._lru.move_to_end(i)
+            return hit
+        return self._decode(i)
+
+
 @dataclass
 class NeRFTrainDataset:
     """Training-time dataset: poses + ground-truth images + per-frame audio
@@ -177,6 +214,11 @@ class NeRFTrainDataset:
     W: int
     torso_imgs: np.ndarray | None = None  # [N, H, W, 4] RGBA in [0,1]
     lips_rects: np.ndarray | None = None  # [N, 4] (rmin, rmax, cmin, cmax)
+    # preload=2 (device-resident) tier: u8 frames / bool masks / f32 bg
+    # pinned in HBM, batch gathers run on device (see sample_rays)
+    images_dev: object | None = None      # [N, H·W, 3] u8 jax array
+    masks_dev: object | None = None       # [N, H·W] bool jax array
+    bg_dev: object | None = None          # [H·W, 3] f32 jax array
 
     def __len__(self) -> int:
         return len(self.poses)
@@ -277,13 +319,30 @@ class NeRFTrainDataset:
             sel = (ys * self.W + xs).reshape(-1)
         else:
             sel = rng.integers(0, self.H * self.W, size=num_rays)
-        img = self.images[index].reshape(-1, 3)
-        mask = self.face_masks[index].reshape(-1)
         # attention window of audio features around the frame
         idx = np.clip(
             np.arange(index - att_window // 2, index + att_window // 2),
             0, len(self) - 1,
         )
+        if self.images_dev is not None:
+            # preload=2: frames live in HBM as u8 — gather ON DEVICE, so
+            # per-step host work shrinks to shipping the [num_rays] index
+            # vector (reference preload 2 keeps images on the GPU,
+            # provider.py:362-807)
+            sel_j = jnp.asarray(sel)
+            return {
+                "rays_o": rays_o[sel_j],
+                "rays_d": rays_d[sel_j],
+                "rgb": self.images_dev[index][sel_j].astype(jnp.float32)
+                       / 255.0,
+                "bg_color": self.bg_dev[sel_j],
+                "auds": jnp.asarray(self.auds[idx]),
+                "eye": jnp.asarray([[self.eye_area[index]]], np.float32),
+                "index": jnp.asarray(index, np.int32),
+                "face_mask": self.masks_dev[index][sel_j],
+            }
+        img = self.images[index].reshape(-1, 3)
+        mask = self.face_masks[index].reshape(-1)
         return {
             "rays_o": jnp.asarray(np.asarray(rays_o)[sel]),
             "rays_d": jnp.asarray(np.asarray(rays_d)[sel]),
@@ -297,10 +356,18 @@ class NeRFTrainDataset:
 
     @classmethod
     def load(cls, root: str, scale: float = 4.0, offset=(0, 0, 0),
-             bg_img: str = "white") -> "NeRFTrainDataset":
+             bg_img: str = "white", preload: int = 1) -> "NeRFTrainDataset":
         """Load from an ER-NeRF-format data dir: transforms.json (frames with
         img_id/aud_id), gt_imgs/{img_id}.jpg|png, aud.npy [N,16,A] features,
-        au.csv blink areas, optional parsing/{img_id}.png face masks."""
+        au.csv blink areas, optional parsing/{img_id}.png face masks.
+
+        preload tiers (reference NeRFDataset --preload, provider.py:362-807):
+          0 — frames stay on disk, decoded per access (LazyFrames LRU);
+              for captures that don't fit host RAM.
+          1 — frames decoded into host RAM up front (the default).
+          2 — additionally pins u8 frames + masks + bg in device HBM and
+              batch gathers run on device (sample_rays ships only the
+              index vector per step)."""
         import json as _json
 
         with open(os.path.join(root, "transforms.json")) as f:
@@ -317,6 +384,7 @@ class NeRFTrainDataset:
         au_blink = au[" AU45_r"].values
 
         poses, images, auds, eyes, masks = [], [], [], [], []
+        img_paths = []
         for f in transform["frames"]:
             poses.append(
                 nerf_matrix_to_ngp(
@@ -328,8 +396,10 @@ class NeRFTrainDataset:
                 p = os.path.join(root, "gt_imgs", f"{img_id}{ext}")
                 if os.path.exists(p):
                     break
-            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            images.append(img.astype(np.float32) / 255)
+            img_paths.append(p)
+            if preload >= 1:
+                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                images.append(img.astype(np.float32) / 255)
             auds.append(aud_features[min(f.get("aud_id", img_id),
                                          len(aud_features) - 1)])
             eyes.append(float(np.clip(au_blink[img_id], 0, 2)) / 2)
@@ -391,17 +461,35 @@ class NeRFTrainDataset:
             torso = np.stack(torso)
 
         fl = transform["focal_len"]
+        if preload == 0:
+            image_store = LazyFrames(img_paths)
+        else:
+            image_store = np.stack(images)
+        images_dev = masks_dev = bg_dev = None
+        if preload >= 2:
+            import jax
+            import jax.numpy as jnp
+
+            n = len(img_paths)
+            images_dev = jax.device_put(jnp.asarray(
+                np.rint(image_store * 255).astype(np.uint8)
+                .reshape(n, H * W, 3)))
+            masks_dev = jax.device_put(
+                jnp.asarray(np.stack(masks).reshape(n, H * W)))
+            bg_dev = jax.device_put(
+                jnp.asarray(bg.reshape(H * W, 3).astype(np.float32)))
         return cls(
             torso_imgs=torso,
             lips_rects=lips,
             poses=np.stack(poses),
-            images=np.stack(images),
+            images=image_store,
             auds=np.stack(auds).astype(np.float32),
             eye_area=np.asarray(eyes, np.float32),
             face_masks=np.stack(masks),
             bg_img=bg,
             intrinsics=(fl, fl, transform["cx"], transform["cy"]),
             H=H, W=W,
+            images_dev=images_dev, masks_dev=masks_dev, bg_dev=bg_dev,
         )
 
 

@@ -69,6 +69,32 @@ from mere_fusion_tpu.ops.pallas_sampler import (
 )
 
 
+def ladder_rungs(budget: int, t: int) -> list[int]:
+    """Precompiled tile-budget rungs for a frame of t total tiles.
+
+    Down-ladder: from `budget` in ~25-33% steps (each halving plus its 3/4
+    intermediate) to a floor of budget/16 — a typical talking-head pose
+    occupies a small fraction of the worst-case tile count (bench sparse
+    scenario: 66 of 2048 tiles at 512²), and a coarse floor wastes most of
+    the smallest variant's sampler+shade work on empty tiles (the round-4
+    sparse regression: a 256-tile floor rendered 4× the active rays).
+    Up-ladder: doubling to FULL coverage, so an over-budget pose escalates
+    instead of truncating (the reference marches every ray,
+    ernerf/nerf_triplane/renderer.py:229-271)."""
+    floor = max(1, budget // 16)
+    rungs = {budget}
+    b = budget
+    while b > floor:
+        rungs.add(max(1, 3 * b // 4))
+        b = max(1, b // 2)
+        rungs.add(b)
+    b_up = budget
+    while b_up < t:
+        b_up = min(2 * b_up, t)
+        rungs.add(b_up)
+    return sorted(r for r in rungs if r <= t)
+
+
 def _expand_enc_rows(w, spec: SamplerSpec, dtype):
     """Lift a [3·C, n] weight block onto the kernel's padded plane-minor
     feature basis [3·CP, n]: row p·C + c moves to p·cp + c, pad rows are
@@ -316,18 +342,15 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         ws = sr[..., 0]                                    # Σ weights
         rgb_acc = sr[..., 1:4]                             # Σ weight·rgb
 
-        # ---- background mix (torso net when configured) + scatter
-        if network.cfg.torso:
-            def torso_fn(x, p):
-                c = (variables["params"]["individual_codes_torso"][:1]
-                     if network.cfg.individual_dim_torso > 0 else None)
-                return network.apply(variables, x, p, c,
-                                     method=NeRFNetwork.forward_torso)
-
-            bg_color, _ = render_torso_background(
-                torso_fn, H, W, jnp.asarray(pose), bg_color
-            )
-        bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)))
+        # ---- background mix + scatter. When the torso net is configured
+        # the torso-composited background arrives PRECOMPUTED in bg_color
+        # ([n, 3], from the pose-keyed torso cache or torso_bg_fn): at
+        # inference the torso pass is a pure function of (pose, bg) —
+        # renderer.py:294-352 conditions it on nothing per-frame but the
+        # head pose — and computing its 262k-pixel deform+color MLPs +
+        # 2-D hash encode in-frame costs ~126 ms at 512², 3× the whole
+        # head render.
+        bg_t = tile(jnp.broadcast_to(bg_color, (n, 3)).astype(jnp.float32))
         image = rgb_acc + (1.0 - ws)[..., None] * (bg_t if full
                                                    else bg_t[sel])
         # scatter compacted tiles back over a background-filled frame
@@ -339,19 +362,14 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
 
       return frame_fn
 
-    # The ladder spans from budget/4 up to FULL tile coverage (t): a pose
+    # The ladder spans from budget/16 up to FULL tile coverage (t): a pose
     # whose active count exceeds nerf.tile_budget escalates to a larger
     # precompiled variant instead of truncating — every ray always renders,
     # matching the reference (ernerf/nerf_triplane/renderer.py:229-271,
     # which marches every ray regardless of occupancy). nerf.tile_budget is
-    # therefore a *ladder shape* hint, not a coverage cap.
-    ladder = {budget, max(1, 3 * budget // 4),
-              max(1, budget // 2), max(1, budget // 4)}
-    b_up = budget
-    while b_up < t:
-        b_up = min(2 * b_up, t)
-        ladder.add(b_up)
-    budget_ladder = sorted(ladder)
+    # therefore a *ladder shape* hint, not a coverage cap. See budget_ladder
+    # for the rung geometry.
+    budget_ladder = ladder_rungs(budget, t)
     frame_fns: dict = {}  # budget → compiled variant
 
     span_cache: dict = {}
@@ -376,6 +394,51 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
     # sequentially looped track, keeping the first N beats LRU (which would
     # evict every entry exactly before its next use).
     cache_cap = nc.span_cache_poses if nc.span_cache_poses > 0 else None
+
+    # ---- torso background: pose-keyed cache --------------------------------
+    # At inference the torso pass depends ONLY on (pose, bg): the reference
+    # evaluates its 2-D deform+color nets per frame conditioned on the head
+    # pose alone (renderer.py:294-352; the torso individual code is pinned
+    # to frame 0 at test time, renderer.py:300). On a fixed pose track the
+    # composite is therefore computed once per pose at warmup (exact, full
+    # resolution) and cached as bf16 [H·W, 3] (~1.5 MB/pose at 512², under
+    # the same span_cache_poses cap) — per-frame cost one HBM read instead
+    # of ~126 ms of narrow-MLP + 2-D-hash-gather work. Uncached poses
+    # (orbit camera, over-cap tracks) compute it live.
+    torso_cache: dict = {}
+    torso_state: dict = {"bg": None}
+    if network.cfg.torso:
+        @jax.jit
+        def torso_bg_fn(variables, pose, bg_color):
+            def torso_fn(x, p):
+                c = (variables["params"]["individual_codes_torso"][:1]
+                     if network.cfg.individual_dim_torso > 0 else None)
+                return network.apply(variables, x, p, c,
+                                     method=NeRFNetwork.forward_torso)
+
+            bg2, _ = render_torso_background(
+                torso_fn, H, W, jnp.asarray(pose), bg_color)
+            return bg2.astype(jnp.bfloat16)
+    else:
+        torso_bg_fn = None
+
+    def effective_bg(pose, bg, pose_key):
+        """The background the head render composites over: bg itself, or
+        the (cached) torso composite when the torso net is configured."""
+        if torso_bg_fn is None:
+            return bg
+        if bg is not torso_state["bg"]:
+            torso_cache.clear()
+            torso_state["bg"] = bg
+        if pose_key is not None:
+            hit = torso_cache.get(pose_key)
+            if hit is not None:
+                return hit
+            out = torso_bg_fn(variables, pose, bg)
+            if cache_cap is None or len(torso_cache) < cache_cap:
+                torso_cache[pose_key] = out
+            return out
+        return torso_bg_fn(variables, pose, bg)
 
     def step(pose, auds, eye, density, bg, pose_key=None):
         if density.occupancy is not cache_state["occ"]:
@@ -412,7 +475,8 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
             prev = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
         img, enc_a, n_active, n_overflow = fn(
             variables, planes_major, pose, sp, va,
-            jnp.asarray(auds), jnp.asarray(eye), jnp.asarray(bg), prev,
+            jnp.asarray(auds), jnp.asarray(eye),
+            jnp.asarray(effective_bg(pose, bg, pose_key)), prev,
             jnp.asarray(have_prev),
         )
         if smooth_enabled:
@@ -420,18 +484,20 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         return img, n_active, n_overflow
 
     def warmup(density, bg):
-        """Prefill the span cache for the dataset's pose track — up to
+        """Prefill the span cache (and, with the torso net configured, the
+        torso-background cache) for the dataset's pose track — up to
         nerf.span_cache_poses poses (one batched count readback) — and block
         on every budget-ladder variant's compile, so the live render loop
         never stalls on the remote compiler mid-stream or syncs the host per
         pose. Call at engine construction (engines/lip.py:152-156 is the
         convention).
 
-        Drops the whole cache first: entries under non-track pose keys
+        Drops the whole caches first: entries under non-track pose keys
         (orbit snapshots, bench scenarios) may have been probed against an
         older occupancy grid, and prefilling without clearing would let
         them survive behind the refreshed cache_state marker."""
         span_cache.clear()
+        torso_cache.clear()
         track = (dataset.poses if cache_cap is None
                  else dataset.poses[:cache_cap])
         outs = [span_fn(jnp.asarray(p), density) for p in track]
@@ -439,15 +505,21 @@ def make_pallas_render_step(network: NeRFNetwork, variables, dataset,
         for i, (sp, va, _) in enumerate(outs):
             span_cache[i] = (sp, va, int(counts[i]))
         cache_state["occ"] = density.occupancy
+        if torso_bg_fn is not None:
+            torso_state["bg"] = bg
+            for i, p in enumerate(track):
+                torso_cache[i] = torso_bg_fn(variables, jnp.asarray(p),
+                                             jnp.asarray(bg))
         sp0, va0, _ = span_cache[0]
         auds0 = jnp.zeros((8, network.cfg.audio_in_dim, 16))
         prev0 = jnp.zeros(enc_a_shape.shape, enc_a_shape.dtype)
+        bg0 = jnp.asarray(torso_cache[0] if torso_bg_fn is not None else bg)
         for b in budget_ladder:
             if b not in frame_fns:
                 frame_fns[b] = make_frame_fn(b)
             img, *_ = frame_fns[b](
                 variables, planes_major, jnp.asarray(dataset.poses[0]),
-                sp0, va0, auds0, jnp.zeros((1, 1)), jnp.asarray(bg), prev0,
+                sp0, va0, auds0, jnp.zeros((1, 1)), bg0, prev0,
                 jnp.asarray(False),
             )
         np.asarray(img)  # drain the warmup executions

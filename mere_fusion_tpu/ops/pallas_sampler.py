@@ -55,6 +55,12 @@ class SamplerSpec:
     levels: int = 5          # mip levels (level 0 = full resolution)
     ahead: int = 2           # DMA prefetch depth, in tile steps (3·kg windows
                              # each; 2 measured equal to 3 at dense 512²)
+    tent_bf16: bool = True   # run the per-window tent/accumulate VPU chain
+                             # (tvc build, m1·tvc, lane fold) in bf16 —
+                             # the shade MLPs consume bf16 features anyway
+                             # (engines.nerf_pallas shade_dtype), so f32
+                             # accumulation here bought no end precision;
+                             # measured 35.4→30.7 ms on the dense 512² frame
 
     @property
     def cp(self) -> int:     # padded channels: v*cp must tile to 128 lanes
@@ -186,8 +192,18 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem,
                     for g in range(kg):
                         copy(a, q, g, (a * 3 + q) * kg + g).start()
 
-    # loop-invariant tent lattices
+    # loop-invariant tent lattices. acc_t: the dtype of the per-window
+    # accumulate chain (tvc tent, m1·tvc, lane fold) — bf16 when
+    # spec.tent_bf16 (the default; the shade MLPs consume bf16 features, so
+    # f32 here bought no end precision while costing ~2× the VPU passes).
+    # Coordinates stay exact: vx holds integers ≤ wv (bf16-exact to 256),
+    # and the tent value max(0, 1-|d|) rounds at ~2^-8 relative — the same
+    # order as the bf16 plane storage itself.
+    acc_t = jnp.bfloat16 if spec.tent_bf16 else jnp.float32
     uu = jax.lax.broadcasted_iota(jnp.int32, (sg, wu), 1).astype(jnp.float32)
+    # the tent ARGUMENT stays f32 (bf16 ulp at v≈31 is 0.125 — casting the
+    # coordinate, not the tent value, would skew weights by up to 12%);
+    # only the in-[0,1] tent value is cast to acc_t (≤2⁻⁹ rounding)
     vx = (jax.lax.broadcasted_iota(jnp.int32, (sg, wv * cp), 1) // cp
           ).astype(jnp.float32)
     # per-plane channel selectors: G_q[x, q·cp + c] = (x % cp == c) — one
@@ -196,7 +212,7 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem,
     fold_to = min(128, wv * cp)
     gx = jax.lax.broadcasted_iota(jnp.int32, (fold_to, 3 * cp), 0) % cp
     gc = jax.lax.broadcasted_iota(jnp.int32, (fold_to, 3 * cp), 1)
-    gsels = [(gx + q * cp == gc).astype(jnp.float32) for q in range(3)]
+    gsels = [(gx + q * cp == gc).astype(acc_t) for q in range(3)]
 
     def group_acc(uv_fn, i, ni, g):
         cyc = (i % ahead) * 3 * kg
@@ -215,15 +231,16 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem,
             # bilinear two-hot == tent weights at integer lanes
             tu = jnp.maximum(0.0, 1.0 - jnp.abs(uu - u)
                              ).astype(jnp.bfloat16)
-            tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v))
+            tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v)).astype(acc_t)
             copy(i, q, g, slot).wait()
-            m1 = jnp.dot(tu, win[slot], preferred_element_type=jnp.float32)
+            m1 = jnp.dot(tu, win[slot], preferred_element_type=acc_t)
             # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: fold
-            # the lane tree (f32-exact shift+adds) only down to 128 lanes,
-            # then one [sg,128]@[128,3cp] selector matmul finishes the
-            # regroup. Folding all the way to cp serializes log2 VPU passes
-            # on ever-narrower vectors; the 128-lane crossover is the
-            # measured optimum (21.3→18.6 ms on the dense 512² job set).
+            # the lane tree (exact shift+adds: ≤4 terms of bounded tents)
+            # only down to 128 lanes, then one [sg,128]@[128,3cp] selector
+            # matmul finishes the regroup. Folding all the way to cp
+            # serializes log2 VPU passes on ever-narrower vectors; the
+            # 128-lane crossover is the measured optimum (21.3→18.6 ms on
+            # the dense 512² job set).
             acc = m1 * tvc
             half = wv * cp
             while half > fold_to:

@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     p.add_argument("--log2_hashmap_size", type=int, default=14)
     p.add_argument("--ckpt_every", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preload", type=int, default=1, choices=(0, 1, 2),
+                   help="dataset tier: 0 disk-lazy, 1 host RAM, "
+                        "2 device-resident frames (reference --preload)")
     p.add_argument("--patch_size", type=int, default=0,
                    help="sample NxN pixel patches and add the 0.1×LPIPS "
                         "patch loss (reference --patch_size, utils.py:816)")
@@ -84,7 +87,7 @@ def main(argv=None) -> None:
     )
     from mere_fusion_tpu.utils.checkpoint import Checkpointer
 
-    dataset = NeRFTrainDataset.load(args.data_dir)
+    dataset = NeRFTrainDataset.load(args.data_dir, preload=args.preload)
     print(f"[train] {len(dataset)} frames, {dataset.H}x{dataset.W}")
 
     net_cfg = NeRFNetConfig(

@@ -278,27 +278,33 @@ def test_nerf_asr_rearms_first_frame_clock_between_utterances():
     assert asr.speech_start_ts is not None
 
 
-def test_adaptive_tile_budget_picks_smaller_variant(dataset):
+@pytest.mark.parametrize("tile_shape", [(8, 8), (16, 8)],
+                         ids=["tile8x8", "tile16x8"])
+def test_adaptive_tile_budget_picks_smaller_variant(dataset, tile_shape):
     """A pose whose cached active-tile count fits a smaller precompiled
     budget renders through that variant, and the frame is identical to the
-    full-budget render (every active tile is still covered)."""
+    full-budget render (every active tile is still covered). Runs at both
+    tile shapes so the DEFAULT 16×8 geometry is suite-covered, not
+    bench-only."""
+    from mere_fusion_tpu.engines.nerf_pallas import ladder_rungs
     from mere_fusion_tpu.models.ernerf.renderer import DensityGrid
 
+    tw, th = tile_shape
     cfg = CFG.override(**{
         "nerf.sample_mode": "pallas",
         "nerf.tile_budget": 64,
         "nerf.pallas_depth_groups": 4,
-        # ladder geometry below assumes 64 tiles at 64×64 — pin the tile
-        # shape; the default (16×8) is a perf knob, not under test here
-        "nerf.pallas_tile_w": 8,
-        "nerf.pallas_tile_h": 8,
+        "nerf.pallas_tile_w": tw,
+        "nerf.pallas_tile_h": th,
     })
+    t_total = (64 * 64) // (tw * th)
+    budget = min(cfg.nerf.tile_budget, t_total)
     engine = NeRFReal(cfg, dataset=dataset)
     step = engine._render_step
     frees = dict(zip(step.__code__.co_freevars,
                      [c.cell_contents for c in step.__closure__]))
     frame_fns, ladder = frees["frame_fns"], frees["budget_ladder"]
-    assert ladder == [16, 32, 48, 64]
+    assert ladder == ladder_rungs(budget, t_total)
 
     # occupancy only in a small corner of the grid → few active tiles
     g = cfg.nerf.grid_size
@@ -314,8 +320,8 @@ def test_adaptive_tile_budget_picks_smaller_variant(dataset):
                                sparse, jnp.asarray(data["bg_color"]),
                                pose_key="sparse")
     active = frees["span_cache"]["sparse"][-1]
-    assert active < 64, f"scene not sparse: {active} active tiles"
-    chosen = [b for b in frame_fns if b < 64]
+    assert active < budget, f"scene not sparse: {active} active tiles"
+    chosen = [b for b in frame_fns if b < budget]
     assert chosen, f"no smaller-budget variant compiled (have {list(frame_fns)})"
     assert min(frame_fns) >= active
 
@@ -323,7 +329,7 @@ def test_adaptive_tile_budget_picks_smaller_variant(dataset):
     # (±1 uint8 step: the two variants are differently-shaped compiled
     # programs, so XLA may order float reductions differently and flip a
     # pixel sitting exactly on a truncation boundary)
-    full = frees["make_frame_fn"](64)
+    full = frees["make_frame_fn"](t_total)
     sp, va, _ = frees["span_cache"]["sparse"]
     enc_shape = frees["enc_a_shape"]
     img_full, _, n_act_full, _ = full(
@@ -457,26 +463,32 @@ def test_span_cache_pose_cap_bounds_prefill_and_growth(dataset):
     assert len(frees["span_cache"]) == 2
 
 
-def test_over_budget_pose_escalates_to_full_coverage(dataset):
+@pytest.mark.parametrize("tile_shape", [(8, 8), (16, 8)],
+                         ids=["tile8x8", "tile16x8"])
+def test_over_budget_pose_escalates_to_full_coverage(dataset, tile_shape):
     """A pose with more active tiles than nerf.tile_budget must NOT
     truncate: the budget ladder escalates to a larger precompiled variant
     (up to full coverage), and the frame matches an uncapped render
     exactly. The reference marches every ray regardless of occupancy
-    (ernerf/nerf_triplane/renderer.py:229-271)."""
+    (ernerf/nerf_triplane/renderer.py:229-271). Runs at both tile shapes
+    so the DEFAULT 16×8 geometry is suite-covered, not bench-only."""
+    from mere_fusion_tpu.engines.nerf_pallas import ladder_rungs
+
+    tw, th = tile_shape
     cfg = CFG.override(**{
         "nerf.sample_mode": "pallas",
-        "nerf.tile_budget": 16,       # 64×64 frame → 64 tiles ≫ budget
+        "nerf.tile_budget": 16,       # 64×64 frame → tiles ≫ budget
         "nerf.pallas_depth_groups": 4,
-        # 64-tile geometry assumed below — pin the 8×8 tile shape
-        "nerf.pallas_tile_w": 8,
-        "nerf.pallas_tile_h": 8,
+        "nerf.pallas_tile_w": tw,
+        "nerf.pallas_tile_h": th,
     })
+    t_total = (64 * 64) // (tw * th)
     engine = NeRFReal(cfg, dataset=dataset)   # default density: all occupied
     step = engine._render_step
     frees = dict(zip(step.__code__.co_freevars,
                      [c.cell_contents for c in step.__closure__]))
-    assert frees["budget_ladder"] == [4, 8, 12, 16, 32, 64]
-    assert step.ladder_top == 64
+    assert frees["budget_ladder"] == ladder_rungs(16, t_total)
+    assert step.ladder_top == t_total
 
     data = dataset.collate(0)
     auds = jnp.zeros((8, engine.network.cfg.audio_in_dim, 16))
@@ -492,7 +504,7 @@ def test_over_budget_pose_escalates_to_full_coverage(dataset):
     assert max(0, active - step.ladder_top) == 0   # dropped_tiles guard
 
     # the escalated render must match an uncapped (full-coverage) render
-    full = frees["make_frame_fn"](64)
+    full = frees["make_frame_fn"](t_total)
     sp, va, _ = frees["span_cache"][0]
     enc_shape = frees["enc_a_shape"]
     img_full, _, n_act_full, _ = full(
