@@ -299,7 +299,9 @@ def bench_a2ff() -> dict:
             args=(quit_event, loop, audio_track, video_track), daemon=True)
         t.start()
         try:
-            for u in range(4):
+            # 8 measured utterances: the p50 of 3 samples swung ±10 ms
+            # between rounds on tunnel jitter alone
+            for u in range(9):
                 count0 = meter.count
                 engine.put_msg_txt("hello there this is a longer utterance")
                 deadline = time.monotonic() + 180
@@ -441,10 +443,15 @@ def bench_sessions() -> dict:
             drains += [asyncio.create_task(count_video()),
                        asyncio.create_task(drain_audio())]
 
+        # procedural TTS synthesizes 0.05 s/char: feed at ~real-time rate so
+        # speech is continuous but no backlog accumulates (a backlog would
+        # keep phase B's probed session from ever reaching silence)
+        feed_dt = len(text) * 0.05 * 0.95
+
         async def feeder(s, until):
             while time.monotonic() < until and not stop.is_set():
                 s.model.put_msg_txt(text)
-                await asyncio.sleep(1.2)
+                await asyncio.sleep(feed_dt)
 
         try:
             # ---- lead-in: compile + queues fill
@@ -466,11 +473,11 @@ def bench_sessions() -> dict:
             a2ff = []
             for r in range(2):
                 for i, s in enumerate(sessions):
-                    until = time.monotonic() + 12
+                    until = time.monotonic() + 14
                     others = [feeder(o, until)
                               for j, o in enumerate(sessions) if j != i]
                     async def probe(s=s):
-                        await asyncio.sleep(4.0)   # drain to real silence
+                        await asyncio.sleep(6.0)   # drain to real silence
                         c0 = meter.count
                         s.model.put_msg_txt(text)
                         deadline = time.monotonic() + 8

@@ -74,13 +74,50 @@ class FakeBackend:
         return [w.end for w in res]
 
 
+def timestamp_segments(tokens: list, ts_begin: int | None, window_s: float,
+                       precision: float = 0.02):
+    """Split one decoded window's tokens at whisper timestamp tokens.
+
+    Returns [(start_s, end_s, [text tokens]), ...] covering the window —
+    the segmentation step of the reference's vendored-whisper long-form
+    decode (musetalk/whisper/whisper/transcribe.py:103-127: slices between
+    consecutive timestamp pairs become segments; their seek-by-timestamp is
+    replaced by fixed windows so decodes stay batchable). Timestamps are
+    clamped monotonic and into [0, window_s]; ts_begin=None (or a window
+    with no timestamp tokens) yields one window-spanning segment."""
+    if ts_begin is None:
+        return [(0.0, window_s, list(tokens))]
+    segs = []
+    cur_start = None
+    cur_text: list = []
+    last_t = 0.0
+    for t in tokens:
+        if t >= ts_begin:
+            ts = min(max((t - ts_begin) * precision, last_t), window_s)
+            if cur_text:
+                segs.append((cur_start if cur_start is not None else last_t,
+                             ts, cur_text))
+                cur_text = []
+                cur_start = None
+            else:
+                cur_start = ts
+            last_t = ts
+        else:
+            cur_text.append(t)
+    if cur_text:
+        segs.append((cur_start if cur_start is not None else last_t,
+                     window_s, cur_text))
+    return segs or [(0.0, window_s, [])]
+
+
 class JaxWhisperBackend:
     """Our flax Whisper running on TPU.
 
-    Word timestamps are linearly interpolated across each decoded segment
-    (adequate for buffer trimming and commit logic; cross-attention DTW
-    alignment is a planned refinement). Text is emitted as token-id strings
-    when no tokenizer vocabulary is available in the environment.
+    Word timestamps come from cross-attention DTW alignment (asr/align.py,
+    the whisper-timestamped technique) when the decode returns alignment
+    weights, with linear interpolation across the segment as the fallback.
+    Text is emitted as token-id strings when no tokenizer vocabulary is
+    available in the environment.
     """
 
     sep = ""
@@ -371,17 +408,53 @@ class JaxWhisperBackend:
         starts = token_times(attn, n_prompt, n_frames)
         return starts[:n_text]
 
-    def transcribe_long(self, audio: np.ndarray, batch_size: int = 24) -> dict:
+    def _ts_decoder(self):
+        """Decoder variant for timestamp-mode decoding: same search as the
+        main decoder, with <|notimestamps|> suppressed (the published
+        whisper rule while timestamps are being predicted); lazy — offline
+        long-form is the only caller."""
+        if getattr(self, "_ts_decode", None) is None:
+            from mere_fusion_tpu.models.whisper import (
+                NO_TIMESTAMPS,
+                make_cached_beam_decoder,
+                make_cached_greedy_decoder,
+            )
+
+            suppress = tuple(sorted(set(self._suppress or ())
+                                    | {NO_TIMESTAMPS}))
+            make = (make_cached_beam_decoder if self.beam_size > 1
+                    else make_cached_greedy_decoder)
+            kw = {"beam_size": self.beam_size} if self.beam_size > 1 else {}
+            self._ts_decode = make(
+                self.model, self.variables, max_new_tokens=128,
+                suppress_tokens=suppress, return_scores=True, **kw)
+        return self._ts_decode
+
+    def transcribe_long(self, audio: np.ndarray, batch_size: int = 24,
+                        timestamps: bool = True) -> dict:
         """Offline long-file transcription: split into 30 s windows and
         decode them in device batches — the reference's active backend's
         chunked mode (InsanelyFastWhisperASR, whisper_online.py:254-302:
         chunk_length_s=30, batch_size=24).
 
+        timestamps=True additionally decodes WITH whisper timestamp tokens
+        (sot without <|notimestamps|>, <|notimestamps|> suppressed) and
+        segments each window at the predicted timestamps — sub-window
+        boundaries in the spirit of the reference's vendored-whisper
+        seek-by-timestamp segmentation (musetalk/whisper/whisper/
+        transcribe.py:103-127), while windows stay fixed 30 s so decodes
+        remain batchable on the MXU (the sequential seek would serialize
+        them). Disabled automatically on vocabs without timestamp tokens.
+
         Returns {"chunks": [{start, end, tokens, text}...], "text", "duration"}.
         """
         import jax.numpy as jnp
 
-        from mere_fusion_tpu.models.whisper import EOT
+        from mere_fusion_tpu.models.whisper import (
+            EOT,
+            NO_TIMESTAMPS,
+            TIMESTAMP_BEGIN,
+        )
         from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
 
         window = self.dims.n_audio_ctx * 2 * 160
@@ -396,20 +469,26 @@ class JaxWhisperBackend:
             mels.append(melspectrogram(jnp.asarray(padded), mel_cfg))
         mels = jnp.stack(mels)
 
-        prompt_one = jnp.asarray([self._sot], jnp.int32)
-        decode_batch = lambda xa, p, plen: self._decode(xa, p, plen)[0]
+        use_ts = (timestamps and self.dims.n_vocab > TIMESTAMP_BEGIN
+                  and NO_TIMESTAMPS in self._sot)
+        sot = (tuple(t for t in self._sot if t != NO_TIMESTAMPS)
+               if use_ts else tuple(self._sot))
+        decode = self._ts_decoder() if use_ts else self._decode
+        prompt_one = jnp.asarray([sot], jnp.int32)
+        decode_batch = lambda xa, p, plen: decode(xa, p, plen)[0]
         if self.beam_size > 1:
             # the beam decoder's batch dim is the beam dim; vmap it over the
             # chunk batch (each element runs its own 5-beam search)
-            if getattr(self, "_beam_batched", None) is None:
+            cache_key = "_beam_batched_ts" if use_ts else "_beam_batched"
+            if getattr(self, cache_key, None) is None:
                 import jax
 
-                base = self._decode
-                plen = len(self._sot)
-                self._beam_batched = jax.jit(jax.vmap(
-                    lambda xa1, p1: base(xa1[None], p1[None], plen)[0][0]))
-            decode_batch = (lambda xa, prompts, _plen:
-                            self._beam_batched(xa, prompts))
+                base = decode
+                plen = len(sot)
+                setattr(self, cache_key, jax.jit(jax.vmap(
+                    lambda xa1, p1: base(xa1[None], p1[None], plen)[0][0])))
+            batched = getattr(self, cache_key)
+            decode_batch = (lambda xa, prompts, _plen: batched(xa, prompts))
         all_tokens = []
         for i in range(0, n_chunks, batch_size):
             group = mels[i:i + batch_size]
@@ -421,20 +500,23 @@ class JaxWhisperBackend:
                 )
             xa = self._encode(group)
             prompts = jnp.tile(prompt_one, (group.shape[0], 1))
-            toks = np.asarray(decode_batch(xa, prompts, len(self._sot)))
+            toks = np.asarray(decode_batch(xa, prompts, len(sot)))
             all_tokens.extend(toks[:real])
 
         window_s = window / SAMPLE_RATE
         chunks = []
         for c, toks in enumerate(all_tokens):
-            text_toks = [int(t) for t in toks[len(self._sot):] if t != EOT]
-            text = "".join(self._token_text(t) for t in text_toks)
-            chunks.append({
-                "start": c * window_s,
-                "end": min((c + 1) * window_s, duration),
-                "tokens": text_toks,
-                "text": text,
-            })
+            seq = [int(t) for t in toks[len(sot):] if t != EOT]
+            off = c * window_s
+            wend = min((c + 1) * window_s, duration)
+            for s0, s1, seg_toks in timestamp_segments(
+                    seq, TIMESTAMP_BEGIN if use_ts else None, window_s):
+                chunks.append({
+                    "start": off + s0,
+                    "end": min(off + s1, wend),
+                    "tokens": seg_toks,
+                    "text": "".join(self._token_text(t) for t in seg_toks),
+                })
         return {"chunks": chunks,
                 "text": "".join(ch["text"] for ch in chunks),
                 "duration": duration}

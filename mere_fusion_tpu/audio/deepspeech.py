@@ -185,9 +185,12 @@ def deepspeech_apply(params: dict, x, compute_dtype=None):
     the frozen graph's 'logits' node).
 
     compute_dtype: optional matmul operand dtype (e.g. jnp.bfloat16 for the
-    live-serving path — gate math and accumulation stay f32; the reference
-    runs its audio nets under fp16 AMP, utils.py:660, so reduced-precision
-    audio features are in-contract). None = params' own dtype (f32)."""
+    live-serving path — gate math and accumulation stay f32). Note this is
+    a serving-side optimization of OURS, not reference behavior: the
+    reference extracts DeepSpeech logits with a float32 TF graph (its fp16
+    AMP, utils.py:660, covers only the downstream NeRF nets); the deviation
+    is bounded by test_bf16_serving_dtype_close_to_f32 and the float32
+    opt-out is compute_dtype="float32". None = params' own dtype (f32)."""
     import jax.numpy as jnp
 
     f32 = jnp.float32

@@ -337,6 +337,7 @@ SOT_PREV = 50361      # <|startofprev|>: prefixes the previous-text prompt
 TRANSCRIBE = 50359
 TRANSLATE = 50358
 NO_TIMESTAMPS = 50363
+TIMESTAMP_BEGIN = 50364  # <|0.00|>; id t ↔ (t − TIMESTAMP_BEGIN)·0.02 s
 NO_SPEECH = 50362
 LANG_BASE = 50259     # <|en|> = 50259; language id = LANG_BASE + lang_index
 

@@ -55,12 +55,14 @@ class SamplerSpec:
     levels: int = 5          # mip levels (level 0 = full resolution)
     ahead: int = 2           # DMA prefetch depth, in tile steps (3·kg windows
                              # each; 2 measured equal to 3 at dense 512²)
-    tent_bf16: bool = True   # run the per-window tent/accumulate VPU chain
-                             # (tvc build, m1·tvc, lane fold) in bf16 —
-                             # the shade MLPs consume bf16 features anyway
-                             # (engines.nerf_pallas shade_dtype), so f32
-                             # accumulation here bought no end precision;
-                             # measured 35.4→30.7 ms on the dense 512² frame
+    tent_bf16: bool = False  # run the per-window accumulate chain (m1·tvc,
+                             # lane fold) in bf16. MEASURED A LOSS on v5e
+                             # (37.20→38.86 ms dense 512² job set): the VPU
+                             # executes bf16 elementwise at the same rate as
+                             # f32 (32-bit lanes), so the f32→bf16 casts are
+                             # pure overhead. Kept as a knob because the
+                             # numerics are validated (≤1e-3 rel) and other
+                             # TPU generations pack bf16 2×.
 
     @property
     def cp(self) -> int:     # padded channels: v*cp must tile to 128 lanes
@@ -233,7 +235,10 @@ def _window_machinery(spec: SamplerSpec, jobs_ref, planes_ref, win, sem,
                              ).astype(jnp.bfloat16)
             tvc = jnp.maximum(0.0, 1.0 - jnp.abs(vx - v)).astype(acc_t)
             copy(i, q, g, slot).wait()
-            m1 = jnp.dot(tu, win[slot], preferred_element_type=acc_t)
+            # Mosaic requires a 32-bit matmul accumulator; cast the result
+            # down so the multiply/fold chain still runs in acc_t
+            m1 = jnp.dot(tu, win[slot],
+                         preferred_element_type=jnp.float32).astype(acc_t)
             # channel regroup out[s, c] = Σ_v (m1·tvc)[s, v·cp + c]: fold
             # the lane tree (exact shift+adds: ≤4 terms of bounded tents)
             # only down to 128 lanes, then one [sg,128]@[128,3cp] selector

@@ -63,7 +63,21 @@ class Checkpointer:
             step = self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self.manager.restore(step)
+        # typed restore against the checkpoint's OWN metadata tree: a bare
+        # manager.restore(step) (or StandardRestore with no target) makes
+        # orbax warn "generally UNSAFE" on every serving start; the saved
+        # metadata has the exact topology, so build the abstract template
+        # from it
+        meta = self.manager.item_metadata(step)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding)
+            if hasattr(m, "shape") and hasattr(m, "dtype") else m,
+            meta,
+        )
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(abstract))
 
     @property
     def latest_step(self) -> Optional[int]:

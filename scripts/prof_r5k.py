@@ -29,37 +29,46 @@ N_RAYS = 512 * 512
 
 
 def make_inputs(spec, t):
-    rng = np.random.default_rng(0)
+    """Operands generated ON DEVICE (one tiny jitted program): the ~200 MB
+    of uv/planes would otherwise crawl through the tunnel's host→device
+    transfer path for tens of minutes."""
     j = t * 3
     stride = 1 + 2 * spec.kg
-    scal = np.zeros((j, stride), np.int32)
-    for g in range(spec.kg):
-        scal[:, 1 + 2 * g] = rng.integers(0, max(1, R - spec.wu), j) & ~7
-        scal[:, 2 + 2 * g] = rng.integers(0, max(1, R - spec.wv), j) & ~7
-    uv = np.zeros((j, spec.kg, 2, spec.sg), np.float32)
-    for g in range(spec.kg):
-        uv[:, g, 0] = (scal[:, 1 + 2 * g, None]
-                       + rng.uniform(0, spec.wu - 1.01, (j, spec.sg)))
-        uv[:, g, 1] = rng.uniform(0, spec.wv - 1.01, (j, spec.sg))
-    planes = rng.standard_normal(
-        (3, spec.mip_rows[-1], R * spec.cp)).astype(np.float32)
-    dproj = rng.standard_normal((t, spec.rays_per_tile, 64)).astype(np.float32)
-    dtv = np.zeros((t, spec.rays_per_tile, 8), np.float32)
-    dtv[..., 0] = 0.01
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 8)
+        ou = (jax.random.randint(ks[0], (j, spec.kg), 0,
+                                 max(1, R - spec.wu)) // 8) * 8
+        ov = (jax.random.randint(ks[1], (j, spec.kg), 0,
+                                 max(1, R - spec.wv)) // 8) * 8
+        scal = jnp.zeros((j, stride), jnp.int32)
+        scal = scal.at[:, 1::2].set(ou)
+        scal = scal.at[:, 2::2].set(ov)
+        u = (ou[:, :, None]
+             + jax.random.uniform(ks[2], (j, spec.kg, spec.sg),
+                                  maxval=spec.wu - 1.01))
+        v = jax.random.uniform(ks[3], (j, spec.kg, spec.sg),
+                               maxval=spec.wv - 1.01)
+        uv = jnp.stack([u, v], axis=2)                     # [j, kg, 2, sg]
+        planes = jax.random.normal(
+            ks[4], (3, spec.mip_rows[-1], R * spec.cp), jnp.bfloat16)
+        dproj = jax.random.normal(
+            ks[5], (t, spec.rays_per_tile, 64), jnp.bfloat16)
+        dtv = jnp.zeros((t, spec.rays_per_tile, 8)).at[..., 0].set(0.01)
+        return scal.reshape(-1), uv, dproj, dtv, planes
+
+    scal, uv, dproj, dtv, planes = gen(jax.random.key(0))
     shapes = {"wx_aud": (48, 64), "w_aud1": (64, 32), "wx_sig": (48, 64),
               "w_aud_sig": (32, 64), "wx_eye": (48, 16), "w_eye1": (16, 8),
               "w_sig_e": (8, 64), "w_sig1": (64, 64), "w_sigcol": (64, 16),
               "w_geo": (64, 64), "w_col_g": (64, 64), "w_rgb": (64, 16),
               "col_bias": (8, 64)}
+    rng = np.random.default_rng(0)
     weights = {k: jnp.asarray(
         0.1 * rng.standard_normal(shapes[k]).astype(np.float32),
         dtype=jnp.bfloat16) for k in SHADE_WEIGHTS}
-    return (jax.device_put(jnp.asarray(scal.reshape(-1))),
-            jax.device_put(jnp.asarray(uv)),
-            jax.device_put(jnp.asarray(dproj, dtype=jnp.bfloat16)),
-            jax.device_put(jnp.asarray(dtv)),
-            jax.device_put(jax.tree.map(jnp.asarray, weights)),
-            jax.device_put(jnp.asarray(planes, dtype=jnp.bfloat16)))
+    return scal, uv, dproj, dtv, weights, planes
 
 
 def run(name, spec):
@@ -88,16 +97,12 @@ def run(name, spec):
 def main():
     base = SamplerSpec(resolution=R, channels=C, tile_w=16, tile_h=8,
                        k=16, kg=4, wu=64, wv=32, tent_bf16=False)
-    _, o_f32 = run("16x8 f32 tents (r4 baseline)", base)
-    _, o_bf16 = run("16x8 bf16 tents", replace(base, tent_bf16=True))
-    d = np.abs(np.asarray(o_f32) - np.asarray(o_bf16))
-    den = np.abs(np.asarray(o_f32)).max()
-    print(f"   bf16-vs-f32 max abs diff {d.max():.5f} (rel {d.max()/den:.5f})")
-    run("32x8 bf16 tents", replace(base, tile_w=32, tent_bf16=True))
-    run("16x16 bf16 tents", replace(base, tile_w=16, tile_h=16,
-                                    tent_bf16=True))
-    run("16x8 bf16 ahead=3", replace(base, tent_bf16=True, ahead=3))
-    run("16x8 bf16 kg=2", replace(base, tent_bf16=True, kg=2))
+    run("16x8 wv32 (r4 baseline)", base)
+    run("16x8 wv16", replace(base, wv=16))
+    run("16x8 wv16 kg=2", replace(base, wv=16, kg=2))
+    run("32x8 wv16", replace(base, tile_w=32, wv=16))
+    run("16x8 wv16 wu=32", replace(base, wv=16, wu=32))
+    run("32x8 wv16 kg=2", replace(base, tile_w=32, wv=16, kg=2))
 
 
 if __name__ == "__main__":

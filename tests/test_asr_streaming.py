@@ -283,3 +283,33 @@ def test_vad_streaming_transcriber_emits_nothing_on_silence():
         beg, end, text = st.process_iter()
         assert text == ""
     assert decodes == []
+
+
+def test_timestamp_segments_parser():
+    """Timestamp-token segmentation (reference vendored-whisper
+    transcribe.py:103-127 slices-between-timestamp-pairs, on fixed
+    windows): <|t|> ids split a window into sub-segments."""
+    from mere_fusion_tpu.asr.backends import timestamp_segments
+
+    TB = 1000  # stand-in timestamp_begin; id TB+k == k*0.02 s
+    ts = lambda sec: TB + int(round(sec / 0.02))
+    # <|0.00|> a b <|1.00|> <|1.00|> c <|2.50|>
+    toks = [ts(0.0), 1, 2, ts(1.0), ts(1.0), 3, ts(2.5)]
+    segs = timestamp_segments(toks, TB, 30.0)
+    assert segs == [(0.0, 1.0, [1, 2]), (1.0, 2.5, [3])]
+
+    # trailing text without a closing timestamp ends at the window bound
+    segs = timestamp_segments([ts(0.5), 7, 8], TB, 30.0)
+    assert segs == [(0.5, 30.0, [7, 8])]
+
+    # non-monotonic and over-window timestamps clamp
+    segs = timestamp_segments([ts(2.0), 1, ts(1.0), ts(40.0), 2], TB, 30.0)
+    assert segs[0] == (2.0, 2.0, [1])
+    assert segs[1] == (30.0, 30.0, [2])
+
+    # no timestamps at all (or disabled): one window-spanning segment
+    assert timestamp_segments([5, 6], TB, 30.0) == [(0.0, 30.0, [5, 6])]
+    assert timestamp_segments([5, 6], None, 30.0) == [(0.0, 30.0, [5, 6])]
+
+    # empty decode still covers the window
+    assert timestamp_segments([], TB, 30.0) == [(0.0, 30.0, [])]

@@ -231,19 +231,35 @@ def test_logits_fn_host_device_agree():
 def test_bf16_serving_dtype_close_to_f32():
     """The live-serving bf16 path (engines/__init__.make_nerf_featurizer,
     deepspeech_logits_fn(return_device=True) default) must stay close to
-    the f32 reference logits: same argmax phonemes, small residual. The
-    reference runs its audio nets under fp16 AMP (ernerf utils.py:660), so
-    reduced-precision audio features are within its own contract."""
+    the f32 reference logits: same argmax phonemes, small residual.
+
+    bf16 feature extraction is OUR serving-side optimization, not reference
+    behavior (the reference extracts DeepSpeech logits with a float32 TF
+    graph; its fp16 AMP covers only the downstream NeRF nets) — hence the
+    bound here, at a deliberately hard regime: trained-magnitude weight
+    scales (LSTM gates near saturation) and a speech-like signal (chirped
+    harmonics + amplitude-modulated noise), not a pure tone. Real
+    frozen-graph weights would tighten this further once a .pb fixture is
+    available. Scale 0.1 puts the f32 logits at trained magnitude (~30,
+    matching real DeepSpeech logit range); larger scales drive the random
+    LSTM into chaotic blow-up (logits >100) that no trained net exhibits."""
     from mere_fusion_tpu.audio.deepspeech import deepspeech_logits_fn, init_params
 
-    params = init_params(np.random.default_rng(11), scale=0.05)
-    pcm = (0.3 * np.sin(np.linspace(0, 440 * 6.28, 8960))).astype(np.float32)
-    f32 = deepspeech_logits_fn(params=params, device=None)(pcm)
-    bf16 = deepspeech_logits_fn(params=params, device=None,
-                                compute_dtype="bfloat16")(pcm)
-    assert f32.shape == bf16.shape
-    scale = np.abs(f32).max()
-    assert np.abs(bf16 - f32).max() <= 0.05 * scale, (
-        np.abs(bf16 - f32).max(), scale)
-    # dominant phoneme per frame unchanged
-    assert (np.argmax(f32, -1) == np.argmax(bf16, -1)).mean() >= 0.95
+    rng = np.random.default_rng(11)
+    t = np.linspace(0.0, 0.56, 8960)
+    f0 = 110 * (1 + 0.8 * t)                      # pitch sweep
+    pcm = sum(0.15 / k * np.sin(2 * np.pi * k * f0 * t) for k in (1, 2, 3))
+    pcm += (0.05 * np.sin(2 * np.pi * 4.0 * t) + 0.05) \
+        * rng.standard_normal(t.shape)            # AM fricative-like noise
+    pcm = pcm.astype(np.float32)
+    for scale in (0.05, 0.1):
+        params = init_params(np.random.default_rng(11), scale=scale)
+        f32 = deepspeech_logits_fn(params=params, device=None)(pcm)
+        bf16 = deepspeech_logits_fn(params=params, device=None,
+                                    compute_dtype="bfloat16")(pcm)
+        assert f32.shape == bf16.shape
+        s = np.abs(f32).max()
+        assert np.abs(bf16 - f32).max() <= 0.05 * s, (
+            scale, np.abs(bf16 - f32).max(), s)
+        # dominant phoneme per frame unchanged
+        assert (np.argmax(f32, -1) == np.argmax(bf16, -1)).mean() >= 0.95, scale
