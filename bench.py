@@ -384,13 +384,19 @@ def bench_a2ff_musetalk() -> dict:
     return {"p50_ms": ms[len(ms) // 2], "max_ms": ms[-1]}
 
 
-def bench_sessions() -> dict:
+def bench_sessions(n: int = 4, models=None, extractor=None,
+                   phase_a_s: float = 16.0, rounds: int = 2,
+                   extra_cfg: dict | None = None,
+                   feed_interval_scale: float = 1.0) -> dict:
     """4 concurrent MuseTalk full-duplex sessions on the single chip through
     the real SessionManager (placement, admission, per-chip weight sharing):
     per-session sustained delivered fps while all four speak, and
     audio-to-first-frame under load (one session transitions silence→speech
     while the other three keep talking). North star: BASELINE.md "4
-    concurrent sessions per server"; reference admission cap app.py:42-49."""
+    concurrent sessions per server"; reference admission cap app.py:42-49.
+
+    models/extractor are injectable so the suite can smoke the identical
+    drive at toy model scale (tests/test_bench_sessions_smoke.py)."""
     import asyncio
 
     import jax.numpy as jnp
@@ -404,17 +410,19 @@ def bench_sessions() -> dict:
     from mere_fusion_tpu.runtime.metrics import metrics
     from mere_fusion_tpu.server.sessions import SessionManager
 
-    n = 4
     cfg = Config().override(**{
         "avatar.kind": "musetalk", "tts.backend": "procedural",
-        "transport.mode": "loopback", "server.max_sessions": n})
+        "transport.mode": "loopback", "server.max_sessions": n,
+        **(extra_cfg or {})})
     # per-chip weight sharing: one MuseModels serves every session on the
     # chip (the SessionManager passes device= through; single chip here)
-    models = MuseModels(dtype=jnp.bfloat16, vae_int8=cfg.avatar.vae_int8)
+    if models is None:
+        models = MuseModels(dtype=jnp.bfloat16, vae_int8=cfg.avatar.vae_int8)
     avatar = synthesize_muse_avatar(models, n_frames=6)
 
     def factory(cfg, device=None):
-        return MuseReal(cfg, models=models, avatar=avatar, device=device)
+        return MuseReal(cfg, models=models, avatar=avatar, device=device,
+                        feature_extractor=extractor)
 
     mgr = SessionManager(cfg, factory)
     meter = metrics.latency("muse.first_frame")
@@ -446,7 +454,10 @@ def bench_sessions() -> dict:
         # procedural TTS synthesizes 0.05 s/char: feed at ~real-time rate so
         # speech is continuous but no backlog accumulates (a backlog would
         # keep phase B's probed session from ever reaching silence)
-        feed_dt = len(text) * 0.05 * 0.95
+        # feed_interval_scale > 1 under-feeds relative to real time — the
+        # CPU-mesh smoke test runs the toy pipeline ~8× slower than real
+        # time, and feeding at 1× there grows an undrainable backlog
+        feed_dt = len(text) * 0.05 * 0.95 * feed_interval_scale
 
         async def feeder(s, until):
             while time.monotonic() < until and not stop.is_set():
@@ -460,7 +471,7 @@ def bench_sessions() -> dict:
             # ---- phase A: sustained fps, all four speaking
             base = list(counts)
             t0 = time.monotonic()
-            window = 16.0
+            window = phase_a_s
             await asyncio.gather(
                 *[feeder(s, t0 + window) for s in sessions])
             await asyncio.sleep(max(0.0, t0 + window - time.monotonic()))
@@ -471,22 +482,37 @@ def bench_sessions() -> dict:
             # silence→speech transition (and so the only first_frame
             # observation) in the window is session i's
             a2ff = []
-            for r in range(2):
+            for r in range(rounds):
                 for i, s in enumerate(sessions):
-                    until = time.monotonic() + 14
-                    others = [feeder(o, until)
-                              for j, o in enumerate(sessions) if j != i]
-                    async def probe(s=s):
-                        await asyncio.sleep(6.0)   # drain to real silence
-                        c0 = meter.count
-                        s.model.put_msg_txt(text)
-                        deadline = time.monotonic() + 8
-                        while (meter.count == c0
-                               and time.monotonic() < deadline):
-                            await asyncio.sleep(0.02)
-                        if meter.count > c0:
-                            a2ff.append(meter.last)
-                    await asyncio.gather(probe(), *others)
+                    done = asyncio.Event()
+
+                    async def others_feed(o):
+                        while not done.is_set() and not stop.is_set():
+                            o.model.put_msg_txt(text)
+                            await asyncio.sleep(feed_dt)
+
+                    tasks = [asyncio.create_task(others_feed(o))
+                             for j, o in enumerate(sessions) if j != i]
+                    # wait for the probed session to actually drain to
+                    # silence (asr._in_speech clears after 200 ms of empty
+                    # polls) — a fixed sleep under-waits whenever the
+                    # pipeline runs below real time
+                    asr = s.model.asr
+                    deadline = time.monotonic() + 60
+                    while ((asr._in_speech or not asr.queue.empty())
+                           and time.monotonic() < deadline):
+                        await asyncio.sleep(0.1)
+                    await asyncio.sleep(1.0)   # a beat of true silence
+                    c0 = meter.count
+                    s.model.put_msg_txt(text)
+                    deadline = time.monotonic() + 30
+                    while (meter.count == c0
+                           and time.monotonic() < deadline):
+                        await asyncio.sleep(0.02)
+                    if meter.count > c0:
+                        a2ff.append(meter.last)
+                    done.set()
+                    await asyncio.gather(*tasks)
             return fps, a2ff
         finally:
             stop.set()

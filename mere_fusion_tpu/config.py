@@ -173,7 +173,16 @@ class NeRFConfig:
                                       # render via the uncached full-budget
                                       # path (no host sync). 0 = unlimited.
     pallas_window_u: int = 64         # texture window, contract (depth) axis
-    pallas_window_v: int = 32         # texture window, lateral axis
+    pallas_window_v: int = 16         # texture window, lateral axis. 16
+                                      # halves the per-window VPU chain and
+                                      # drops the lateral mip one level
+                                      # sooner: with the 2× oversampled
+                                      # bake that is bilinear at the
+                                      # network's NATIVE resolution — the
+                                      # same error class as the accepted
+                                      # nearest-path texel snap (measured
+                                      # 37.6→36.0 ms dense 512²; quality
+                                      # bound: test_window_v16_quality)
     pallas_depth_groups: int = 4      # depth groups per ray (even, divides K)
     # pixel tile shape per sampler job. 16×8 halves the grid-step count vs
     # 8×8 (same FLOPs, half the per-step fixed cost: measured 40.1→35.9 ms

@@ -110,9 +110,13 @@ def preprocess_face(img_bgr: np.ndarray, size: int, half_mask: bool) -> np.ndarr
 class MuseModels:
     """VAE + UNet pair with their variables and fused jitted steps."""
 
-    # int8-vs-float decode PSNR floor for the auto tier (matches the
-    # tests/test_quant.py quality gate)
-    INT8_GATE_DB = 35.0
+    # int8-vs-float decode PSNR floor for the auto tier — aligned with the
+    # project fidelity bar ("PSNR > 40 dB", BASELINE.md): the DEFAULT path
+    # must never ship frames below it. The auto gate tries the fastest
+    # int8 tier first (all decode convs quantized), then int8 with the
+    # full-resolution top block kept float, then falls back to the bf16
+    # decode (still ~5× real time).
+    INT8_GATE_DB = 40.0
 
     def __init__(self, vae_cfg: VAEConfig | None = None,
                  unet_cfg: UNetConfig | None = None,
@@ -171,28 +175,44 @@ class MuseModels:
         sf = self.vae_cfg.scaling_factor
 
         self.int8_gate_psnr = None
+        self.int8_tier = "off" if self._vae_int8_mode == "off" else "full"
         if self._vae_int8_mode == "auto":
             # load-time quality gate on the ACTUAL weights: decode a probe
-            # latent batch through both tiers and keep int8 only if it
-            # holds the PSNR floor (otherwise fall back to the float path)
+            # latent batch against the float decode and keep the FASTEST
+            # int8 tier that clears the 40 dB floor — all-conv int8 first,
+            # then int8 with the full-resolution top block kept float
+            # (decoder.int8_keep_top_fp), else the bf16 decode
             float_vae = AutoencoderKL(self.vae_cfg, dtype, int8_decode=False)
             z = jax.random.normal(
                 jax.random.key(2),
                 (2, self.latent_size, self.latent_size,
                  self.vae_cfg.latent_channels)) / sf
 
-            @jax.jit
-            def probe(vv, z):
-                a = self.vae.apply(vv, z, method=AutoencoderKL.decode)
-                b = float_vae.apply(vv, z, method=AutoencoderKL.decode)
-                a = jnp.clip(a.astype(jnp.float32) / 2 + 0.5, 0, 1)
-                b = jnp.clip(b.astype(jnp.float32) / 2 + 0.5, 0, 1)
-                return ((a - b) ** 2).mean()
+            def gate_psnr(candidate):
+                @jax.jit
+                def probe(vv, z):
+                    a = candidate.apply(vv, z, method=AutoencoderKL.decode)
+                    b = float_vae.apply(vv, z, method=AutoencoderKL.decode)
+                    a = jnp.clip(a.astype(jnp.float32) / 2 + 0.5, 0, 1)
+                    b = jnp.clip(b.astype(jnp.float32) / 2 + 0.5, 0, 1)
+                    return ((a - b) ** 2).mean()
 
-            mse = float(probe(self.vae_vars, z))
-            self.int8_gate_psnr = 10 * float(np.log10(1.0 / max(mse, 1e-12)))
-            if self.int8_gate_psnr < self.INT8_GATE_DB:
-                self.vae = float_vae       # gate failed: honest fallback
+                mse = float(probe(self.vae_vars, z))
+                return 10 * float(np.log10(1.0 / max(mse, 1e-12)))
+
+            tiers = (
+                ("full", self.vae),
+                ("keep_top_fp", AutoencoderKL(self.vae_cfg, dtype,
+                                              int8_decode=True,
+                                              int8_keep_top_fp=True)),
+            )
+            for name, candidate in tiers:
+                self.int8_gate_psnr = gate_psnr(candidate)
+                if self.int8_gate_psnr >= self.INT8_GATE_DB:
+                    self.vae, self.int8_tier = candidate, name
+                    break
+            else:
+                self.vae, self.int8_tier = float_vae, "off"  # honest fallback
         self.int8_enabled = bool(
             getattr(self.vae, "int8_decode", False)
             and self._vae_int8_mode != "off")

@@ -122,6 +122,12 @@ class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: Any = jnp.float32
     int8: bool = False       # int8 conv arithmetic on the decode hot path
+    # keep the TOP (full-resolution) up block in the float path when int8
+    # is on: its convs feed pixels through only conv_norm_out+conv_out, so
+    # their quantization error is the most visible, while the upsampled
+    # input means earlier (quantized) blocks carry most of the receptive
+    # field. A quality/speed knob evaluated by the load-time PSNR gate.
+    int8_keep_top_fp: bool = False
 
     @nn.compact
     def __call__(self, z):
@@ -137,13 +143,15 @@ class Decoder(nn.Module):
                         name="mid_res_1")(h)
         up_channels = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(up_channels):
+            qi = q and not (self.int8_keep_top_fp
+                            and i == len(up_channels) - 1)
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=q,
+                h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=qi,
                                 name=f"up_{i}_res_{j}")(h)
             if i < len(up_channels) - 1:
                 h = upsample2x_nearest(h)
                 h = QConv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                          dtype=self.dtype, quant=q,
+                          dtype=self.dtype, quant=qi,
                           name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
@@ -157,10 +165,12 @@ class AutoencoderKL(nn.Module):
     cfg: VAEConfig = field(default_factory=VAEConfig)
     dtype: Any = jnp.float32
     int8_decode: bool = False
+    int8_keep_top_fp: bool = False
 
     def setup(self):
         self.encoder = Encoder(self.cfg, self.dtype, name="encoder")
         self.decoder = Decoder(self.cfg, self.dtype, int8=self.int8_decode,
+                               int8_keep_top_fp=self.int8_keep_top_fp,
                                name="decoder")
         self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
                                   dtype=self.dtype, name="quant_conv")

@@ -322,19 +322,32 @@ def _shade_core(spec: SamplerSpec, w: dict, x, dsamp):
     raw σ logit in col 0, rgb_p [ns, 16] with rgb logits in cols 1:4)."""
     dtype = w["wx_aud"].dtype
     f32 = jnp.float32
-    mm = lambda a, b: jnp.dot(a.astype(dtype), b[...],
+    mm = lambda a, b: jnp.dot(a.astype(dtype), b,
                               preferred_element_type=f32)
-    aud_h = jax.nn.relu(mm(x, w["wx_aud"]))
-    aud_ch = mm(aud_h, w["w_aud1"])                       # [ns, A]
-    h = mm(x, w["wx_sig"]) + mm(aud_ch, w["w_aud_sig"])
-    eye_h = jax.nn.relu(mm(x, w["wx_eye"]))
-    eye_att = jax.nn.sigmoid(mm(eye_h, w["w_eye1"])[:, :1])
+    # matmuls sharing an lhs are issued as one wider matmul (three x@W
+    # issues with n = 64/64/16 become one x@[k, 144]); measured NEUTRAL on
+    # the dense 512² job set (Mosaic evidently pipelines the small issues
+    # well) — kept because it is no slower and simplifies the issue count.
+    na, ns_, ne = (w["wx_aud"].shape[1], w["wx_sig"].shape[1],
+                   w["wx_eye"].shape[1])
+    wx_all = jnp.concatenate(
+        [w["wx_aud"][...], w["wx_sig"][...], w["wx_eye"][...]], axis=1)
+    hx = mm(x, wx_all)
+    aud_h = jax.nn.relu(hx[:, :na])
+    h0 = hx[:, na:na + ns_]
+    eye_h = jax.nn.relu(hx[:, na + ns_:na + ns_ + ne])
+    aud_ch = mm(aud_h, w["w_aud1"][...])                  # [ns, A]
+    h = h0 + mm(aud_ch, w["w_aud_sig"][...])
+    eye_att = jax.nn.sigmoid(mm(eye_h, w["w_eye1"][...])[:, :1])
     h = jax.nn.relu(h + eye_att * w["w_sig_e"][:1].astype(f32))
-    h = jax.nn.relu(mm(h, w["w_sig1"]))
-    sig_p = mm(h, w["w_sigcol"])                          # [ns, 16] col 0
-    geo = mm(h, w["w_geo"])                               # [ns, 64]
-    ch = mm(geo, w["w_col_g"]) + dsamp + w["col_bias"][:1].astype(f32)
-    rgb_p = mm(jax.nn.relu(ch), w["w_rgb"])               # [ns, 16] cols 1:4
+    h = jax.nn.relu(mm(h, w["w_sig1"][...]))
+    nc_, ng = w["w_sigcol"].shape[1], w["w_geo"].shape[1]
+    wh_all = jnp.concatenate([w["w_sigcol"][...], w["w_geo"][...]], axis=1)
+    hs = mm(h, wh_all)
+    sig_p = hs[:, :nc_]                                   # [ns, 16] col 0
+    geo = hs[:, nc_:nc_ + ng]                             # [ns, 64]
+    ch = mm(geo, w["w_col_g"][...]) + dsamp + w["col_bias"][:1].astype(f32)
+    rgb_p = mm(jax.nn.relu(ch), w["w_rgb"][...])          # [ns, 16] cols 1:4
     return sig_p, rgb_p
 
 
@@ -422,6 +435,10 @@ def _shade_comp_kernel(spec: SamplerSpec, jobs_ref, uv_ref, dproj_ref,
     kg = spec.kg
     i = pl.program_id(0)
     ni = pl.num_programs(0)
+    # NOTE a two-planes-per-matmul K-packing (block-diagonal [sg,128] lhs)
+    # was tried here and measured 4 ms SLOWER at dense 512²: the MXU's
+    # effective contraction depth per pass is 64, so K=128 costs two
+    # passes and the packing saves nothing while adding VPU tent work.
     prefetch, group_acc = _window_machinery(spec, jobs_ref, planes_ref,
                                             win, sem)
 
@@ -495,12 +512,29 @@ def _composite_rows(spec: SamplerSpec, sig_p, rgb_p, dtv):
                         jax.nn.sigmoid(rgb_p) * (1 + 2 * 0.001) - 0.001,
                         0.0))
     contrib = wgt * base                                  # [ns, 16]
-    # per-ray reduction: one [rpt, ns] 0/1 selector matmul gathers every
-    # ray's scattered (g, s) rows — permutation+reduce as MXU work
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rpt, ns), 1)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rpt, ns), 0)
-    rsel = ((ci % sg) // ks == ri).astype(f32)
-    return jnp.dot(rsel, contrib, preferred_element_type=f32)
+    # per-ray reduction in two stages. A single [rpt, ns] selector matmul
+    # costs M·⌈K/128⌉ = 128·16 = 2048 MXU row-passes per tile (measured
+    # ~4.4 ms of the dense 512² frame); instead:
+    #  1. Σ over depth groups: cyclic roll-adds bring every group's row
+    #     onto block 0 (rows ≥ sg hold wrapped garbage, never read);
+    #  2. Σ over the ks in-group samples: two roll-adds leave each ray's
+    #     total at its s = 0 row;
+    #  3. one [rpt, sg] selector matmul (K = 512 → 4 passes, 512 row-
+    #     cycles) picks rows r·ks. Same f32 sums up to reassociation.
+    cg = contrib
+    for g in range(1, kg):
+        cg = cg + roll(contrib, ns - g * sg)
+    # segmented suffix sum over s (masked doubling): row r·ks ends with
+    # Σ_{s} of its ray's rows
+    y = cg
+    d = 1
+    while d < ks:
+        y = y + jnp.where(s_id < ks - d, roll(y, ns - d), 0.0)
+        d *= 2
+    si = jax.lax.broadcasted_iota(jnp.int32, (rpt, sg), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rpt, sg), 0)
+    ssel = (si == ri * ks).astype(f32)
+    return jnp.dot(ssel, y[:sg], preferred_element_type=f32)
 
 
 def _render_rays_kernel(spec: SamplerSpec, bound: float, jobs_ref,
@@ -649,6 +683,11 @@ def sample_shade_comp_tiles(planes_major: jax.Array, jobs: jax.Array,
     j = uv.shape[0]
     t = j // 3
     kernel = functools.partial(_shade_comp_kernel, spec)
+    scratch = [
+        pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
+                    spec.wv * spec.cp), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
+    ]
     return pl.pallas_call(
         kernel,
         grid=(t,),
@@ -669,11 +708,7 @@ def sample_shade_comp_tiles(planes_major: jax.Array, jobs: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, spec.rays_per_tile, 16),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((spec.ahead * 3 * spec.kg, spec.wu,
-                        spec.wv * spec.cp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((spec.ahead * 3 * spec.kg,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jobs, uv, dproj, dtv, *[weights[k] for k in SHADE_WEIGHTS],
       planes_major)

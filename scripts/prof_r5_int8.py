@@ -1,5 +1,5 @@
-"""int8 VAE decode: gate PSNR + speed, baseline vs per-input-channel
-equalization (dynamic SmoothQuant). Run on the TPU: python scripts/prof_r5_int8.py"""
+"""int8 VAE decode tiers: auto-gate outcome (PSNR + chosen tier) and the
+speed of each tier. Run on the TPU: python scripts/prof_r5_int8.py"""
 import os
 import sys
 import time
@@ -16,27 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 import mere_fusion_tpu.ops.quant as Q
-
-
-def int8_conv_eq(x, kernel, bias, strides=(1, 1), padding="SAME",
-                 out_dtype=jnp.bfloat16):
-    xf = x.astype(jnp.float32)
-    kf = kernel.astype(jnp.float32)
-    ax = jnp.max(jnp.abs(xf), axis=(0, 1, 2))
-    ak = jnp.max(jnp.abs(kf), axis=(0, 1, 3))
-    s = jnp.sqrt(jnp.maximum(ax, 1e-8) / jnp.maximum(ak, 1e-8))
-    s = jnp.where((ax > 0) & (ak > 0), s, 1.0)
-    xq, sx = Q.quantize_per_tensor(xf / s)
-    kq, sw = Q.quantize_per_out_channel(kf * s[None, None, :, None])
-    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    acc = jax.lax.conv_general_dilated(
-        xq, kq, tuple(strides), padding, dimension_numbers=dn,
-        preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (sx * sw)
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(out_dtype)
 
 
 def measure_speed(models, batch=16):
@@ -70,15 +49,13 @@ def main():
     from mere_fusion_tpu.engines.muse import MuseModels
 
     m = MuseModels(dtype=jnp.bfloat16, vae_int8="auto")
-    print(f"baseline  gate_psnr {m.int8_gate_psnr:.2f} enabled {m.int8_enabled}",
-          flush=True)
-    print(f"baseline  ms/batch16 {measure_speed(m):.2f}", flush=True)
-
-    Q.int8_conv = int8_conv_eq
-    m2 = MuseModels(dtype=jnp.bfloat16, vae_int8="auto")
-    print(f"equalized gate_psnr {m2.int8_gate_psnr:.2f} enabled {m2.int8_enabled}",
-          flush=True)
-    print(f"equalized ms/batch16 {measure_speed(m2):.2f}", flush=True)
+    print(f"auto tier={m.int8_tier} gate_psnr={m.int8_gate_psnr:.2f} "
+          f"enabled={m.int8_enabled}", flush=True)
+    print(f"auto ms/batch16 {measure_speed(m):.2f}", flush=True)
+    for tier, kw in (("full", dict(vae_int8="on")),
+                     ("off", dict(vae_int8="off"))):
+        m2 = MuseModels(dtype=jnp.bfloat16, **kw)
+        print(f"{tier} ms/batch16 {measure_speed(m2):.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -97,12 +97,10 @@ def run(name, spec):
 def main():
     base = SamplerSpec(resolution=R, channels=C, tile_w=16, tile_h=8,
                        k=16, kg=4, wu=64, wv=32, tent_bf16=False)
-    run("16x8 wv32 (r4 baseline)", base)
-    run("16x8 wv16", replace(base, wv=16))
-    run("16x8 wv16 kg=2", replace(base, wv=16, kg=2))
-    run("32x8 wv16", replace(base, tile_w=32, wv=16))
-    run("16x8 wv16 wu=32", replace(base, wv=16, wu=32))
-    run("32x8 wv16 kg=2", replace(base, tile_w=32, wv=16, kg=2))
+    run("16x8 wv32 merged-shade", base)
+    run("32x8 wv32 merged-shade", replace(base, tile_w=32))
+    run("16x8 wv16 merged-shade", replace(base, wv=16))
+    run("32x8 wv16 merged-shade", replace(base, tile_w=32, wv=16))
 
 
 if __name__ == "__main__":

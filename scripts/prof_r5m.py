@@ -177,7 +177,14 @@ def sections(spec, mode):
         x = jnp.concatenate(
             [group_acc(uv_fn, i, ni, g) for g in range(kg)], axis=0)
         if mode == "win":
-            out_ref[0] = x[:rpt, :16]
+            # consume EVERY row and lane of x (a bare slice lets the
+            # compiler dead-code most of the window section)
+            ns = kg * sg
+            acc = jnp.zeros((rpt, 16), jnp.float32)
+            for r0 in range(0, ns, rpt):
+                for l0 in range(0, x.shape[1], 16):
+                    acc = acc + x[r0:r0 + rpt, l0:l0 + 16]
+            out_ref[0] = acc
             return
         dsamp = _bcast_ray_rows(dproj_ref[0], spec, 64).astype(jnp.float32)
         sig_p, rgb_p = _shade_core(spec, w, x, dsamp)

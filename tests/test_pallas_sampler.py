@@ -276,3 +276,56 @@ def test_enc_selector_matches_regroup():
            .transpose(0, 2, 1, 3, 4)
            .reshape(t, spec.rays_per_tile, spec.k, 3 * spec.channels))
     np.testing.assert_allclose(got, np.asarray(enc_ref), rtol=0, atol=0)
+
+
+def test_window_v16_quality_on_smooth_planes():
+    """The wv=16 default (lateral mip one level sooner) must stay close to
+    exact full-resolution bilinear on SMOOTH, band-limited feature planes —
+    the regime trained triplanes live in (hash features are low-frequency
+    per level). Random planes are the adversarial case and are covered by
+    the LOD-exactness test on linear fields; this bounds the realistic
+    one. Also asserts wv=16 error is within 2× of wv=32 on the same
+    geometry (the ladder degrades gracefully, not catastrophically)."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(3)
+    spec32, _, xyz, valid = make_setup()
+    r, c = spec32.resolution, spec32.channels
+    # band-limited planes: a few low-frequency sinusoids per channel
+    gy, gx = np.meshgrid(np.arange(r), np.arange(r), indexing="ij")
+    planes = {}
+    for name in ("plane_xy", "plane_yz", "plane_xz"):
+        chans = []
+        for _ in range(c):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            ph = rng.uniform(0, 6.28, 2)
+            chans.append(np.sin(2 * np.pi * fx * gx / r + ph[0])
+                         * np.cos(2 * np.pi * fy * gy / r + ph[1]))
+        planes[name] = jnp.asarray(np.stack(chans, -1).astype(np.float32))
+
+    ref = encode_x_baked(planes, np.asarray(xyz).reshape(-1, 3), BOUND,
+                         "bilinear")
+
+    def render(spec):
+        t = xyz.shape[0]
+        scalars, uv, active, _ = plan_jobs(
+            xyz.reshape(t, -1, 3), valid, spec, BOUND)
+        assert bool(active.all())
+        packed = pack_planes_major(planes, spec)
+        feats = sample_tiles(packed, scalars.reshape(-1),
+                             uv.reshape(t * 3, spec.kg, 2, spec.sg), spec,
+                             interpret=True)
+        return regroup_features(feats, spec)
+
+    v = np.asarray(valid).reshape(-1)[:, None]
+    scale = np.abs(np.asarray(ref)).max()
+
+    def rmse(spec):
+        enc = np.asarray(render(spec)).reshape(ref.shape)
+        return float(np.sqrt((((enc - np.asarray(ref)) * v) ** 2).mean()))
+
+    e16 = rmse(replace(spec32, wv=16))
+    e32 = rmse(spec32)
+    # smooth content: wv=16 within 2% of full-res bilinear (≈34 dB)
+    assert e16 < 0.02 * scale, (e16, scale)
+    assert e16 <= 2.0 * max(e32, 1e-4 * scale), (e16, e32)
