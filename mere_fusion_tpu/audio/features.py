@@ -48,6 +48,26 @@ class WhisperFeatureExtractor:
 
         self._embed = lambda mel: embed(self.variables, mel)
 
+        @jax.jit
+        def embed_raw(variables, audio):
+            """Raw PCM → [T', L+1, D] embeddings, fully on device: pad to
+            the 30 s window, mel, encode, transpose — so the live path
+            uploads ~100 KB of PCM instead of a 1.9 MB padded window and
+            reads back NOTHING (the 0.66 MB embedding readback plus the
+            padded upload measured ~660 ms/step through the ~8 MB/s axon
+            tunnel — the whole real-time budget)."""
+            from mere_fusion_tpu.models.whisper import Whisper as W
+            from mere_fusion_tpu.ops import melspectrogram, whisper_mel_config
+
+            padded = jnp.zeros((self.window_samples,), jnp.float32)
+            padded = jax.lax.dynamic_update_slice(padded, audio, (0,))
+            mel = melspectrogram(padded, whisper_mel_config(self.dims.n_mels))
+            _, emb = model.apply(variables, mel[None], True, method=W.encode)
+            return jnp.transpose(emb[0], (1, 0, 2))   # [T', L+1, D]
+
+        self._embed_raw = lambda a: embed_raw(self.variables, a)
+        self._gathers: dict = {}
+
     @classmethod
     def from_checkpoint(cls, path: str) -> "WhisperFeatureExtractor":
         import torch
@@ -103,3 +123,40 @@ class WhisperFeatureExtractor:
             self.get_sliced_feature(feature_array, i + start, audio_feat_length, fps)
             for i in range(batch_size)
         ]
+
+    # ---- device-resident live path -----------------------------------------
+    def audio2feat_device(self, audio: np.ndarray):
+        """Live-serving twin of audio2feat that never crosses back to the
+        host: uploads the raw PCM (one compiled shape — the engine's
+        accumulated window is constant at steady state) and returns
+        (embeddings [T', L+1, D] ON DEVICE, n_frames). The embeddings stay
+        in HBM until chunks_device gathers per-frame windows, which feed
+        the generator directly — zero feature bytes cross the tunnel."""
+        n = min(len(audio), self.window_samples)
+        emb = self._embed_raw(self.jnp.asarray(audio[:n]))
+        return emb, int(math.ceil(n / SAMPLE_RATE * FEATURE_HZ))
+
+    def chunks_device(self, emb_dev, n_frames: int, fps: float,
+                      batch_size: int, audio_feat_length=(2, 2),
+                      start: float = 0.0):
+        """Device twin of feature2chunks: one batched gather → [B, W, D]
+        jax array (W = 2·(l+r+1)·(L+1)), same windows as
+        get_sliced_feature."""
+        l, r = audio_feat_length
+        idx = []
+        for i in range(batch_size):
+            center = int((i + start) * FEATURE_HZ / fps)
+            idx.append(np.clip(np.arange(center - l * 2, center + (r + 1) * 2),
+                               0, max(n_frames - 1, 0)))
+        idx = np.stack(idx)                       # [B, 2(l+r+1)]
+        gather = self._gathers.get(idx.shape)
+        if gather is None:
+            import jax
+
+            @jax.jit
+            def gather(emb, ix):
+                sel = emb[ix]                     # [B, w, L+1, D]
+                return sel.reshape(ix.shape[0], -1, emb.shape[-1])
+
+            self._gathers[idx.shape] = gather
+        return gather(emb_dev, self.jnp.asarray(idx))

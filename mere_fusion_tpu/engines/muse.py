@@ -288,6 +288,14 @@ class MuseASR(BaseASR):
         super().__init__(cfg, parent)
         self.features = feature_extractor
 
+    #: feed the generator DEVICE-RESIDENT feature chunks (audio2feat_device
+    #: + chunks_device): the whisper embeddings never cross back to the
+    #: host. The host round trip (padded-window upload + embedding readback)
+    #: measured ~660 ms/step through the ~8 MB/s axon tunnel — alone more
+    #: than the 640 ms real-time budget of a batch. False restores the
+    #: reference-shaped host path (numpy chunks).
+    device_features: bool = True
+
     def run_step(self) -> None:
         for _ in range(self.batch_size * 2):
             frame, ftype = self.get_audio_frame()
@@ -297,13 +305,22 @@ class MuseASR(BaseASR):
             return
         t0 = time.perf_counter()
         audio = np.concatenate(self.frames)
-        feats = self.features.audio2feat(audio)
-        chunks = self.features.feature2chunks(
-            feature_array=feats,
-            fps=self.fps / 2,
-            batch_size=self.batch_size,
-            start=self.stride_left_size / 2,
-        )
+        if self.device_features:
+            emb, n_frames = self.features.audio2feat_device(audio)
+            chunks = self.features.chunks_device(
+                emb, n_frames,
+                fps=self.fps / 2,
+                batch_size=self.batch_size,
+                start=self.stride_left_size / 2,
+            )
+        else:
+            feats = self.features.audio2feat(audio)
+            chunks = self.features.feature2chunks(
+                feature_array=feats,
+                fps=self.fps / 2,
+                batch_size=self.batch_size,
+                start=self.stride_left_size / 2,
+            )
         metrics.latency("muse.featurize").observe(time.perf_counter() - t0)
         self.feat_queue.put(chunks)
         self.frames = self.frames[-(self.stride_left_size + self.stride_right_size):]
@@ -329,6 +346,12 @@ class MuseReal(BaseReal):
                     os.path.join(cfg.avatar.avatar_dir, cfg.avatar.avatar_id)
                 )
             self.avatar = avatar
+            # latents on device once: the per-batch [16, 32, 32, 8] f32
+            # upload (0.5 MB ≈ 70 ms through the remote tunnel) becomes a
+            # 64-byte index vector + an on-device gather
+            self._latents_dev = jax.device_put(
+                jnp.asarray(np.asarray(avatar.latent_cycle,
+                                       dtype=np.float32)), device)
             self.res_frame_queue: Queue = Queue(self.batch_size * 2)
             self.asr = MuseASR(
                 cfg, self, feature_extractor or WhisperFeatureExtractor())
@@ -356,17 +379,43 @@ class MuseReal(BaseReal):
     def _inference_loop_impl(self, quit_event) -> None:
         length = len(self.avatar)
         index = 0
+        # one-deep generated-batch pipeline: the batch's device→host frame
+        # readback (3.1 MB of u8 faces — hundreds of ms through the remote
+        # tunnel, microseconds over local PCIe) overlaps the NEXT batch's
+        # dispatch instead of serializing after it. The pending batch is
+        # flushed before any later (silence or generated) batch is emitted,
+        # so frame order is FIFO, and immediately when the stream pauses —
+        # a lone first utterance pays no extra pipeline latency.
+        pending = None  # (img_dev, t0, [(idx, audio_pair) per frame])
+
+        def flush():
+            nonlocal pending
+            if pending is None:
+                return
+            img_dev, t0, metas = pending
+            pending = None
+            frames = np.asarray(img_dev)
+            metrics.latency("muse.infer_batch").observe(
+                time.perf_counter() - t0)
+            metrics.rate("muse.infer_fps").tick(self.batch_size)
+            for i, (idx, pair) in enumerate(metas):
+                self.res_frame_queue.put((frames[i], idx, pair))
+
         while not quit_event.is_set():
             if not self.render_event.is_set():
+                flush()
                 time.sleep(0.1)
                 continue
             try:
-                chunks = self.asr.get_next_feat(timeout=1)
+                chunks = self.asr.get_next_feat(timeout=0.02 if pending
+                                                else 1)
             except queue.Empty:
+                flush()    # stream pause: deliver the in-flight batch now
                 continue
             audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
             is_all_silence = all(f[1] != 0 for f in audio_frames)
             if is_all_silence:
+                flush()
                 for i in range(self.batch_size):
                     self.res_frame_queue.put(
                         (None, self.mirror_index(length, index),
@@ -375,24 +424,28 @@ class MuseReal(BaseReal):
                     index += 1
             else:
                 t0 = time.perf_counter()
-                feats = np.stack(chunks).astype(np.float32)
-                latents = np.stack(
-                    [
-                        self.avatar.latent_cycle[self.mirror_index(length, index + i)]
-                        for i in range(self.batch_size)
-                    ]
-                )
-                frames = np.asarray(
-                    self.models.generate(jnp.asarray(latents), jnp.asarray(feats))
-                )
-                metrics.latency("muse.infer_batch").observe(time.perf_counter() - t0)
-                metrics.rate("muse.infer_fps").tick(self.batch_size)
+                if isinstance(chunks, list):
+                    feats = jnp.asarray(np.stack(chunks).astype(np.float32))
+                else:
+                    feats = chunks              # device-resident [B, W, D]
+                idxs = np.asarray([self.mirror_index(length, index + i)
+                                   for i in range(self.batch_size)])
+                # avatar latents live on device (uploaded once at init):
+                # per batch only the 16 int32 indices cross the tunnel
+                latents = self._latents_dev[jnp.asarray(idxs)]
+                img_dev = self.models.generate(latents, feats)
+                try:
+                    img_dev.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+                flush()    # previous batch's transfer ran under our dispatch
+                metas = []
                 for i in range(self.batch_size):
-                    self.res_frame_queue.put(
-                        (frames[i], self.mirror_index(length, index),
-                         audio_frames[i * 2 : i * 2 + 2])
-                    )
+                    metas.append((int(idxs[i]),
+                                  audio_frames[i * 2 : i * 2 + 2]))
                     index += 1
+                pending = (img_dev, t0, metas)
+        flush()
 
     # ---- frame assembly -------------------------------------------------------
     def process_frames(self, quit_event, loop=None, audio_track=None, video_track=None):
