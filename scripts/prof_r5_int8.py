@@ -51,6 +51,8 @@ def main():
     m = MuseModels(dtype=jnp.bfloat16, vae_int8="auto")
     print(f"auto tier={m.int8_tier} gate_psnr={m.int8_gate_psnr:.2f} "
           f"enabled={m.int8_enabled}", flush=True)
+    for k, v in getattr(m, "int8_gate_probes", {}).items():
+        print(f"   probe {k}: {v:.2f} dB", flush=True)
     print(f"auto ms/batch16 {measure_speed(m):.2f}", flush=True)
     for tier, kw in (("full", dict(vae_int8="on")),
                      ("off", dict(vae_int8="off"))):

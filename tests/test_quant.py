@@ -33,11 +33,18 @@ def test_int8_conv_matches_numpy_rederivation():
     y = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(k), jnp.asarray(b),
                              out_dtype=jnp.float32))
 
-    # independent re-derivation: quantize, integer conv via explicit loops
-    sx = max(np.abs(x).max(), 1e-8) / 127.0
-    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
-    sw = np.maximum(np.abs(k).max((0, 1, 2)), 1e-8) / 127.0
-    kq = np.clip(np.round(k / sw), -127, 127).astype(np.int32)
+    # independent re-derivation: per-input-channel equalization (α=0.7),
+    # quantize, integer conv via explicit loops
+    ax = np.abs(x).max((0, 1, 2))
+    ak = np.abs(k).max((0, 1, 3))
+    ok = (ax > 0) & (ak > 0)
+    s = np.where(ok, np.maximum(ax, 1e-8) ** 0.7
+                 / np.maximum(ak, 1e-8) ** 0.3, 1.0)
+    sx = max(float(np.where(ok, ax / s, ax).max()) / 127.0, 1e-12)
+    xq = np.clip(np.round(x / (s * sx)), -127, 127).astype(np.int32)
+    ke = k * s[None, None, :, None]
+    sw = np.maximum(np.abs(ke).max((0, 1, 2)), 1e-8) / 127.0
+    kq = np.clip(np.round(ke / sw), -127, 127).astype(np.int32)
     xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ref = np.zeros((2, 8, 8, 10), np.int64)
     for dy in range(3):
