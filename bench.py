@@ -477,20 +477,36 @@ def bench_sessions(n: int = 4, models=None, extractor=None,
             # compiles/warmups — wait until every session has delivered at
             # least one frame, then run a speaking lead-in
             deadline = time.monotonic() + 180
+            dbg = os.environ.get("BENCH_SESSIONS_DEBUG")
             while (any(c == 0 for c in counts)
                    and time.monotonic() < deadline):
-                await asyncio.sleep(0.25)
+                if dbg:
+                    print("barrier", counts,
+                          [s.model.res_frame_queue.qsize() for s in sessions],
+                          [s.player.video._queue.qsize() for s in sessions],
+                          [d.done() for d in drains], flush=True)
+                await asyncio.sleep(2.0 if dbg else 0.25)
             lead = time.monotonic() + 12
             await asyncio.gather(*[feeder(s, lead) for s in sessions])
-            # ---- phase A: sustained fps, all four speaking
-            base = list(counts)
-            t0 = time.monotonic()
-            window = phase_a_s
-            await asyncio.gather(
-                *[feeder(s, t0 + window) for s in sessions])
-            await asyncio.sleep(max(0.0, t0 + window - time.monotonic()))
-            dt = time.monotonic() - t0
-            fps = [(counts[i] - base[i]) / dt for i in range(n)]
+
+            # ---- phase A: sustained fps, all four speaking. One retry:
+            # the remote-chip tunnel stalls for tens of seconds at a time,
+            # and a stall inside the window reads as a dead session rather
+            # than a slow one.
+            async def phase_a():
+                base = list(counts)
+                t0 = time.monotonic()
+                await asyncio.gather(
+                    *[feeder(s, t0 + phase_a_s) for s in sessions])
+                await asyncio.sleep(max(0.0, t0 + phase_a_s
+                                        - time.monotonic()))
+                dt = time.monotonic() - t0
+                return [(counts[i] - base[i]) / dt for i in range(n)]
+
+            fps = await phase_a()
+            if min(fps) < 5.0:
+                await asyncio.sleep(5.0)
+                fps = await phase_a()
             # ---- phase B: a2ff under load — session i goes silent then
             # speaks while the other three keep talking; the only
             # silence→speech transition (and so the only first_frame
