@@ -144,6 +144,11 @@ class LipReal(BaseReal):
         self.avatar = avatar
 
         with self.device_scope():
+            # face crops on device once: the per-batch [16, 96, 96, 3] u8
+            # upload (~442 KB — tens of ms through the remote tunnel)
+            # becomes a 64-byte index vector + an on-device gather
+            self._faces_dev = jax.device_put(
+                jnp.asarray(np.stack(avatar.face_cycle)), self.device)
             if variables is None:  # weightless mode: random params, silence path still exact
                 model = Wav2Lip()
                 variables = jax.jit(model.init)(
@@ -188,18 +193,42 @@ class LipReal(BaseReal):
     def _inference_loop_impl(self, quit_event) -> None:
         length = len(self.avatar)
         index = 0
+        # one-deep generated-batch pipeline (engines/muse.py has the same
+        # structure and rationale): the 442 KB mouth-crop readback overlaps
+        # the next batch's dispatch instead of serializing after it; the
+        # pending batch is flushed before any later batch so ordering is
+        # FIFO, and immediately on stream pause
+        pending = None  # (pred_dev, t0, [(idx, audio_pair) per frame])
+
+        def flush():
+            nonlocal pending
+            if pending is None:
+                return
+            pred_dev, t0, metas = pending
+            pending = None
+            pred = np.asarray(pred_dev)
+            metrics.latency("lip.infer_batch").observe(
+                time.perf_counter() - t0)
+            metrics.rate("lip.infer_fps").tick(self.batch_size)
+            for i, (idx, pair) in enumerate(metas):
+                self.res_frame_queue.put((pred[i], idx, pair))
+
         while not quit_event.is_set():
             if not self.render_event.is_set():
+                flush()
                 time.sleep(0.1)
                 continue
             try:
-                mel_batch = self.asr.get_next_feat(timeout=1)
+                mel_batch = self.asr.get_next_feat(timeout=0.02 if pending
+                                                   else 1)
             except queue.Empty:
+                flush()
                 continue
             audio_frames = [self.asr.get_audio_out() for _ in range(self.batch_size * 2)]
             is_all_silence = all(f[1] != 0 for f in audio_frames)
 
             if is_all_silence:
+                flush()
                 for i in range(self.batch_size):
                     self.res_frame_queue.put(
                         (None, self.mirror_index(length, index),
@@ -208,23 +237,29 @@ class LipReal(BaseReal):
                     index += 1
             else:
                 t0 = time.perf_counter()
-                faces = np.stack(
-                    [
-                        self.avatar.face_cycle[self.mirror_index(length, index + i)]
-                        for i in range(self.batch_size)
-                    ]
-                )
-                pred = np.asarray(
-                    self._device_step(jnp.asarray(mel_batch), jnp.asarray(faces))
-                )
-                metrics.latency("lip.infer_batch").observe(time.perf_counter() - t0)
-                metrics.rate("lip.infer_fps").tick(self.batch_size)
+                idxs = np.asarray([self.mirror_index(length, index + i)
+                                   for i in range(self.batch_size)])
+                # face crops live on device (uploaded once at init); per
+                # batch only the mel window + 16 indices go up the wire
+                faces = self._faces_dev[jnp.asarray(idxs)]
+                pred_dev = self._device_step(jnp.asarray(mel_batch), faces)
+                try:
+                    pred_dev.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+                flush()
+                metas = []
                 for i in range(self.batch_size):
-                    self.res_frame_queue.put(
-                        (pred[i], self.mirror_index(length, index),
-                         audio_frames[i * 2 : i * 2 + 2])
-                    )
+                    metas.append((int(idxs[i]),
+                                  audio_frames[i * 2 : i * 2 + 2]))
                     index += 1
+                pending = (pred_dev, t0, metas)
+                if self.asr.feat_queue.empty():
+                    # nothing queued behind this batch: deliver it now
+                    # instead of paying the next poll's 20 ms (the
+                    # audio-to-first-frame case is exactly this)
+                    flush()
+        flush()
 
     # ---- frame assembly stage ----------------------------------------------
     def process_frames(self, quit_event, loop=None, audio_track=None, video_track=None):

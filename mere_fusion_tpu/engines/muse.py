@@ -471,6 +471,11 @@ class MuseReal(BaseReal):
                                   audio_frames[i * 2 : i * 2 + 2]))
                     index += 1
                 pending = (img_dev, t0, metas)
+                if self.asr.feat_queue.empty():
+                    # nothing queued behind this batch: deliver it now
+                    # instead of paying the next poll's 20 ms (the
+                    # audio-to-first-frame case is exactly this)
+                    flush()
         flush()
 
     # ---- frame assembly -------------------------------------------------------
