@@ -551,10 +551,28 @@ def bench_sessions(n: int = 4, models=None, extractor=None,
             await mgr.close_all()
 
     fps, a2ff = asyncio.run(drive())
+
+    # context: serving video IS device→host frame traffic (n sessions ×
+    # 3.1 MB per 640 ms batch), and through the remote-chip tunnel the
+    # link's day-to-day bandwidth — not compute — caps the aggregate
+    # (generate capacity is ~9 sessions/chip). Measure the link at bench
+    # time so a low min_fps is attributable: over local PCIe the same
+    # traffic is microseconds.
+    import numpy as _np
+
+    x = jnp.ones((16, 256, 256, 3), jnp.uint8)
+    _np.asarray(x + jnp.uint8(0))
+    t0 = time.monotonic()
+    for _ in range(3):
+        _np.asarray(x + jnp.uint8(1))
+    tunnel_mbps = 3 * 3.15 / max(time.monotonic() - t0, 1e-6)
+
     ms = sorted(s * 1e3 for s in a2ff) or [float("nan")]
     return {"min_fps": min(fps), "mean_fps": sum(fps) / len(fps),
             "a2ff_p50_ms": ms[len(ms) // 2], "a2ff_max_ms": ms[-1],
-            "a2ff_samples": len(a2ff)}
+            "a2ff_samples": len(a2ff),
+            "tunnel_mbps": tunnel_mbps,
+            "required_mbps": n * 3.15 / 0.64}
 
 
 def bench_ernerf_train() -> dict:

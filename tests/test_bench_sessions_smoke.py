@@ -29,8 +29,8 @@ def test_bench_sessions_drive_smoke():
         extra_cfg={"avatar.batch_size": 2, "stride.left": 4,
                    "stride.right": 4},
         feed_interval_scale=10.0)
-    assert set(r) == {"min_fps", "mean_fps", "a2ff_p50_ms", "a2ff_max_ms",
-                      "a2ff_samples"}
+    assert {"min_fps", "mean_fps", "a2ff_p50_ms", "a2ff_max_ms",
+            "a2ff_samples", "tunnel_mbps", "required_mbps"} <= set(r)
     # sessions must actually deliver frames in phase A
     assert r["min_fps"] > 1.0, r
     # phase B must capture at least one under-load first-frame latency
